@@ -1,0 +1,60 @@
+"""Heuristic language identification (from scratch; no external models).
+
+Replaces the reference's ``langdetect.detect(text[:5000])`` (reference:
+src/workflows/ingest/normalize.py:46-54, seeded for determinism) with a
+deterministic stopword-profile scorer. The contract preserved from the
+reference is the *interface*: first 5000 chars, returns an ISO-639-1 code or
+``None`` when nothing can be detected; downstream the allow-list filter keeps
+only configured languages (default fr/en — src/core/config/defaults.py).
+
+The scoring formula is intentionally simple enough to express identically in
+Spark column expressions and in DuckDB SQL (see operators/textstats.py), so
+the distributed operator is oracle-checkable:
+
+    score(lang) = number of occurrences of that language's stopword tokens
+    winner     = argmax score, ties broken by language code ascending,
+                 None if the best score is 0
+"""
+
+from __future__ import annotations
+
+import re
+
+# Compact, high-frequency function-word profiles. Word-boundary matched,
+# lowercase. Chosen to discriminate en/fr/es/de/it/pt on short snippets.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "with", "for",
+           "was", "this", "are", "not", "have"),
+    "fr": ("le", "la", "les", "des", "une", "est", "dans", "pour", "que",
+           "qui", "pas", "avec", "sur", "nous", "vous"),
+    "es": ("el", "los", "las", "una", "es", "en", "que", "por", "para",
+           "con", "del", "se", "su", "como", "más"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+           "für", "auf", "den", "von", "sich", "auch"),
+    "it": ("il", "la", "che", "di", "è", "non", "per", "una", "sono", "con",
+           "del", "gli", "questo", "come", "più"),
+    "pt": ("o", "os", "uma", "é", "em", "que", "não", "para", "com", "do",
+           "da", "se", "por", "mais", "como"),
+}
+
+_PATTERNS = {
+    lang: re.compile(r"\b(?:" + "|".join(map(re.escape, words)) + r")\b")
+    for lang, words in STOPWORDS.items()
+}
+
+
+def language_scores(text: str) -> dict[str, int]:
+    """Stopword-hit counts per language over the first 5000 chars."""
+    snippet = text[:5000].lower()
+    return {lang: len(pat.findall(snippet)) for lang, pat in _PATTERNS.items()}
+
+
+def detect_language(text: str) -> str | None:
+    """Best-scoring language, ties broken alphabetically; None if no hits."""
+    if not text:
+        return None
+    scores = language_scores(text)
+    best_lang = min(
+        scores, key=lambda lang: (-scores[lang], lang)
+    )
+    return best_lang if scores[best_lang] > 0 else None
