@@ -1,38 +1,76 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extract+chunk pipeline on sf0.001;
+``queries``/``oracle_sql`` expose the operator battery from
+``ragstudio_spark.entry_queries`` (each checked against DuckDB at sf0.01)
+plus rows-only entries for the non-SQL-expressible pipeline itself
+(pandas-UDF chunker / HTML extractor — their correctness gate is the
+differential oracle suite in tests/test_pipeline_spark.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ragstudio_spark import entry_queries
+
+
+def _documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape the driver's documents table into the transcript contract
+    (conv_id, turn_idx, role, text, tool, ts): conversations = sources."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
+    )
+
+
+def _pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+
+    out = run_pipeline(_documents_as_transcripts(spark, sf_dir), PipelineConfig())
+    return out.chunks.orderBy("conv_id", "turn_idx", "chunk_index")
+
+
+def _pipeline_adaptive_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+
+    out = run_pipeline(
+        _documents_as_transcripts(spark, sf_dir), PipelineConfig(adaptive=True)
+    )
+    return out.chunks.orderBy("conv_id", "turn_idx", "chunk_index")
+
+
+def _pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+
+    out = run_pipeline(_documents_as_transcripts(spark, sf_dir), PipelineConfig())
+    return out.metrics.orderBy("conv_id", "turn_idx")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extract+chunk pipeline over sf0.001 documents shaped
+    as transcripts; returns the chunks DataFrame."""
+    return _pipeline_chunks(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs = dict(entry_queries.queries())
+    qs["pipeline_chunks"] = _pipeline_chunks            # rows-only (pandas UDFs)
+    qs["pipeline_adaptive_chunks"] = _pipeline_adaptive_chunks  # rows-only
+    qs["pipeline_metrics"] = _pipeline_metrics          # rows-only
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(entry_queries.oracle_sql())

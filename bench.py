@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "turns_per_sec": ...}
+
+The headline number is the end-to-end extract+chunk pipeline over a
+synthetic transcript table sized to the SF (10 turns per documents row),
+counted to force full materialization. turns_per_sec is the authoritative
+BASELINE.json metric; scaling efficiency across parallelism levels is
+measured by scripts/scale_bench.py (see BENCH_SCALING.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from ragstudio_spark import entry_queries
+    from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+    from ragstudio_spark.session import get_spark
+    from ragstudio_spark.sources import transcripts as tsrc
+
+    spark = get_spark("ragstudio-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_turns = n_docs * 10
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm the JVM/Python workers once (tiny run, not timed)
+    run_pipeline(tsrc.transcripts_df(spark, 200, partitions=cpus)).chunks.count()
+
+    # headline: synthetic transcripts end-to-end extract+chunk
+    transcripts = tsrc.transcripts_df(spark, n_turns, partitions=cpus * 2)
+    t0 = time.time()
+    n_chunks = run_pipeline(transcripts, PipelineConfig()).chunks.count()
+    pipeline_sec = time.time() - t0
+    timings["pipeline_extract_chunk"] = round(pipeline_sec, 3)
+
+    # adaptive-strategy variant
+    timed("pipeline_adaptive", lambda: run_pipeline(
+        tsrc.transcripts_df(spark, n_turns // 4, partitions=cpus * 2),
+        PipelineConfig(adaptive=True)).chunks.count())
+
+    # operator battery on the SF tables
+    qs = entry_queries.queries()
+    for name in ("quality_gate", "strategy_distribution", "dedup_minhash_lsh",
+                 "ngram_jaccard_top_pairs", "dedup_simhash", "ann_cosine_topk",
+                 "window_chunks_sql", "pricing_summary", "sessionize_events"):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_turns": n_turns,
+        "n_chunks": n_chunks,
+        "turns_per_sec": round(n_turns / pipeline_sec, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,642 @@
+"""Driver-contract query battery: Spark implementations + DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 on the driver's
+testdata tables (documents / embeddings / events / orders / customer /
+lineitem). Design rules for oracle-exactness (the driver hash-compares
+values):
+
+* float sums/avgs are computed from *exact* integer or decimal sums and
+  divided once — identical doubles in both engines regardless of row order;
+* similarity searches output ranks, never raw float scores (accumulation
+  order differs across engines by a ulp);
+* every aggregate/computed column is aliased identically in both dialects;
+* randomness-free: hashes are md5, orders have total tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ragstudio_spark import sqlspec
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+_TABLES = ("documents", "embeddings", "events", "orders", "customer", "lineitem",
+           "part", "supplier", "nation", "region")
+
+
+# Tables whose queries fan out per-row work (shingling, hashing, pairwise
+# similarity). The testdata ships as one parquet file each → one input split
+# → one task; at production scale these are many-file/bucketed tables. A
+# round-robin repartition to the session's parallelism restores the scan
+# parallelism a real table layout would give (results are partition-
+# independent by construction).
+_FANOUT_TABLES = {"documents", "embeddings", "events"}
+
+
+def _register(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    par = spark.sparkContext.defaultParallelism
+    for t in tables:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t in _FANOUT_TABLES:
+            df = df.repartition(par)
+        df.createOrReplaceTempView(t)
+
+
+def _q(sql_spark: str, sql_duck: str | None, tables: tuple[str, ...]):
+    """Build a (queries-entry, oracle-sql) pair from dialect SQL strings."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir, *tables)
+        return spark.sql(sql_spark)
+
+    return fn, sql_duck
+
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (dialect-parameterized)
+# --------------------------------------------------------------------------
+
+def _words_expr(col: str, engine: str) -> str:
+    """Lower-cased whitespace tokens of a text column."""
+    if engine == "spark":
+        return f"filter(split(lower({col}), '\\\\s+'), w -> w != '')"
+    return f"list_filter(regexp_split_to_array(lower({col}), '\\s+'), w -> w != '')"
+
+
+def _shingles_expr(words: str, engine: str) -> str:
+    """3-word shingles (with duplicates) from a words array."""
+    if engine == "spark":
+        return (
+            f"CASE WHEN size({words}) >= 3 THEN "
+            f"transform(sequence(0, size({words}) - 3), "
+            f"i -> concat_ws(' ', {words}[i], {words}[i+1], {words}[i+2])) "
+            f"ELSE array() END"
+        )
+    return (
+        f"CASE WHEN len({words}) >= 3 THEN "
+        f"list_transform(range(1, len({words}) - 1), "
+        f"i -> {words}[i] || ' ' || {words}[i+1] || ' ' || {words}[i+2]) "
+        f"ELSE [] END"
+    )
+
+
+def _dot(a: str, b: str, engine: str) -> str:
+    """Sequential left-fold dot product in double precision — identical
+    accumulation order in both engines."""
+    if engine == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    )
+
+
+# DuckDB list_aggregate('sum') may not fold sequentially; define via reduce:
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+
+def _cosine(engine: str, a: str = "a.embedding", b: str = "b.embedding") -> str:
+    if engine == "spark":
+        dot = _dot(a, b, "spark")
+        na = _dot(a, a, "spark")
+        nb = _dot(b, b, "spark")
+    else:
+        dot = _dot_duck(a, b)
+        na = _dot_duck(a, a)
+        nb = _dot_duck(b, b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+# --------------------------------------------------------------------------
+# query definitions
+# --------------------------------------------------------------------------
+
+_DEFS: dict[str, tuple] = {}
+
+
+def _def(name: str, fn_sql_pair) -> None:
+    _DEFS[name] = fn_sql_pair
+
+
+# -- 1. eval metrics (reference eval.py:144-181): chunk-size stats from exact
+#       integer sums (no builtin stddev — order-dependent streaming moments)
+_EVAL_SPARK = """
+SELECT count(*)                                        AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)                    AS total_chars,
+       CAST(min(n_chars) AS BIGINT)                    AS min_chars,
+       CAST(max(n_chars) AS BIGINT)                    AS max_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*)         AS avg_chars,
+       (CAST(sum(n_chars * n_chars) AS DOUBLE)
+        - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE) / count(*))
+       / (count(*) - 1)                                AS var_chars
+FROM documents
+"""
+_def("eval_metrics", _q(_EVAL_SPARK, _EVAL_SPARK, ("documents",)))
+
+# -- 2. size histogram (eval.py bucket counts)
+_HIST = """
+SELECT bucket, count(*) AS n FROM (
+  SELECT CASE WHEN n_chars = 0 THEN 'empty'
+              WHEN n_chars < 100 THEN 'lt_100'
+              WHEN n_chars < 500 THEN '100_500'
+              ELSE 'ge_500' END AS bucket
+  FROM documents) t
+GROUP BY bucket
+"""
+_def("size_histogram", _q(_HIST, _HIST, ("documents",)))
+
+# -- 3. status counters (batch run counters, status.py:47-112): exact
+#       decimal sum then one conversion to double
+_STATUS_SPARK = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+_def("status_counts", _q(_STATUS_SPARK, _STATUS_SPARK, ("events",)))
+
+# -- 4. exact dedup (md5 over full text; langchain_chunker.py:313-319)
+_DEDUP_EXACT = """
+SELECT h AS text_hash, count(*) AS dup_count
+FROM (SELECT md5(text) AS h FROM documents) t
+GROUP BY h HAVING count(*) > 1
+"""
+_def("dedup_exact", _q(_DEDUP_EXACT, _DEDUP_EXACT, ("documents",)))
+
+# -- 5. prefix-fingerprint dedup groups (document fingerprinting)
+def _fp_sql(engine: str) -> str:
+    words = _words_expr("text", engine)
+    if engine == "spark":
+        prefix = f"concat_ws(' ', slice({words}, 1, 2))"
+    else:
+        prefix = f"array_to_string(list_slice({words}, 1, 2), ' ')"
+    return f"""
+SELECT md5({prefix}) AS fp, count(*) AS n_docs
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+"""
+_def("fingerprint_dups", _q(_fp_sql("spark"), _fp_sql("duckdb"), ("documents",)))
+
+# -- 6. MinHash + LSH candidate pairs (banding over md5-permutation minima).
+#       Shape matters at scale: explode shingles ONCE, then a groupBy with
+#       8 min() aggregates (map-side partial aggregation) — never nest the
+#       signature computation inside reused expressions, which Spark inlines
+#       and recomputes per reference (measured 4-10× blowup at sf0.1).
+_MIN_COLS = ",\n         ".join(
+    f"min(md5(concat('{h}:', shingle))) AS h{h}" for h in range(8)
+)
+_MIN_COLS_DUCK = ",\n         ".join(
+    f"min(md5('{h}:' || shingle)) AS h{h}" for h in range(8)
+)
+_BAND_SELECT = """
+SELECT doc_id, 0 AS band_idx, md5(concat(h0, h1, h2, h3)) AS band_key FROM sigs
+UNION ALL
+SELECT doc_id, 1 AS band_idx, md5(concat(h4, h5, h6, h7)) AS band_key FROM sigs
+"""
+_PAIRS = """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _minhash_sql(engine: str) -> str:
+    words = _words_expr("text", engine)
+    sh = _shingles_expr("words", engine)
+    if engine == "spark":
+        ex = f"""
+SELECT doc_id, shingle FROM
+  (SELECT doc_id, {sh} AS shingles
+   FROM (SELECT doc_id, {words} AS words FROM documents) w) d
+LATERAL VIEW explode(shingles) AS shingle
+"""
+        mins = _MIN_COLS
+        band = _BAND_SELECT
+    else:
+        ex = f"""
+SELECT doc_id, unnest(shingles) AS shingle FROM
+  (SELECT doc_id, {sh} AS shingles
+   FROM (SELECT doc_id, {words} AS words FROM documents) w) d
+"""
+        mins = _MIN_COLS_DUCK
+        band = _BAND_SELECT.replace("concat(h0, h1, h2, h3)", "h0 || h1 || h2 || h3").replace(
+            "concat(h4, h5, h6, h7)", "h4 || h5 || h6 || h7")
+    return f"""
+WITH ex AS ({ex}),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+banded AS ({band})
+{_PAIRS}
+"""
+_def("dedup_minhash_lsh", _q(_minhash_sql("spark"), _minhash_sql("duckdb"), ("documents",)))
+
+# -- 7. exact n-gram Jaccard top pairs (ground truth for LSH)
+def _jaccard_sql(engine: str) -> str:
+    words = _words_expr("text", engine)
+    sh = _shingles_expr("words", engine)
+    # compute the distinct-shingle array once in an inner subquery; size it
+    # in the outer one (inlined expression reuse would recompute it)
+    if engine == "spark":
+        base = f"""
+WITH docs AS (
+  SELECT doc_id, shingles, size(shingles) AS n_sh FROM
+    (SELECT doc_id, array_distinct({sh}) AS shingles
+     FROM (SELECT doc_id, {words} AS words FROM documents) w) s
+), ex AS (
+  SELECT doc_id, n_sh, shingle FROM docs LATERAL VIEW explode(shingles) AS shingle
+)"""
+    else:
+        base = f"""
+WITH docs AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh FROM
+    (SELECT doc_id, list_distinct({sh}) AS shingles
+     FROM (SELECT doc_id, {words} AS words FROM documents) w) s
+), ex AS (
+  SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM docs
+)"""
+    return base + """
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS inter,
+         min(a.n_sh) AS na, min(b.n_sh) AS nb
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM pairs
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+LIMIT 20
+"""
+_def("ngram_jaccard_top_pairs", _q(_jaccard_sql("spark"), _jaccard_sql("duckdb"), ("documents",)))
+
+# -- 8. SimHash (16-bit, md5-nibble bits, ±1 votes per distinct token)
+def _simhash_sql(engine: str) -> str:
+    words = _words_expr("text", engine)
+    if engine == "spark":
+        distinct_w = f"array_distinct({words})"
+        explode = "LATERAL VIEW explode(words) AS word"
+        nibble = "instr('0123456789abcdef', substring(h, CAST(floor(b / 4) AS INT) + 1, 1)) - 1"
+        bit = f"shiftright({nibble}, CAST(b % 4 AS INT)) & 1"
+        gen_bits = "LATERAL VIEW explode(sequence(0, 15)) AS b"
+        shl = "CAST(vote_sign AS BIGINT) * CAST(pow(2, b) AS BIGINT)"
+        return f"""
+WITH w AS (
+  SELECT doc_id, word FROM
+    (SELECT doc_id, {distinct_w} AS words FROM documents) d {explode}
+), bits AS (
+  SELECT doc_id, b, CASE WHEN ({bit}) = 1 THEN 1 ELSE -1 END AS v
+  FROM (SELECT doc_id, md5(word) AS h FROM w) x {gen_bits}
+), votes AS (
+  SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS vote_sign
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum({shl}) AS BIGINT) AS simhash16
+FROM votes GROUP BY doc_id
+"""
+    nibble = "strpos('0123456789abcdef', substring(h, CAST(floor(b / 4) AS INT) + 1, 1)) - 1"
+    bit = f"(({nibble}) >> CAST(b % 4 AS INT)) & 1"
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct({words})) AS word FROM documents
+), bits AS (
+  SELECT doc_id, b, CASE WHEN ({bit}) = 1 THEN 1 ELSE -1 END AS v
+  FROM (SELECT doc_id, md5(word) AS h FROM w) x, LATERAL (SELECT unnest(range(0, 16)) AS b)
+), votes AS (
+  SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS vote_sign
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(CAST(vote_sign AS BIGINT) * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash16
+FROM votes GROUP BY doc_id
+"""
+_def("dedup_simhash", _q(_simhash_sql("spark"), _simhash_sql("duckdb"), ("documents",)))
+
+# -- 9. brute-force cosine top-k ANN (ranks only; floats never emitted)
+def _ann_sql(engine: str) -> str:
+    cos = _cosine(engine)
+    rank_src = f"""
+WITH sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {cos} AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 8 AND b.vec_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims) r
+WHERE rank <= 5
+"""
+    return rank_src
+_def("ann_cosine_topk", _q(_ann_sql("spark"), _ann_sql("duckdb"), ("embeddings",)))
+
+# -- 10. IVF-bucketed ANN (coarse quantize to 16 leader centroids, search
+#        only the query's cell — the 100TB-scale path vs brute force)
+def _ivf_sql(engine: str) -> str:
+    cos = _cosine(engine, "v.embedding", "c.embedding")
+    cos_q = _cosine(engine, "q.embedding", "v.embedding")
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos.replace('c.embedding', 'c.embedding')} DESC, c.cid ASC) AS rn
+    FROM embeddings v CROSS JOIN centroids c) a
+  WHERE rn = 1
+), q AS (
+  SELECT a.vec_id AS query_id, a.cid FROM assign a WHERE a.vec_id < 8
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT qq.query_id, v.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY qq.query_id
+                            ORDER BY {cos_q} DESC, v.vec_id ASC) AS rank
+  FROM q qq
+  JOIN assign av ON av.cid = qq.cid AND av.vec_id <> qq.query_id
+  JOIN embeddings v ON v.vec_id = av.vec_id
+  JOIN embeddings q ON q.vec_id = qq.query_id) r
+WHERE rank <= 3
+"""
+_def("ann_ivf_topk", _q(_ivf_sql("spark"), _ivf_sql("duckdb"), ("embeddings",)))
+
+# -- 11. embedding nearest-neighbor per vector (near-dup scan, rank-1 only)
+def _nn_sql(engine: str) -> str:
+    cos = _cosine(engine)
+    return f"""
+SELECT vec_id, nn_id FROM (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {cos} DESC, b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 64) t
+WHERE rn = 1
+"""
+_def("embedding_nearest_neighbor", _q(_nn_sql("spark"), _nn_sql("duckdb"), ("embeddings",)))
+
+# -- 12. heuristic language-ID distribution (stopword profile scorer)
+_LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "fr": ("le", "la", "les", "des", "une", "est", "dans", "pour", "que", "qui"),
+    "es": ("el", "los", "las", "una", "es", "en", "del", "por", "para", "con"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "auf"),
+}
+def _langid_sql(engine: str) -> str:
+    count_fn = "size" if engine == "spark" else "len"
+    def score(lang):
+        body = "|".join(_LANG_STOPWORDS[lang])
+        if engine == "spark":
+            # Spark SQL string literals interpret backslash escapes → \\b
+            return f"size(regexp_extract_all(lower(text), '\\\\b(?:{body})\\\\b', 0))"
+        return f"len(regexp_extract_all(lower(text), '\\b(?:{body})\\b'))"
+    scores = {lang: score(lang) for lang in _LANG_STOPWORDS}
+    best = " ".join(
+        f"WHEN s_{lang} >= s_en AND s_{lang} >= s_fr AND s_{lang} >= s_es AND s_{lang} >= s_de "
+        f"AND s_{lang} > 0 THEN '{lang}'"
+        for lang in ("de", "es", "fr", "en")  # reverse-alpha so earlier WHEN loses ties... see note
+    )
+    # deterministic tie-break: alphabetical wins → evaluate de,en,es,fr in
+    # CASE order with >= comparisons is ambiguous; instead pick explicitly:
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         {scores['en']} AS s_en, {scores['fr']} AS s_fr,
+         {scores['es']} AS s_es, {scores['de']} AS s_de
+  FROM documents
+), best AS (
+  SELECT doc_id,
+    CASE
+      WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr AND s_de > 0 THEN 'de'
+      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+      WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+      WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+      ELSE NULL END AS predicted_lang
+  FROM scored
+)
+SELECT predicted_lang, count(*) AS n FROM best GROUP BY predicted_lang
+"""
+_def("langid_distribution", _q(_langid_sql("spark"), _langid_sql("duckdb"), ("documents",)))
+
+# -- 13. token counting (whitespace + BPE-ish regex pieces)
+def _tokens_sql(engine: str) -> str:
+    words = _words_expr("text", engine)
+    if engine == "spark":
+        ws = f"size({words})"
+        bpe = "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))"
+    else:
+        ws = f"len({words})"
+        bpe = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+    return f"""
+SELECT doc_id, CAST({ws} AS BIGINT) AS ws_tokens, CAST({bpe} AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed
+FROM documents
+"""
+_def("token_counts", _q(_tokens_sql("spark"), _tokens_sql("duckdb"), ("documents",)))
+
+# -- 14. document fingerprint (normalized md5)
+def _fingerprint_sql(engine: str) -> str:
+    if engine == "spark":
+        norm = "regexp_replace(lower(text), '[^a-z0-9]', '')"
+    else:
+        norm = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
+    return f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents"
+_def("doc_fingerprint", _q(_fingerprint_sql("spark"), _fingerprint_sql("duckdb"), ("documents",)))
+
+# -- 15. readability quality gate (the sqlspec predicate, both engines)
+def _quality_sql(engine: str) -> str:
+    spec = sqlspec.readability_exprs("text", engine, min_ratio=0.4)
+    return f"""
+SELECT CASE WHEN {spec['is_readable']} THEN 'readable' ELSE 'unreadable' END AS verdict,
+       count(*) AS n,
+       CAST(sum({spec['n_valid']}) AS BIGINT) AS total_valid_words,
+       CAST(sum({spec['n_words']}) AS BIGINT) AS total_words
+FROM documents GROUP BY 1
+"""
+_def("quality_gate", _q(_quality_sql("spark"), _quality_sql("duckdb"), ("documents",)))
+
+# -- 16. profile → adaptive strategy distribution (decorated corpus hits
+#        every reachable branch of the selector decision tree; the
+#        high_structure_score branch is unreachable from real text — any
+#        profile scoring >0.6 also trips an earlier branch)
+def _strategy_sql(engine: str) -> str:
+    nl = "chr(10)"
+    dec = f"""
+SELECT doc_id, CASE CAST(doc_id % 7 AS INT)
+  WHEN 0 THEN '# Titre' || {nl} || '## Sous-section' || {nl} || repeat(text || ' ', 15)
+  WHEN 1 THEN 'sommaire ' || repeat(text || ' ', 10)
+  WHEN 2 THEN repeat(text || ' ', 12) || {nl} || '| a | b | c | d | e | f | g |'
+  WHEN 3 THEN 'introduction ' || repeat(text || ' ', 80)
+  WHEN 4 THEN text
+  WHEN 5 THEN 'conclusion ' || repeat(text || ' ', 20)
+  ELSE 'caractéristiques ' || repeat(text || ' ', 15) END AS text
+FROM documents
+"""
+    if engine == "spark":
+        md_depths = "transform(regexp_extract_all(text, '(?m)^(#{1,6})\\\\s+', 1), h -> length(h))"
+        num_depths = ("transform(regexp_extract_all(text, '(?m)^(\\\\d+(?:\\\\.\\\\d+)*)\\\\.\\\\s+', 1), "
+                      "s -> size(split(s, '\\\\.')))")
+        depth = (f"CASE WHEN size(concat({md_depths}, {num_depths})) > 0 "
+                 f"THEN array_max(concat({md_depths}, {num_depths})) ELSE 1 END")
+        pipe_count = "(length(text) - length(replace(text, '|', '')))"
+        tab_count = "(length(text) - length(replace(text, '\\t', '')))"
+        col_count = "(length(text) - length(replace(text, 'colonne', ''))) / 7"
+        lig_count = "(length(text) - length(replace(text, 'ligne', ''))) / 5"
+    else:
+        md_depths = r"list_transform(regexp_extract_all(text, '(?m)^(#{1,6})\s+', 1), h -> length(h))"
+        num_depths = (r"list_transform(regexp_extract_all(text, '(?m)^(\d+(?:\.\d+)*)\.\s+', 1), "
+                      r"s -> len(string_split(s, '.')))")
+        depth = (f"CASE WHEN len(list_concat({md_depths}, {num_depths})) > 0 "
+                 f"THEN list_max(list_concat({md_depths}, {num_depths})) ELSE 1 END")
+        pipe_count = "(length(text) - length(replace(text, '|', '')))"
+        tab_count = "(length(text) - length(replace(text, chr(9), '')))"
+        col_count = "(length(text) - length(replace(text, 'colonne', ''))) / 7"
+        lig_count = "(length(text) - length(replace(text, 'ligne', ''))) / 5"
+
+    if engine == "spark":
+        # backslashes doubled for Spark SQL string-literal escaping
+        heading_re = r"(?m)^\\s*#{1,6}\\s+|^\\s*\\d+\\.\\s+|^\\s*[A-Z][A-Z\\s]+$|^\\s*[IVX]+\\.\\s+"
+        has_head = f"text RLIKE '{heading_re}'"
+    else:
+        heading_re = r"(?m)^\s*#{1,6}\s+|^\s*\d+\.\s+|^\s*[A-Z][A-Z\s]+$|^\s*[IVX]+\.\s+"
+        has_head = f"regexp_matches(text, '{heading_re}')"
+
+    return f"""
+WITH dec AS ({dec}),
+prof AS (
+  SELECT doc_id,
+    CASE
+      WHEN lower(text) LIKE '%table des matières%' OR lower(text) LIKE '%sommaire%'
+           OR lower(text) LIKE '%chapitre%' THEN 'rapport'
+      WHEN lower(text) LIKE '%caractéristiques%' OR lower(text) LIKE '%spécifications%'
+           OR lower(text) LIKE '%paramètres%' THEN 'fiche_technique'
+      WHEN lower(text) LIKE '%introduction%' OR lower(text) LIKE '%conclusion%'
+           OR lower(text) LIKE '%résumé%' THEN 'article'
+      WHEN length(text) > 5000 THEN 'rapport'
+      WHEN length(text) > 1000 THEN 'article'
+      ELSE 'document_court' END AS doc_type,
+    CAST(floor(length(text) / 4) AS BIGINT) AS length_tokens,
+    {has_head} AS has_headings,
+    ({pipe_count} + {tab_count} + {col_count} + {lig_count}) > 5 AS has_tables,
+    {depth} AS hdepth
+  FROM dec
+),
+sel AS (
+  SELECT doc_id,
+    CASE
+      WHEN length_tokens < 1000 THEN 'recursive'
+      WHEN has_headings AND hdepth >= 2 THEN 'parent_child'
+      WHEN doc_type IN ('fiche_technique', 'rapport') THEN 'semantic'
+      WHEN has_tables THEN 'late'
+      WHEN length_tokens > 5000 THEN 'semantic'
+      ELSE 'recursive' END AS strategy,
+    CASE
+      WHEN length_tokens < 1000 THEN 'short_document'
+      WHEN has_headings AND hdepth >= 2 THEN 'structured_document'
+      WHEN doc_type IN ('fiche_technique', 'rapport') THEN 'technical_document'
+      WHEN has_tables THEN 'tabular_content'
+      WHEN length_tokens > 5000 THEN 'long_document'
+      ELSE 'default_fallback' END AS reason
+  FROM prof
+)
+SELECT strategy, reason, count(*) AS n FROM sel GROUP BY strategy, reason
+"""
+_def("strategy_distribution", _q(_strategy_sql("spark"), _strategy_sql("duckdb"), ("documents",)))
+
+# -- 17. resume anti-join (retry semantics: history.py:311-328)
+_RESUME = """
+SELECT count(*) AS remaining, CAST(sum(n_chars) AS BIGINT) AS remaining_chars
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents c WHERE c.doc_id = d.doc_id AND c.doc_id % 7 < 3)
+"""
+_def("resume_antijoin", _q(_RESUME, _RESUME, ("documents",)))
+
+# -- 18. top-k recent/display limit (chunk.py:364-372, chunking_logger top-n)
+_TOPK = """
+SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+FROM events ORDER BY value DESC, event_id ASC LIMIT 10
+"""
+_def("topk_events", _q(_TOPK, _TOPK, ("events",)))
+
+# -- 19. sessionization (window/lag over event-time per user)
+_SESSION = """
+SELECT user_id, count(*) AS n_events,
+       CAST(1 + sum(CASE WHEN prev_ts IS NOT NULL
+                          AND CAST(ts AS TIMESTAMP) > CAST(prev_ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events) t
+GROUP BY user_id
+"""
+_SESSION_DUCK = _SESSION.replace("INTERVAL 30 MINUTE", "INTERVAL 30 MINUTES")
+_def("sessionize_events", _q(_SESSION, _SESSION_DUCK, ("events",)))
+
+# -- 20. broadcast-dim join + top-k revenue (chunk→doc FK re-attach pattern)
+_TOPCUST = """
+SELECT c.c_name AS name,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_name
+ORDER BY revenue DESC, name ASC LIMIT 10
+"""
+_def("top_customers", _q(_TOPCUST, _TOPCUST, ("orders", "customer")))
+
+# -- 21. pricing-summary style aggregation (counters pivot, decimal-exact)
+_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+_def("pricing_summary", _q(_PRICING, _PRICING, ("lineitem",)))
+
+# -- 22. char-window chunker fully in SQL (token-strategy fallback,
+#        chunker.py:39-56: window 200 chars, step 160) — JVM-only chunking
+def _window_chunks_sql(engine: str) -> str:
+    if engine == "spark":
+        starts = "explode(sequence(0, CAST(length(text) - 1 AS BIGINT), 160))"
+        return f"""
+SELECT doc_id, CAST(start / 160 AS BIGINT) AS chunk_index,
+       CAST(start AS BIGINT) AS char_start,
+       CAST(least(start + 200, length(text)) AS BIGINT) AS char_end,
+       substring(text, CAST(start AS INT) + 1, 200) AS chunk_text
+FROM (SELECT doc_id, text, {starts} AS start FROM documents WHERE length(text) > 0) t
+"""
+    return """
+SELECT doc_id, CAST(start / 160 AS BIGINT) AS chunk_index,
+       CAST(start AS BIGINT) AS char_start,
+       CAST(least(start + 200, length(text)) AS BIGINT) AS char_end,
+       substring(text, CAST(start AS INT) + 1, 200) AS chunk_text
+FROM (SELECT doc_id, text, unnest(range(0, CAST(length(text) AS BIGINT), 160)) AS start
+      FROM documents WHERE length(text) > 0) t
+"""
+_def("window_chunks_sql", _q(_window_chunks_sql("spark"), _window_chunks_sql("duckdb"), ("documents",)))
+
+
+# --------------------------------------------------------------------------
+# public API consumed by __spark_entry__
+# --------------------------------------------------------------------------
+
+def queries() -> dict:
+    return {name: fn for name, (fn, _sql) in _DEFS.items()}
+
+
+def oracle_sql() -> dict:
+    return {name: sql for name, (_fn, sql) in _DEFS.items() if sql is not None}

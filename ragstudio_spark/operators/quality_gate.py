@@ -1,0 +1,74 @@
+"""Readability quality gate — JVM-side column expressions, no Python.
+
+The reference gates each document on the ratio of readable chunks
+(check_chunks_quality with min_readable_ratio=0.9, per-chunk valid-word
+threshold 0.3 — src/core/cli/commands/batch.py:408-428); failed documents
+are dropped from the chunk output and recorded as FAILED. Here the whole
+predicate runs as Spark SQL expressions generated from ``sqlspec`` (shared
+with the DuckDB oracle), evaluated *on the chunk array before exploding* —
+so the gate costs zero shuffles and failed turns divert to a quarantine
+DataFrame, mirroring the reference's error-table semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ragstudio_spark import sqlspec
+
+
+def text_quality_cols(text_expr: str, min_ratio: float = 0.4) -> dict[str, Column]:
+    """(valid_word_ratio, is_readable) columns for a SQL text expression."""
+    spec = sqlspec.readability_exprs(text_expr, "spark", min_ratio=min_ratio)
+    return {
+        "valid_word_ratio": F.expr(spec["valid_word_ratio"]),
+        "is_readable": F.expr(spec["is_readable"]),
+    }
+
+
+def with_text_quality(df: DataFrame, text_col: str = "extracted_text",
+                      min_ratio: float = 0.4) -> DataFrame:
+    cols = text_quality_cols(text_col, min_ratio)
+    return df.withColumn("valid_word_ratio", cols["valid_word_ratio"]).withColumn(
+        "is_readable", cols["is_readable"]
+    )
+
+
+def with_chunks_gate(
+    df: DataFrame,
+    result_col: str = "chunk_result",
+    min_readable_ratio: float = 0.9,
+    chunk_min_ratio: float = 0.3,
+) -> DataFrame:
+    """Per-turn gate over the chunk array: readable_chunks / total_chunks ≥
+    min_readable_ratio. Adds readable_chunks, total_chunks_gate,
+    readable_ratio, gate_passed."""
+    chunk_readable = sqlspec.readability_exprs("c.text", "spark", min_ratio=chunk_min_ratio)[
+        "is_readable"
+    ]
+    total = F.size(F.col(f"{result_col}.chunks"))
+    readable = F.expr(
+        f"size(filter({result_col}.chunks, c -> {chunk_readable}))"
+    )
+    ratio = F.when(total > 0, readable.cast("double") / total).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("total_chunks_gate", total)
+        .withColumn("readable_chunks", readable)
+        .withColumn("readable_ratio", ratio)
+        .withColumn(
+            "gate_passed", (total > 0) & (F.col("readable_ratio") >= min_readable_ratio)
+        )
+    )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(passing, quarantined) split after ``with_chunks_gate``; quarantined
+    rows carry a reason column (mirrors FileResult.error)."""
+    passing = df.filter(F.col("gate_passed"))
+    quarantined = df.filter(~F.col("gate_passed")).withColumn(
+        "failure_reason",
+        F.when(F.col("total_chunks_gate") == 0, F.lit("no_chunks")).otherwise(
+            F.lit("too_few_readable_chunks")
+        ),
+    )
+    return passing, quarantined
