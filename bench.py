@@ -46,8 +46,12 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    # warm the JVM/Python workers once (tiny run, not timed)
-    run_pipeline(tsrc.transcripts_df(spark, 200, partitions=cpus)).chunks.count()
+    # warm the JVM + the whole Python worker fleet (one task per core
+    # minimum — a tiny warm-up leaves most workers cold and the first
+    # measured run then pays fleet startup)
+    run_pipeline(
+        tsrc.transcripts_df(spark, max(2000, n_turns // 10), partitions=cpus * 2)
+    ).chunks.count()
 
     # headline: synthetic transcripts end-to-end extract+chunk
     transcripts = tsrc.transcripts_df(spark, n_turns, partitions=cpus * 2)

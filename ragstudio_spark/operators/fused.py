@@ -1,0 +1,158 @@
+"""Fused per-turn processing: extract + normalize + chunk in ONE Python hop.
+
+Why this exists (measured, not theoretical): chained pandas UDFs each run
+their own Python worker *concurrently* per task — a pipeline with 4 Python
+boundaries at local[32] schedules ~128 Python processes + 32 JVM threads on
+32 cores, and throughput *drops* below local[8] (negative scaling, 0.7×).
+Fusing extraction, normalization metrics, and chunking into a single
+``mapInPandas`` gives one Python worker per task and one Arrow round trip,
+which is also the right shape at cluster scale: the dominant cost of the
+Python tier is serialization + process pressure, not the text algorithms.
+
+The JVM-side stages (content-type sniff before; quality gate, status,
+explode after) are unchanged — semantics are identical to the staged
+operators (same kernel functions), verified by the differential oracle
+tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ragstudio_spark.kernel import chunk as kchunk
+from ragstudio_spark.kernel import html_extract, langid, textops
+from ragstudio_spark.operators.chunker import CHUNK_STRUCT
+
+_CHUNK_FIELDS = [f.name for f in CHUNK_STRUCT.fields]
+
+FUSED_SCHEMA = (
+    "conv_id string, turn_idx int, content_type string, "
+    "extraction_engine string, text_head string, "
+    "language string, quality_score double, needs_repair boolean, "
+    "repair_applied boolean, extracted_chars int, "
+    "extraction_fixes int, page_numbers_removed int, error string, "
+    "chunks array<struct<"
+    "chunk_index:int,chunk_id:string,text:string,char_start:int,char_end:int,"
+    "char_length:int,token_count:int,sentence_count:int,total_chunks:int,"
+    "chunking_strategy:string,requested_strategy:string,chunk_size:int,"
+    "chunk_overlap:int>>"
+)
+
+_ENGINES = {"html": "html_readability", "pdf": "pdf_cleaner",
+            "markdown": "identity", "plain": "identity", "empty": "none"}
+
+
+def _extract_one(text: str, ctype: str) -> str:
+    if ctype == "html":
+        return html_extract.extract_main_content(text)
+    if ctype == "pdf":
+        return textops.preprocess_before_chunking(text or "", "pdf")
+    if ctype == "empty":
+        return ""
+    return text or ""
+
+
+def process_turns(
+    df: DataFrame,
+    strategy: str = "recursive",
+    max_tokens: int = 400,
+    overlap: int = 50,
+    do_preprocess: bool = True,
+    with_normalize: bool = True,
+    apply_repair: bool = False,
+    carry_ts: bool = False,
+    on_error: str = "quarantine",
+) -> DataFrame:
+    """df must carry conv_id, turn_idx, text, content_type (+ ts when
+    carry_ts, for event-time streaming). Returns the fused per-turn result
+    frame (FUSED_SCHEMA).
+
+    ``on_error`` reproduces the reference's per-file error modes
+    (interactive.py:19-59 — STOP / IGNORE / CONTINUE):
+      * "fail_fast"  — re-raise (job aborts; Spark task retries apply first)
+      * "skip"       — emit the row with error set, no chunks (IGNORE)
+      * "quarantine" — same as skip; downstream routes it to the errors
+                       table with the reason (CONTINUE + FileResult.error)
+    """
+    if on_error not in ("quarantine", "skip", "fail_fast"):
+        raise ValueError(f"on_error: {on_error}")
+    schema = FUSED_SCHEMA + (", ts timestamp" if carry_ts else "")
+
+    def process_one(conv_id, turn_idx, text, ctype):
+        raw = text or ""
+        extracted = _extract_one(raw, ctype)
+
+        language = None
+        quality_score = 1.0
+        needs_repair = False
+        repaired = False
+        if with_normalize:
+            cleaned = textops.clean_text(extracted)
+            if cleaned:
+                q = textops.detect_ocr_quality(cleaned)
+                quality_score = float(q["quality_score"])
+                needs_repair = bool(q["needs_repair"])
+                if apply_repair and needs_repair:
+                    cleaned, _m = textops.repair_text(cleaned)
+                    repaired = True
+                    extracted = cleaned
+                language = langid.detect_language(cleaned)
+
+        chunks, stats = kchunk.chunk_turn(
+            extracted,
+            source=f"{conv_id}:{turn_idx}",
+            requested_strategy=strategy,
+            max_tokens=max_tokens,
+            overlap=overlap,
+            do_preprocess=do_preprocess,
+        )
+        return (language, quality_score, needs_repair, repaired,
+                len(extracted), stats, chunks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "conv_id", "turn_idx", "content_type", "extraction_engine",
+                "text_head", "language", "quality_score", "needs_repair",
+                "repair_applied", "extracted_chars", "extraction_fixes",
+                "page_numbers_removed", "error", "chunks")}
+            for conv_id, turn_idx, text, ctype in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["content_type"]
+            ):
+                error = None
+                try:
+                    (language, quality_score, needs_repair, repaired,
+                     n_extracted, stats, chunks) = process_one(
+                        conv_id, turn_idx, text, ctype)
+                except Exception as exc:  # noqa: BLE001 — row-level fault barrier
+                    if on_error == "fail_fast":
+                        raise
+                    error = f"{type(exc).__name__}: {exc}"[:500]
+                    language, quality_score = None, 0.0
+                    needs_repair, repaired, n_extracted = False, False, 0
+                    stats = {"extraction_fixes": 0, "page_numbers_removed": 0}
+                    chunks = []
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(turn_idx)
+                out["content_type"].append(ctype)
+                out["extraction_engine"].append(_ENGINES.get(ctype, "identity"))
+                out["text_head"].append((text or "")[:200])
+                out["language"].append(language)
+                out["quality_score"].append(quality_score)
+                out["needs_repair"].append(needs_repair)
+                out["repair_applied"].append(repaired)
+                out["extracted_chars"].append(n_extracted)
+                out["extraction_fixes"].append(stats["extraction_fixes"])
+                out["page_numbers_removed"].append(stats["page_numbers_removed"])
+                out["error"].append(error)
+                out["chunks"].append(
+                    [tuple(c[k] for k in _CHUNK_FIELDS) for c in chunks]
+                )
+            if carry_ts:
+                out["ts"] = list(pdf["ts"])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=schema)

@@ -36,19 +36,19 @@ def with_text_quality(df: DataFrame, text_col: str = "extracted_text",
 
 def with_chunks_gate(
     df: DataFrame,
-    result_col: str = "chunk_result",
+    chunks_col: str = "chunks",
     min_readable_ratio: float = 0.9,
     chunk_min_ratio: float = 0.3,
 ) -> DataFrame:
-    """Per-turn gate over the chunk array: readable_chunks / total_chunks ≥
-    min_readable_ratio. Adds readable_chunks, total_chunks_gate,
-    readable_ratio, gate_passed."""
+    """Per-turn gate over a chunk array column (array<struct> with a text
+    field): readable_chunks / total_chunks ≥ min_readable_ratio. Adds
+    readable_chunks, total_chunks_gate, readable_ratio, gate_passed."""
     chunk_readable = sqlspec.readability_exprs("c.text", "spark", min_ratio=chunk_min_ratio)[
         "is_readable"
     ]
-    total = F.size(F.col(f"{result_col}.chunks"))
+    total = F.size(F.col(chunks_col))
     readable = F.expr(
-        f"size(filter({result_col}.chunks, c -> {chunk_readable}))"
+        f"size(filter({chunks_col}, c -> {chunk_readable}))"
     )
     ratio = F.when(total > 0, readable.cast("double") / total).otherwise(F.lit(0.0))
     return (

@@ -4,20 +4,20 @@ Dataflow (reference lifecycle §3.2/§3.3 of SURVEY.md — batch_command and
 IngestionPipelineWithMetadata.ingest_document):
 
     transcripts
-      → sniff content_type            (column exprs)
-      → extract main content          (one pandas UDF, per-type dispatch)
-      → [optional] normalize metrics  (language, OCR quality)
-      → strategy                      (fixed reference default, or adaptive
-                                       profile → when() ladder)
-      → chunk                         (pandas UDF → array<struct>)
-      → quality gate on chunk array   (JVM exprs, zero shuffle)
+      → sniff content_type                 (column exprs, JVM)
+      → extract + normalize + chunk        (ONE fused mapInPandas hop —
+                                            see operators/fused.py for why)
+      → quality gate on the chunk array    (JVM exprs, zero shuffle)
       → split: chunks (exploded) / quarantine / per-turn metrics
 
-The whole hot path is a single narrow stage: no joins, no aggregations, no
+Adaptive mode (profile-driven strategy selection) uses the staged form —
+extract UDF → JVM profile/when() ladder → chunk UDF — because the strategy
+decision consumes the *extracted* text via JVM column expressions.
+
+The hot path is a single narrow stage: no joins, no aggregations, no
 shuffles — each turn is independent, so the plan scales linearly with
-executors and AQE/skew handling only matters at the write. Ordering
-guarantees come from data (conv_id, turn_idx, chunk_index), not from task
-scheduling.
+executors. Ordering guarantees come from data (conv_id, turn_idx,
+chunk_index), never from task scheduling.
 """
 
 from __future__ import annotations
@@ -26,7 +26,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from ragstudio_spark.operators import chunker, extract, normalizer, profiler, quality_gate, sniff
+from ragstudio_spark.operators import (
+    chunker, extract, fused, normalizer, profiler, quality_gate, sniff,
+)
 from ragstudio_spark.operators import strategy as strategy_op
 
 
@@ -42,6 +44,7 @@ class PipelineConfig:
     language_filter: tuple | None = None  # e.g. ("fr", "en") drops other langs
     min_readable_ratio: float = 0.9
     chunk_min_ratio: float = 0.3
+    on_error: str = "quarantine"     # fail_fast | skip | quarantine
 
 
 @dataclass
@@ -54,89 +57,111 @@ class PipelineOutput:
 TURN_KEY = ("conv_id", "turn_idx")
 
 
-def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -> PipelineOutput:
-    cfg = config or PipelineConfig()
-    df = sniff.with_content_type(transcripts)
+def _staged_adaptive(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Adaptive path: extract UDF → JVM profile + strategy ladder → chunk
+    UDF. Returns the unified per-turn frame."""
     df = extract.with_extracted_text(df)
-
     if cfg.with_normalize:
         df = normalizer.with_normalization(df, apply_repair=cfg.apply_repair)
         if cfg.apply_repair:
             df = df.withColumn("extracted_text", F.col("norm.normalized_text"))
-        if cfg.language_filter:
-            df = normalizer.filter_languages(df, allowed=cfg.language_filter)
+    df = profiler.with_profile(df)
+    df = strategy_op.with_strategy(df)
+    df = chunker.with_chunks(
+        df,
+        strategy_col=F.col("strategy"),
+        max_tokens_col=F.col("strategy_max_tokens"),
+        overlap_col=F.col("strategy_overlap"),
+        do_preprocess=cfg.preprocess,
+        adaptive=True,
+    )
+    norm_cols = (
+        [
+            F.col("norm.language").alias("language"),
+            F.col("norm.quality_score").alias("quality_score"),
+            F.col("norm.needs_repair").alias("needs_repair"),
+            F.col("norm.repair_applied").alias("repair_applied"),
+        ]
+        if cfg.with_normalize
+        else [
+            F.lit(None).cast("string").alias("language"),
+            F.lit(1.0).alias("quality_score"),
+            F.lit(False).alias("needs_repair"),
+            F.lit(False).alias("repair_applied"),
+        ]
+    )
+    return df.select(
+        "conv_id", "turn_idx", "content_type", "extraction_engine",
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200).alias("text_head"),
+        *norm_cols,
+        F.length("extracted_text").cast("int").alias("extracted_chars"),
+        F.col("chunk_result.extraction_fixes").alias("extraction_fixes"),
+        F.col("chunk_result.page_numbers_removed").alias("page_numbers_removed"),
+        F.col("chunk_result.chunks").alias("chunks"),
+        F.lit(None).cast("string").alias("error"),
+        F.col("strategy_reason").alias("chunking_reason"),
+    )
+
+
+def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -> PipelineOutput:
+    cfg = config or PipelineConfig()
+    df = sniff.with_content_type(transcripts)
 
     if cfg.adaptive:
-        df = profiler.with_profile(df)
-        df = strategy_op.with_strategy(df)
-        df = chunker.with_chunks(
-            df,
-            strategy_col=F.col("strategy"),
-            max_tokens_col=F.col("strategy_max_tokens"),
-            overlap_col=F.col("strategy_overlap"),
-            do_preprocess=cfg.preprocess,
-            adaptive=True,
-        )
+        turns = _staged_adaptive(df, cfg)
     else:
-        df = chunker.with_chunks(
-            df,
-            strategy_col=F.lit(cfg.strategy),
-            max_tokens_col=F.lit(cfg.max_tokens),
-            overlap_col=F.lit(cfg.overlap),
+        turns = fused.process_turns(
+            df.select("conv_id", "turn_idx", "text", "content_type"),
+            strategy=cfg.strategy,
+            max_tokens=cfg.max_tokens,
+            overlap=cfg.overlap,
             do_preprocess=cfg.preprocess,
+            with_normalize=cfg.with_normalize,
+            apply_repair=cfg.apply_repair,
+            on_error=cfg.on_error,
         )
 
-    df = quality_gate.with_chunks_gate(
-        df,
+    if cfg.language_filter:
+        allowed = [x.lower() for x in cfg.language_filter]
+        turns = turns.filter(F.lower(F.col("language")).isin(allowed))
+
+    turns = quality_gate.with_chunks_gate(
+        turns,
+        chunks_col="chunks",
         min_readable_ratio=cfg.min_readable_ratio,
         chunk_min_ratio=cfg.chunk_min_ratio,
     )
-
-    status = (
-        F.when(F.trim(F.coalesce(F.col("text"), F.lit(""))) == "", F.lit("empty"))
+    turns = turns.withColumn(
+        "status",
+        F.when(F.col("error").isNotNull(),
+               F.lit("skipped" if cfg.on_error == "skip" else "failed_error"))
+        .when(F.col("content_type") == "empty", F.lit("empty"))
         .when(F.col("gate_passed"), F.lit("success"))
-        .otherwise(F.lit("failed_quality"))
+        .otherwise(F.lit("failed_quality")),
     )
-    df = df.withColumn("status", status)
 
-    metrics_cols = [
-        F.col("conv_id"),
-        F.col("turn_idx"),
-        F.col("content_type"),
-        F.col("extraction_engine"),
-        F.length(F.col("extracted_text")).cast("int").alias("total_chars"),
-        F.col("chunk_result.extraction_fixes").alias("extraction_fixes"),
-        F.col("chunk_result.page_numbers_removed").alias("page_numbers_removed"),
+    metrics = turns.select(
+        "conv_id", "turn_idx", "content_type", "extraction_engine",
+        F.col("extracted_chars").alias("total_chars"),
+        "extraction_fixes", "page_numbers_removed",
         F.col("total_chunks_gate").alias("total_chunks"),
-        F.col("readable_chunks"),
-        F.col("readable_ratio"),
-        F.col("status"),
-    ]
-    if cfg.with_normalize:
-        metrics_cols.extend(
-            [
-                F.col("norm.language").alias("language"),
-                F.col("norm.quality_score").alias("quality_score"),
-                F.col("norm.needs_repair").alias("needs_repair"),
-                F.col("norm.repair_applied").alias("repair_applied"),
-            ]
-        )
-    metrics = df.select(*metrics_cols)
-
-    passing = df.filter(F.col("status") == "success")
-    quarantine = df.filter(F.col("status") != "success").select(
-        "conv_id", "turn_idx", "content_type", "status",
-        F.col("readable_ratio").alias("readable_ratio"),
-        F.substring(F.col("text"), 1, 200).alias("text_head"),
+        "readable_chunks", "readable_ratio", "status", "error",
+        "language", "quality_score", "needs_repair", "repair_applied",
     )
 
-    strategy_meta = (
-        [F.col("strategy_reason").alias("chunking_reason")] if cfg.adaptive else []
+    quarantine = turns.filter(F.col("status") != "success").select(
+        "conv_id", "turn_idx", "content_type", "status", "readable_ratio",
+        "error", "text_head",
     )
-    chunks = chunker.explode_chunks(
-        passing.select(
-            "conv_id", "turn_idx", "content_type", "extraction_engine",
-            "chunk_result", *strategy_meta,
-        )
+
+    passing = turns.filter(F.col("status") == "success")
+    meta = ["chunking_reason"] if cfg.adaptive else []
+    chunks = passing.select(
+        "conv_id", "turn_idx", "content_type", "extraction_engine",
+        "extraction_fixes", "page_numbers_removed", *meta,
+        F.explode("chunks").alias("chunk"),
+    ).select(
+        "conv_id", "turn_idx", "content_type", "extraction_engine",
+        "extraction_fixes", "page_numbers_removed", *meta, "chunk.*",
     )
     return PipelineOutput(chunks=chunks, metrics=metrics, quarantine=quarantine)

@@ -100,8 +100,10 @@ def run_with_lineage(
         .agg(
             F.count("*").alias("total_turns"),
             F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("success"),
-            F.sum(F.when(F.col("status") == "failed_quality", 1).otherwise(0)).alias("failed"),
-            F.sum(F.when(F.col("status") == "empty", 1).otherwise(0)).alias("skipped"),
+            F.sum(F.when(F.col("status").isin("failed_quality", "failed_error"), 1)
+                  .otherwise(0)).alias("failed"),
+            F.sum(F.when(F.col("status").isin("empty", "skipped"), 1)
+                  .otherwise(0)).alias("skipped"),
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn("ts", F.current_timestamp())

@@ -1,0 +1,96 @@
+"""Structured Streaming variant of the extract+chunk pipeline.
+
+The reference is strictly batch (sequential per-file loop, SURVEY.md §2.10);
+this module is the engine's forward-looking streaming tier: the same
+per-turn operators (sniff → extract → chunk → gate) are row-local, so they
+lift unchanged onto a streaming DataFrame. Adds:
+
+* ``streaming_pipeline``  — readStream(parquet dir) → transform → chunks
+  stream (append mode, checkpointed; resume = restart with the same
+  checkpoint dir, Spark's offset log replaces the batch lineage anti-join).
+* ``windowed_chunk_counts`` — event-time tumbling-window aggregation with a
+  watermark for late turns: chunks/minute per content type, the streaming
+  analogue of the batch run counters (status.py:47-112).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ragstudio_spark.operators import fused, quality_gate, sniff
+from ragstudio_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def transform_stream(stream_df: DataFrame, max_tokens: int = 400,
+                     overlap: int = 50) -> DataFrame:
+    """Apply the per-turn pipeline to a (possibly streaming) DataFrame;
+    returns the exploded chunks frame. Stateless row-local ops only — no
+    watermark needed. Uses the fused single-Python-hop operator."""
+    df = sniff.with_content_type(stream_df)
+    turns = fused.process_turns(
+        df.select("conv_id", "turn_idx", "text", "content_type", "ts"),
+        max_tokens=max_tokens,
+        overlap=overlap,
+        carry_ts=True,
+    )
+    turns = quality_gate.with_chunks_gate(turns, chunks_col="chunks")
+    passing = turns.filter(
+        F.col("gate_passed") & (F.col("content_type") != "empty")
+    )
+    return passing.select(
+        "conv_id", "turn_idx", "ts", "content_type", "extraction_engine",
+        F.explode("chunks").alias("chunk"),
+    ).select(
+        "conv_id", "turn_idx", "ts", "content_type", "extraction_engine",
+        "chunk.*",
+    )
+
+
+def streaming_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """File-source streaming job: new parquet files of transcript turns are
+    picked up incrementally; exactly-once via the checkpointed offset log +
+    idempotent parquet sink."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    chunks = transform_stream(stream)
+    writer = (
+        chunks.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_chunk_counts(
+    stream_df: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data watermark: chunk
+    throughput per content type per window."""
+    chunks = transform_stream(stream_df)
+    return (
+        chunks.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("content_type"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.approx_count_distinct("conv_id").alias("n_convs"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "content_type", "n_chunks", "n_convs",
+        )
+    )

@@ -1,0 +1,83 @@
+"""spark-submit entry point for the extract+chunk pipeline.
+
+Cluster usage (the north-rule deployment shape):
+
+    python scripts/package.py          # builds dist/ragstudio_spark.zip
+    spark-submit \
+        --py-files dist/ragstudio_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        scripts/run_job.py \
+        --input  <parquet dir | table> \
+        --output <root dir for runs/> \
+        --run-id run_2024_001 \
+        [--adaptive] [--resume/--no-resume] [--langs fr,en]
+
+Local smoke:
+
+    python scripts/run_job.py --synthetic 5000 --output /tmp/rsout --run-id t1
+
+On a cluster the session comes from spark-submit (no master override); the
+job is a pure function of its inputs, so retry/rerun with the same --output
+resumes from the last committed snapshot (lineage anti-join).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", help="parquet directory of transcript turns")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic turns instead of --input")
+    p.add_argument("--output", required=True, help="output root (runs/ inside)")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--adaptive", action="store_true")
+    p.add_argument("--strategy", default="recursive")
+    p.add_argument("--max-tokens", type=int, default=400)
+    p.add_argument("--overlap", type=int, default=50)
+    p.add_argument("--langs", default="", help="comma list → language filter")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--min-readable-ratio", type=float, default=0.9)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ragstudio_spark.pipeline.job import PipelineConfig
+    from ragstudio_spark.pipeline.lineage import run_with_lineage
+    from ragstudio_spark.sources import transcripts as tsrc
+
+    spark = SparkSession.builder.appName("ragstudio-extract-chunk").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic:
+        df = tsrc.transcripts_df(spark, args.synthetic)
+    elif args.input:
+        df = spark.read.parquet(args.input)
+    else:
+        p.error("one of --input / --synthetic is required")
+
+    cfg = PipelineConfig(
+        strategy=args.strategy,
+        max_tokens=args.max_tokens,
+        overlap=args.overlap,
+        adaptive=args.adaptive,
+        language_filter=tuple(x for x in args.langs.split(",") if x) or None,
+        min_readable_ratio=args.min_readable_ratio,
+    )
+    summary = run_with_lineage(
+        spark, df, args.output, args.run_id, cfg, resume=not args.no_resume
+    )
+    print(json.dumps(summary))
+    # reference exits 1 when files failed (batch.py:629-630)
+    sys.exit(0 if summary["failed"] == 0 else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Scaling-efficiency evidence for the north rule (N → 4N parallelism).
+
+No real multi-executor cluster exists in this sandbox, so the same
+extract+chunk job runs over the *same* materialized parquet input at two
+local parallelism levels in separate JVMs, per the sandbox protocol for the
+north rule's two-cluster-size criterion:
+
+    efficiency = (t_N / t_4N) / 4          (1.0 = perfectly linear)
+
+Measured pairs: 4→16 and 8→32. The machine has 32 physical cores; a pure-
+Python md5 baseline (no Spark) tops out at ~0.77 efficiency for 8→32
+because the 32-way run competes with the driver + OS, vs ~0.90 for 4→16 —
+so 4→16 is the pair that actually measures the ENGINE's scaling rather
+than the sandbox's core budget. Both are reported, with the baseline, in
+BENCH_SCALING.md.
+
+Protocol per level: one un-measured full-input warm-up (JIT + the whole
+Python-worker fleet — a limit(500) warm-up only forks 1-2 workers and the
+first measured run then pays ~30 s of fleet startup at local[32]), then two
+measured runs, min taken.
+
+Run:  python scripts/scale_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_TURNS = int(os.environ.get("SCALE_BENCH_TURNS", "100000"))
+PARTITIONS = 128  # fixed so all levels schedule identical task graphs
+PAIRS = ((4, 16), (8, 32))
+
+
+def child(cpus: int, input_dir: str) -> None:
+    from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+    from ragstudio_spark.session import get_spark
+
+    # The materialized toy input is ~25 MB in 128 files; default split
+    # packing (128 MB + 4 MB open cost) would collapse it to ~6 scan
+    # partitions and cap parallelism at ~6 tasks regardless of cores. Size
+    # splits to the data so the scan yields ≥128 partitions — at production
+    # scale (128 MB–1 GB files) the defaults already do this.
+    spark = get_spark(f"scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus,
+                      extra_conf={
+                          "spark.sql.files.maxPartitionBytes": str(256 * 1024),
+                          "spark.sql.files.openCostInBytes": "0",
+                      })
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run() -> tuple[float, int]:
+        t0 = time.time()
+        n = run_pipeline(spark.read.parquet(input_dir), PipelineConfig()).chunks.count()
+        return time.time() - t0, n
+
+    run()  # warm-up at full parallelism (whole worker fleet + JIT)
+    times = []
+    n_chunks = 0
+    for _ in range(2):
+        dt, n_chunks = run()
+        times.append(dt)
+    best = min(times)
+    print(json.dumps({
+        "cpus": cpus, "n_turns": N_TURNS, "n_chunks": n_chunks,
+        "seconds": round(best, 3), "all_runs": [round(t, 3) for t in times],
+        "turns_per_sec": round(N_TURNS / best, 1),
+    }))
+    spark.stop()
+
+
+def materialize_input(path: str) -> None:
+    from ragstudio_spark.session import get_spark
+    from ragstudio_spark.sources import transcripts as tsrc
+
+    spark = get_spark("scale-gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    tsrc.transcripts_df(spark, N_TURNS, partitions=PARTITIONS).write.mode(
+        "overwrite").parquet(path)
+    spark.stop()
+
+
+def _md5_work(_):
+    import hashlib
+
+    h = b"x"
+    for _i in range(200000):
+        h = hashlib.md5(h).digest()
+    return 1
+
+
+def _py_baseline() -> dict:
+    """Machine ceiling: pure-Python md5 work, no Spark."""
+    work = _md5_work
+    out = {}
+    for n in sorted({c for pair in PAIRS for c in pair}):
+        with multiprocessing.Pool(n) as pool:
+            pool.map(work, range(n))
+            t0 = time.time()
+            pool.map(work, range(128))
+            out[n] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        i = sys.argv.index("--child")
+        child(int(sys.argv[i + 1]), sys.argv[i + 2])
+        return
+
+    import tempfile
+    input_dir = os.path.join(tempfile.mkdtemp(prefix="scale_bench_"), "transcripts")
+    materialize_input(input_dir)
+    baseline = _py_baseline()
+
+    results = {}
+    for cpus in sorted({c for pair in PAIRS for c in pair}):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
+             input_dir],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(line)
+
+    rows = []
+    for n, n4 in PAIRS:
+        eff = (results[n]["seconds"] / results[n4]["seconds"]) / (n4 / n)
+        base_eff = (baseline[n] / baseline[n4]) / (n4 / n)
+        rows.append({
+            "pair": f"{n}->{n4}",
+            "speedup": round(results[n]["seconds"] / results[n4]["seconds"], 3),
+            "efficiency": round(eff, 3),
+            "machine_ceiling": round(base_eff, 3),
+        })
+        print(json.dumps(rows[-1]))
+
+    lines = [
+        "# BENCH_SCALING — N → 4N parallelism evidence",
+        "",
+        f"Same end-to-end extract+chunk job (materialized synthetic transcript",
+        f"table, {N_TURNS} turns, {PARTITIONS} input files) run in separate JVMs",
+        "at two parallelism levels, per the sandbox protocol for the north",
+        "rule's two-cluster-size criterion. Per level: one full-parallelism",
+        "warm-up run, then min of 2 measured runs.",
+        "",
+        "| parallelism | wall seconds | turns/sec | runs |",
+        "| --- | --- | --- | --- |",
+    ]
+    for cpus in sorted(results):
+        r = results[cpus]
+        lines.append(
+            f"| local[{cpus}] | {r['seconds']} | {r['turns_per_sec']} | {r['all_runs']} |"
+        )
+    lines += [
+        "",
+        "| pair | speedup (ideal 4×) | scaling efficiency | machine ceiling* |",
+        "| --- | --- | --- | --- |",
+    ]
+    for row in rows:
+        flag = "**PASS**" if row["efficiency"] >= 0.8 else "FAIL"
+        lines.append(
+            f"| {row['pair']} | {row['speedup']}× | {row['efficiency']} ({flag} vs ≥0.8) | {row['machine_ceiling']} |"
+        )
+    lines += [
+        "",
+        "\\* machine ceiling = the same N→4N efficiency for a pure-Python",
+        "multiprocessing md5 workload with no Spark involved — the sandbox's",
+        "32 shared cores cannot exceed this regardless of engine design,",
+        "because the 4N run competes with the driver JVM and OS. The 4→16",
+        "pair runs inside the machine's uncontended region and is the",
+        "engine-scaling measurement; 8→32 is bounded by the ceiling.",
+        "",
+        "Why the engine scales: the hot path is one narrow stage (scan →",
+        "column exprs → a single fused Arrow-batched mapInPandas → explode)",
+        "with no shuffle, no driver collection, no shared state; chunk",
+        "indexes derive from in-string positions so no ordering coordination",
+        "exists. 128 input splits ≫ cores at every level. One Python worker",
+        "per task (the fused operator replaced 4 chained pandas UDFs whose",
+        "per-task worker pipelines oversubscribed cores 4×).",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote BENCH_SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
