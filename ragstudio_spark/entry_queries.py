@@ -630,6 +630,105 @@ FROM (SELECT doc_id, text, unnest(range(0, CAST(length(text) AS BIGINT), 160)) A
 _def("window_chunks_sql", _q(_window_chunks_sql("spark"), _window_chunks_sql("duckdb"), ("documents",)))
 
 
+# -- 23. BM25 scoring + reciprocal-rank fusion with vector search (the
+#        hybrid-retrieval tier, reference src/core/rag/hybrid_search.py:
+#        37-130: BM25 k1=1.5 b=0.75, weights 0.5/0.5). Ranks only — the
+#        fusion score is computed from integer ranks (RRF k=60), so doubles
+#        are bit-identical across engines.
+_BM25_TERMS = ("spark", "query", "fast", "table")
+
+
+def _bm25_hybrid_sql(engine: str) -> str:
+    words = _words_expr("text", engine)
+    if engine == "spark":
+        def tf(t):
+            return f"size(regexp_extract_all(lower(text), '\\\\b{t}\\\\b', 0))"
+        dl = f"size({words})"
+    else:
+        def tf(t):
+            return f"len(regexp_extract_all(lower(text), '\\b{t}\\b'))"
+        dl = f"len({words})"
+    tf_cols = ", ".join(f"{tf(t)} AS tf_{t}" for t in _BM25_TERMS)
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS
+    )
+    # idf = ln((N - df + 0.5)/(df + 0.5) + 1); score contribution per term
+    score_terms = " + ".join(
+        f"(ln((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1) "
+        f"* d.tf_{t} * 2.5 / (d.tf_{t} + 1.5 * (0.25 + 0.75 * d.dl / s.avgdl)))"
+        for t in _BM25_TERMS
+    )
+    cos = _cosine(engine, "q.embedding", "e.embedding")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {tf_cols}, {dl} AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {df_cols}
+  FROM docs
+), bm25 AS (
+  SELECT d.doc_id,
+         row_number() OVER (ORDER BY ({score_terms}) DESC, d.doc_id ASC) AS bm25_rank
+  FROM docs d CROSS JOIN stats s
+), vec AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (ORDER BY ({cos}) DESC, e.vec_id ASC) AS vec_rank
+  FROM embeddings e JOIN embeddings q ON q.vec_id = 0 AND e.vec_id <> 0
+), fused AS (
+  SELECT b.doc_id,
+         0.5 / (60 + b.bm25_rank) + 0.5 / (60 + v.vec_rank) AS rrf
+  FROM bm25 b JOIN vec v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, rank FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused) t
+WHERE rank <= 10
+"""
+_def("hybrid_bm25_rrf", _q(_bm25_hybrid_sql("spark"), _bm25_hybrid_sql("duckdb"),
+                           ("documents", "embeddings")))
+
+# -- 24. random-hyperplane LSH bucketing over embeddings (sign-bit sketch;
+#        planes = vectors 8..15, deterministic). The scale path for
+#        embedding near-dup: candidates only within a bucket.
+def _hyperplane_sql(engine: str) -> str:
+    cos = _cosine(engine, "v.embedding", "p.embedding")
+    # sign bit of the raw dot product (denominator > 0 never flips sign,
+    # so cosine vs dot is equivalent for the bit)
+    return f"""
+WITH bits AS (
+  SELECT v.vec_id, p.vec_id - 8 AS plane,
+         CASE WHEN ({cos}) > 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings v JOIN embeddings p ON p.vec_id BETWEEN 8 AND 15
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(bit * CAST(pow(2, plane) AS BIGINT)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+)
+SELECT bucket, count(*) AS n_vectors
+FROM buckets GROUP BY bucket HAVING count(*) > 1
+"""
+_def("embedding_lsh_buckets", _q(_hyperplane_sql("spark"), _hyperplane_sql("duckdb"),
+                                 ("embeddings",)))
+
+# -- 25. chunk-table eval stats (eval.py:144-181 over the SQL window
+#        chunker's output — per-document chunk counts and span coverage)
+def _chunk_stats_sql(engine: str) -> str:
+    inner = _window_chunks_sql(engine)
+    return f"""
+WITH chunks AS ({inner})
+SELECT count(*) AS n_chunks,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(max(chunk_index) + 1 AS BIGINT) AS max_chunks_per_doc,
+       CAST(sum(char_end - char_start) AS BIGINT) AS covered_chars,
+       CAST(min(char_end - char_start) AS BIGINT) AS min_chunk_len,
+       CAST(max(char_end - char_start) AS BIGINT) AS max_chunk_len
+FROM chunks
+"""
+_def("chunk_eval_stats", _q(_chunk_stats_sql("spark"), _chunk_stats_sql("duckdb"),
+                            ("documents",)))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -23,7 +23,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ragstudio_spark.kernel import chunk as kchunk
-from ragstudio_spark.kernel import html_extract, langid, textops
+from ragstudio_spark.kernel import html_extract, langid
+from ragstudio_spark.kernel import profile as kprofile
+from ragstudio_spark.kernel import textops
 from ragstudio_spark.operators.chunker import CHUNK_STRUCT
 
 _CHUNK_FIELDS = [f.name for f in CHUNK_STRUCT.fields]
@@ -34,6 +36,7 @@ FUSED_SCHEMA = (
     "language string, quality_score double, needs_repair boolean, "
     "repair_applied boolean, extracted_chars int, "
     "extraction_fixes int, page_numbers_removed int, error string, "
+    "chunking_reason string, "
     "chunks array<struct<"
     "chunk_index:int,chunk_id:string,text:string,char_start:int,char_end:int,"
     "char_length:int,token_count:int,sentence_count:int,total_chunks:int,"
@@ -65,6 +68,7 @@ def process_turns(
     apply_repair: bool = False,
     carry_ts: bool = False,
     on_error: str = "quarantine",
+    adaptive: bool = False,
 ) -> DataFrame:
     """df must carry conv_id, turn_idx, text, content_type (+ ts when
     carry_ts, for event-time streaming). Returns the fused per-turn result
@@ -101,16 +105,30 @@ def process_turns(
                     extracted = cleaned
                 language = langid.detect_language(cleaned)
 
+        reason = None
+        turn_strategy, turn_max_tokens, turn_overlap = strategy, max_tokens, overlap
+        if adaptive:
+            # profile-driven strategy selection (same formulas as the JVM
+            # column-expression operators — kernel.profile is the tested
+            # ground truth for both)
+            prof = kprofile.analyze_text(extracted, language=language)
+            sel = kprofile.select_chunking_strategy(prof)
+            turn_strategy = sel["strategy"]
+            turn_max_tokens = sel["max_tokens"]
+            turn_overlap = sel["overlap"]
+            reason = sel["reason"]
+
         chunks, stats = kchunk.chunk_turn(
             extracted,
             source=f"{conv_id}:{turn_idx}",
-            requested_strategy=strategy,
-            max_tokens=max_tokens,
-            overlap=overlap,
+            requested_strategy=turn_strategy,
+            max_tokens=turn_max_tokens,
+            overlap=turn_overlap,
             do_preprocess=do_preprocess,
+            adaptive=adaptive,
         )
         return (language, quality_score, needs_repair, repaired,
-                len(extracted), stats, chunks)
+                len(extracted), stats, chunks, reason)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -118,14 +136,14 @@ def process_turns(
                 "conv_id", "turn_idx", "content_type", "extraction_engine",
                 "text_head", "language", "quality_score", "needs_repair",
                 "repair_applied", "extracted_chars", "extraction_fixes",
-                "page_numbers_removed", "error", "chunks")}
+                "page_numbers_removed", "error", "chunking_reason", "chunks")}
             for conv_id, turn_idx, text, ctype in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["content_type"]
             ):
                 error = None
                 try:
                     (language, quality_score, needs_repair, repaired,
-                     n_extracted, stats, chunks) = process_one(
+                     n_extracted, stats, chunks, reason) = process_one(
                         conv_id, turn_idx, text, ctype)
                 except Exception as exc:  # noqa: BLE001 — row-level fault barrier
                     if on_error == "fail_fast":
@@ -134,7 +152,7 @@ def process_turns(
                     language, quality_score = None, 0.0
                     needs_repair, repaired, n_extracted = False, False, 0
                     stats = {"extraction_fixes": 0, "page_numbers_removed": 0}
-                    chunks = []
+                    chunks, reason = [], None
                 out["conv_id"].append(conv_id)
                 out["turn_idx"].append(turn_idx)
                 out["content_type"].append(ctype)
@@ -148,6 +166,7 @@ def process_turns(
                 out["extraction_fixes"].append(stats["extraction_fixes"])
                 out["page_numbers_removed"].append(stats["page_numbers_removed"])
                 out["error"].append(error)
+                out["chunking_reason"].append(reason)
                 out["chunks"].append(
                     [tuple(c[k] for k in _CHUNK_FIELDS) for c in chunks]
                 )

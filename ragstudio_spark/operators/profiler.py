@@ -81,8 +81,16 @@ def hierarchy_depth(text: Column) -> Column:
 
 
 def avg_sentence_length(text: Column) -> Column:
+    # NB: Spark's trim() strips ASCII spaces only; Python str.strip() strips
+    # all whitespace — use a regex strip to match the kernel exactly.
     sentences = F.filter(
-        F.transform(F.split(text, r"[.!?]+"), lambda s: F.trim(s)),
+        F.transform(
+            F.split(text, r"[.!?]+"),
+            lambda s: F.regexp_replace(
+                F.regexp_replace(s, F.lit(r"^\s+"), F.lit("")),
+                F.lit(r"\s+$"), F.lit(""),
+            ),
+        ),
         lambda s: s != "",
     )
     total = F.aggregate(

@@ -10,9 +10,10 @@ IngestionPipelineWithMetadata.ingest_document):
       → quality gate on the chunk array    (JVM exprs, zero shuffle)
       → split: chunks (exploded) / quarantine / per-turn metrics
 
-Adaptive mode (profile-driven strategy selection) uses the staged form —
-extract UDF → JVM profile/when() ladder → chunk UDF — because the strategy
-decision consumes the *extracted* text via JVM column expressions.
+Adaptive mode (profile-driven strategy selection) runs inside the same
+fused hop using the kernel profiler/selector (identical formulas to the
+JVM column-expression operators in operators/profiler.py + strategy.py,
+which serve the SQL/oracle tier — parity-tested against the kernel).
 
 The hot path is a single narrow stage: no joins, no aggregations, no
 shuffles — each turn is independent, so the plan scales linearly with
@@ -26,10 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from ragstudio_spark.operators import (
-    chunker, extract, fused, normalizer, profiler, quality_gate, sniff,
-)
-from ragstudio_spark.operators import strategy as strategy_op
+from ragstudio_spark.operators import fused, quality_gate, sniff
 
 
 @dataclass
@@ -57,69 +55,21 @@ class PipelineOutput:
 TURN_KEY = ("conv_id", "turn_idx")
 
 
-def _staged_adaptive(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Adaptive path: extract UDF → JVM profile + strategy ladder → chunk
-    UDF. Returns the unified per-turn frame."""
-    df = extract.with_extracted_text(df)
-    if cfg.with_normalize:
-        df = normalizer.with_normalization(df, apply_repair=cfg.apply_repair)
-        if cfg.apply_repair:
-            df = df.withColumn("extracted_text", F.col("norm.normalized_text"))
-    df = profiler.with_profile(df)
-    df = strategy_op.with_strategy(df)
-    df = chunker.with_chunks(
-        df,
-        strategy_col=F.col("strategy"),
-        max_tokens_col=F.col("strategy_max_tokens"),
-        overlap_col=F.col("strategy_overlap"),
-        do_preprocess=cfg.preprocess,
-        adaptive=True,
-    )
-    norm_cols = (
-        [
-            F.col("norm.language").alias("language"),
-            F.col("norm.quality_score").alias("quality_score"),
-            F.col("norm.needs_repair").alias("needs_repair"),
-            F.col("norm.repair_applied").alias("repair_applied"),
-        ]
-        if cfg.with_normalize
-        else [
-            F.lit(None).cast("string").alias("language"),
-            F.lit(1.0).alias("quality_score"),
-            F.lit(False).alias("needs_repair"),
-            F.lit(False).alias("repair_applied"),
-        ]
-    )
-    return df.select(
-        "conv_id", "turn_idx", "content_type", "extraction_engine",
-        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200).alias("text_head"),
-        *norm_cols,
-        F.length("extracted_text").cast("int").alias("extracted_chars"),
-        F.col("chunk_result.extraction_fixes").alias("extraction_fixes"),
-        F.col("chunk_result.page_numbers_removed").alias("page_numbers_removed"),
-        F.col("chunk_result.chunks").alias("chunks"),
-        F.lit(None).cast("string").alias("error"),
-        F.col("strategy_reason").alias("chunking_reason"),
-    )
-
-
 def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -> PipelineOutput:
     cfg = config or PipelineConfig()
     df = sniff.with_content_type(transcripts)
 
-    if cfg.adaptive:
-        turns = _staged_adaptive(df, cfg)
-    else:
-        turns = fused.process_turns(
-            df.select("conv_id", "turn_idx", "text", "content_type"),
-            strategy=cfg.strategy,
-            max_tokens=cfg.max_tokens,
-            overlap=cfg.overlap,
-            do_preprocess=cfg.preprocess,
-            with_normalize=cfg.with_normalize,
-            apply_repair=cfg.apply_repair,
-            on_error=cfg.on_error,
-        )
+    turns = fused.process_turns(
+        df.select("conv_id", "turn_idx", "text", "content_type"),
+        strategy=cfg.strategy,
+        max_tokens=cfg.max_tokens,
+        overlap=cfg.overlap,
+        do_preprocess=cfg.preprocess,
+        with_normalize=cfg.with_normalize,
+        apply_repair=cfg.apply_repair,
+        on_error=cfg.on_error,
+        adaptive=cfg.adaptive,
+    )
 
     if cfg.language_filter:
         allowed = [x.lower() for x in cfg.language_filter]
