@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate synthesizes size(expr)>0 below explode()
+        # and pushdown then inlines the generator's (interpreted, higher-
+        # order) expression several times per row — measured 6× slowdown on
+        # shingle explosion. The inferred filter is a minor skip-empty
+        # heuristic; dropping it is strictly cheaper for lambda-built arrays.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
