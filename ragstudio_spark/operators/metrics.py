@@ -1,0 +1,86 @@
+"""Chunk-table evaluation metrics + quality report aggregations.
+
+DataFrame ports of the reference's evaluation tier:
+
+* ``eval_metrics``        — src/core/cli/commands/eval.py:144-181: count,
+  mean/min/max/variance/σ of chunk sizes, ``consistency = 1 − min(σ/mean,
+  1)``, histogram buckets (<100 / 100–500 / ≥500 / empty).
+* ``validate_chunks_report`` — langchain_chunker.py:289-321 as table-scale
+  aggregations: short-chunk counts, mid-word endings, exact duplicates.
+* ``strategy_usage``      — chunking_logger.py:79-121: counts per strategy.
+* ``run_counters``        — batch.py:554-588 / status.py:47-112: status
+  pivot with success rate.
+
+All plain groupBy/agg — shuffles on low-cardinality keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def eval_metrics(chunks: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row chunk-size statistics frame."""
+    size = F.length(F.col(text_col))
+    agg = chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.avg(size).alias("mean_size"),
+        F.min(size).alias("min_size"),
+        F.max(size).alias("max_size"),
+        F.var_samp(size).alias("var_size"),
+        F.stddev_samp(size).alias("std_size"),
+        F.sum(F.when(size == 0, 1).otherwise(0)).alias("empty"),
+        F.sum(F.when((size > 0) & (size < 100), 1).otherwise(0)).alias("lt_100"),
+        F.sum(F.when((size >= 100) & (size < 500), 1).otherwise(0)).alias("b_100_500"),
+        F.sum(F.when(size >= 500, 1).otherwise(0)).alias("ge_500"),
+    )
+    return agg.withColumn(
+        "consistency",
+        F.when(
+            F.col("mean_size") > 0,
+            F.lit(1.0) - F.least(F.col("std_size") / F.col("mean_size"), F.lit(1.0)),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def validate_chunks_report(chunks: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-turn quality report: short chunks (<50 chars), mid-word endings,
+    duplicate chunk texts within the turn."""
+    text = F.col(text_col)
+    per_turn = chunks.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.length(text) < 50, 1).otherwise(0)).alias("short_chunks"),
+        F.sum(
+            F.when(F.substring(text, -1, 1).rlike("[A-Za-zÀ-ÿ]"), 1).otherwise(0)
+        ).alias("midword_endings"),
+        (F.count("*") - F.countDistinct(F.md5(text))).alias("duplicate_chunks"),
+    )
+    return per_turn.withColumn(
+        "has_issues",
+        (F.col("short_chunks") > 0)
+        | (F.col("duplicate_chunks") > 0),
+    )
+
+
+def strategy_usage(chunks: DataFrame) -> DataFrame:
+    """Counts per executed/requested strategy (chunking-decision log stats)."""
+    return chunks.groupBy("chunking_strategy", "requested_strategy").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("conv_id", "turn_idx").alias("n_turns"),
+    )
+
+
+def run_counters(metrics: DataFrame) -> DataFrame:
+    """One-row status pivot with success rate (PipelineStats analogue)."""
+    agg = metrics.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("success"),
+        F.sum(F.when(F.col("status").isin("failed_quality", "failed_error"), 1)
+              .otherwise(0)).alias("failed"),
+        F.sum(F.when(F.col("status").isin("empty", "skipped"), 1).otherwise(0))
+        .alias("skipped"),
+    )
+    return agg.withColumn(
+        "success_rate",
+        F.when(F.col("total") > 0, F.col("success") / F.col("total")).otherwise(0.0),
+    )

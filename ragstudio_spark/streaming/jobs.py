@@ -73,6 +73,54 @@ def streaming_pipeline(
     return writer.start()
 
 
+CONV_STATE_SCHEMA = "n_turns bigint, n_chars bigint, last_ts timestamp"
+CONV_OUT_SCHEMA = (
+    "conv_id string, n_turns bigint, n_chars bigint, last_ts timestamp"
+)
+
+
+def conversation_state_aggregator(stream_df, timeout: str = "NoTimeout"):
+    """Custom stateful operator: running per-conversation totals across
+    micro-batches via ``applyInPandasWithState`` — the streaming analogue of
+    per-conversation accounting. State (turn/char counters, last event
+    time) persists in the checkpointed state store, so a restarted query
+    resumes exact totals — the stateful-tier counterpart of the batch
+    lineage resume."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n_turns, n_chars = 0, 0
+        last_ts = None
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].fillna("").str.len().sum())
+            batch_max = pdf["ts"].max()
+            if last_ts is None or (batch_max is not None and batch_max > last_ts):
+                last_ts = batch_max
+        if state.exists:
+            (prev_turns, prev_chars, prev_ts) = state.get
+            n_turns += prev_turns
+            n_chars += prev_chars
+            if last_ts is None or (prev_ts is not None and prev_ts > last_ts):
+                last_ts = prev_ts
+        state.update((n_turns, n_chars, last_ts))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n_turns], "n_chars": [n_chars],
+             "last_ts": [last_ts]}
+        )
+
+    return (
+        stream_df.groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CONV_OUT_SCHEMA,
+            stateStructType=CONV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
 def windowed_chunk_counts(
     stream_df: DataFrame,
     window: str = "1 minute",

@@ -1,0 +1,92 @@
+"""Chunk-eval metrics operators + stateful streaming aggregator."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ragstudio_spark.operators import metrics as metrics_op
+from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+from ragstudio_spark.sources import transcripts as tsrc
+from ragstudio_spark.streaming import jobs as stream_jobs
+
+
+@pytest.fixture(scope="module")
+def out(spark):
+    res = run_pipeline(
+        tsrc.transcripts_df(spark, 200, seed=71, partitions=4), PipelineConfig()
+    )
+    return {"chunks": res.chunks.cache(), "metrics": res.metrics.cache()}
+
+
+class TestEvalMetrics:
+    def test_eval_metrics_consistency(self, out):
+        row = metrics_op.eval_metrics(out["chunks"]).collect()[0]
+        assert row["n_chunks"] > 0
+        assert row["min_size"] <= row["mean_size"] <= row["max_size"]
+        assert 0.0 <= row["consistency"] <= 1.0
+        assert (row["empty"] + row["lt_100"] + row["b_100_500"] + row["ge_500"]
+                == row["n_chunks"])
+
+    def test_validate_report(self, out):
+        rep = metrics_op.validate_chunks_report(out["chunks"]).toPandas()
+        assert (rep["n_chunks"] > 0).all()
+        assert (rep["duplicate_chunks"] >= 0).all()
+
+    def test_strategy_usage(self, out):
+        usage = metrics_op.strategy_usage(out["chunks"]).toPandas()
+        assert usage["n_chunks"].sum() == out["chunks"].count()
+
+    def test_run_counters(self, out):
+        row = metrics_op.run_counters(out["metrics"]).collect()[0]
+        assert row["total"] == 200
+        assert row["success"] + row["failed"] + row["skipped"] == 200
+        assert 0 < row["success_rate"] <= 1.0
+
+
+class TestStatefulStreaming:
+    def test_state_persists_across_restarts(self, spark, tmp_path):
+        inp = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        outp = str(tmp_path / "out")
+        from ragstudio_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+        full = tsrc.transcripts_df(spark, 120, seed=73, partitions=2).cache()
+        batch1 = full.filter("turn_idx % 2 = 0")
+        batch2 = full.filter("turn_idx % 2 = 1")
+        batch1.write.parquet(inp)
+
+        def run_once():
+            stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(inp)
+            agg = stream_jobs.conversation_state_aggregator(stream)
+
+            def sink(batch_df, batch_id):
+                batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append").parquet(outp)
+
+            q = (agg.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("update").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run_once()
+        batch2.write.mode("append").parquet(inp)
+        run_once()
+        got = (
+            spark.read.parquet(outp)
+            .groupBy("conv_id")
+            .agg(F.max("n_turns").alias("n_turns"), F.max("n_chars").alias("n_chars"))
+            .toPandas().set_index("conv_id")
+        )
+
+        expected = (
+            full.groupBy("conv_id")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("n_chars"))
+            .toPandas().set_index("conv_id")
+        )
+        # every conversation updated in run 2 must show CUMULATIVE totals
+        # (state restored from the checkpoint, not restarted from zero)
+        for conv_id, row in got.iterrows():
+            assert row["n_turns"] == expected.loc[conv_id, "n_turns"]
+            assert row["n_chars"] == expected.loc[conv_id, "n_chars"]
+        full.unpersist()
