@@ -729,6 +729,129 @@ _def("chunk_eval_stats", _q(_chunk_stats_sql("spark"), _chunk_stats_sql("duckdb"
                             ("documents",)))
 
 
+# -- 26. routing-analyzer distribution (§2.6: scientific detector, OCR
+#        quality categories, complexity strategy ladder). The Spark side
+#        runs the production operator (operators/routing.py); the oracle
+#        re-derives the same formulas in DuckDB SQL. Corpus decorated to
+#        hit every branch (math symbols, garbage, tables, accents).
+_GARBLE = "aJANe0 B,) x9TR4qz UONeIOeNEJ zzz qqq JSWXK bcdfgk ppqqrr wxyzkq "
+_MATHY = "∫ x² dx = π ∑ α β γ ∂ ∇ théorème équation matrice intégrale "
+_ROUTING_DECORATE = f"""
+SELECT doc_id, CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN text
+  WHEN 1 THEN '{_MATHY}' || text
+  WHEN 2 THEN '{_GARBLE}'
+  WHEN 3 THEN text || ' | a | b |' || chr(9) || '| c | d | e | f | g | h | i |'
+  WHEN 4 THEN '{_GARBLE}' || 'des mots normaux ici avec une phrase valide et claire pour le test'
+  ELSE 'résumé équation dérivée à â é è ï ô ù ç œ ' || repeat('{_GARBLE}' || 'à é ' || chr(10) || 'ab' || chr(10) || 'cd' || chr(10), 8) || text END AS text
+FROM documents
+"""
+# synthetic structural indicators (a transcript payload carries none; the
+# query feeds deterministic values to exercise every engine branch)
+# moduli coprime with the %6 decoration classes so every (class, indicator)
+# combination occurs — e.g. nougat needs the mathy class plus image>0.6 and
+# coverage<0.8 simultaneously
+_ROUTING_INDICATORS = {
+    "image_text_ratio": "CAST(doc_id % 5 AS DOUBLE) * 0.2",
+    "ocr_coverage": "0.5 + CAST(doc_id % 7 AS DOUBLE) * 0.1",
+    "file_size_mb": "CAST(doc_id % 4 AS DOUBLE) * 2.0",
+}
+
+
+def _routing_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import routing as routing_op
+
+    _register(spark, sf_dir, "documents")
+    dec = spark.sql(_ROUTING_DECORATE.replace("chr(9)", "'\\t'").replace(
+        "chr(10)", "'\\n'"))
+    routed = routing_op.with_routing(
+        dec,
+        text_col="text",
+        image_text_ratio=F.expr(_ROUTING_INDICATORS["image_text_ratio"]),
+        ocr_coverage=F.expr(_ROUTING_INDICATORS["ocr_coverage"]),
+        file_size_mb=F.expr(_ROUTING_INDICATORS["file_size_mb"]),
+    )
+    return routed.groupBy(
+        "quality_category", "scientific_engine", "complexity_strategy"
+    ).agg(F.count("*").alias("n"))
+
+
+def _routing_duck_sql() -> str:
+    from ragstudio_spark.operators.routing import (
+        EQUATION_PATTERNS, FRENCH_CHARS, MATH_SYMBOLS, SCIENTIFIC_KEYWORDS,
+    )
+
+    spec = sqlspec.readability_exprs("text", "duckdb", min_ratio=0.4)
+    vwr = spec["valid_word_ratio"]
+    sym = f"len(regexp_extract_all(text, '[{MATH_SYMBOLS}]'))"
+    eq = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in EQUATION_PATTERNS
+    ).replace("\\", "\\")
+    kw = " + ".join(
+        f"CASE WHEN lower(text) LIKE '%{k}%' THEN 1 ELSE 0 END"
+        for k in SCIENTIFIC_KEYWORDS
+    )
+    return f"""
+WITH dec AS ({_ROUTING_DECORATE}),
+m AS (
+  SELECT doc_id, text,
+         {vwr} AS vwr,
+         least((({sym}) * 0.1 + ({eq}) * 0.05 + ({kw}) * 0.02)
+               / greatest(length(text) / 1000.0, 1.0), 1.0) AS math_score
+  FROM dec
+),
+s AS (
+  SELECT doc_id, text, vwr,
+         least(math_score * 0.4
+               + CASE WHEN ({_ROUTING_INDICATORS['image_text_ratio']}) > 0.6 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN ({_ROUTING_INDICATORS['ocr_coverage']}) < 0.8 THEN 0.2 ELSE 0.0 END
+               + CASE WHEN ({_ROUTING_INDICATORS['file_size_mb']}) > 5.0 THEN 0.1 ELSE 0.0 END,
+               1.0) AS sci_score
+  FROM m
+),
+c AS (
+  SELECT doc_id, vwr, sci_score,
+         greatest(0.0, (100.0 - vwr * 100.0) / 100.0) AS confidence_factor,
+         CAST(len(list_filter(string_split(text, chr(10)), ln -> length(ln) < 20)) AS DOUBLE)
+           / greatest(len(string_split(text, chr(10))), 1) AS layout,
+         least((length(text) - length(regexp_replace(text, '[|\t]', '', 'g')))
+               / greatest(length(text) / 100.0, 1.0), 1.0) AS table_density,
+         least(1.0,
+               ((length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')))
+                / CAST(greatest(length(text), 1) AS DOUBLE)) * 2
+               + ((length(text) - length(regexp_replace(text, '[{FRENCH_CHARS}]', '', 'g')))
+                  / CAST(greatest(length(text), 1) AS DOUBLE)) * 3) AS multi,
+         least(1.0, length(text) / 40960.0) AS size_factor
+  FROM s
+),
+decisions AS (
+  SELECT
+    CASE WHEN vwr < 0.30 THEN 'LOW'
+         WHEN vwr >= 0.7 THEN 'HIGH'
+         WHEN vwr >= 0.4 THEN 'MEDIUM'
+         ELSE 'LOW' END AS quality_category,
+    CASE WHEN sci_score >= 0.15 AND sci_score > 0.7 THEN 'nougat'
+         WHEN sci_score >= 0.15 AND sci_score > 0.4 THEN 'qwen_vl'
+         ELSE 'classic_ocr' END AS scientific_engine,
+    CASE WHEN least(1.0, confidence_factor * 0.25 + layout * 0.20 + 0.0 * 0.15
+                    + table_density * 0.15 + multi * 0.10 + (1.0 - vwr) * 0.10
+                    + size_factor * 0.05) < 0.4 THEN 'classic_ocr'
+         WHEN least(1.0, confidence_factor * 0.25 + layout * 0.20 + 0.0 * 0.15
+                    + table_density * 0.15 + multi * 0.10 + (1.0 - vwr) * 0.10
+                    + size_factor * 0.05) < 0.7 THEN 'minicpm_v'
+         ELSE 'qwen_vl' END AS complexity_strategy
+  FROM c
+)
+SELECT quality_category, scientific_engine, complexity_strategy, count(*) AS n
+FROM decisions GROUP BY 1, 2, 3
+"""
+
+
+_DEFS["routing_distribution"] = (_routing_fn, _routing_duck_sql())
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------
