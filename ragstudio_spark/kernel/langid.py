@@ -42,11 +42,29 @@ _PATTERNS = {
     for lang, words in STOPWORDS.items()
 }
 
+# single-tokenization scorer: because every stopword is a pure word-char
+# token, \b-delimited matching over the lowered snippet is equivalent to
+# exact-matching \w+ tokens — one regex pass + dict lookups instead of six
+# full scans (a token shared by several languages counts for each, exactly
+# as the per-language findall did)
+_TOKEN_RE = re.compile(r"\w+")
+_TOKEN_LANGS: dict[str, tuple[str, ...]] = {}
+for _lang, _words in STOPWORDS.items():
+    for _w in _words:
+        _TOKEN_LANGS.setdefault(_w, ())
+        _TOKEN_LANGS[_w] = _TOKEN_LANGS[_w] + (_lang,)
+
 
 def language_scores(text: str) -> dict[str, int]:
     """Stopword-hit counts per language over the first 5000 chars."""
     snippet = text[:5000].lower()
-    return {lang: len(pat.findall(snippet)) for lang, pat in _PATTERNS.items()}
+    scores = dict.fromkeys(STOPWORDS, 0)
+    for token in _TOKEN_RE.findall(snippet):
+        langs = _TOKEN_LANGS.get(token)
+        if langs:
+            for lang in langs:
+                scores[lang] += 1
+    return scores
 
 
 def detect_language(text: str) -> str | None:

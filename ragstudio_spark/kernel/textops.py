@@ -48,6 +48,11 @@ _GEOMETRIC_RE = re.compile(r"[■□▪▫]")
 _MULTISPACE_RE = re.compile(r"\s{2,}")
 _MISSING_SPACE_RE = re.compile(r"[a-z][A-Z]")
 _FRENCH_WORD_RE = re.compile(r"\b[a-zàâäéèêëïîôöùûüÿç]+\b")
+# direct counts of french words by ending — equivalent to findall + endswith
+# over _FRENCH_WORD_RE matches, ~2× cheaper (no word-list materialization)
+_FRENCH_ANY_RE = _FRENCH_WORD_RE
+_FRENCH_E_END_RE = re.compile(r"\b[a-zàâäéèêëïîôöùûüÿç]*e\b")
+_FRENCH_EACC_END_RE = re.compile(r"\b[a-zàâäéèêëïîôöùûüÿç]*é\b")
 
 
 def detect_ocr_quality(text: str) -> dict:
@@ -68,10 +73,10 @@ def detect_ocr_quality(text: str) -> dict:
         issues.append("missing_spaces")
         quality_score -= 0.1
 
-    french_words = _FRENCH_WORD_RE.findall(text.lower())
-    if french_words:
-        e_endings = sum(1 for w in french_words if w.endswith("e"))
-        e_accent_endings = sum(1 for w in french_words if w.endswith("é"))
+    lower = text.lower()
+    if _FRENCH_ANY_RE.search(lower):
+        e_endings = len(_FRENCH_E_END_RE.findall(lower))
+        e_accent_endings = len(_FRENCH_EACC_END_RE.findall(lower))
         if e_endings > e_accent_endings * 2:
             issues.append("missing_accents")
             quality_score -= 0.15
@@ -244,9 +249,18 @@ _PAGE_NUM_RE = re.compile(r"\n(\d{1,3})\n(?=[A-ZÀÉÈÊ])")
 _TWO_SPACES_RE = re.compile(r" {2,}")
 _THREE_NEWLINES_RE = re.compile(r"\n{3,}")
 
+# one combined scan to skip the 10 sequential passes on the (overwhelmingly
+# common) texts containing none of the trigger tokens; the sequential
+# application below is unchanged — order is part of the contract
+_ANY_SPACE_FIX_RE = re.compile(
+    "|".join(p.pattern for p, _r in _SPACE_FIXES)
+)
+
 
 def fix_extraction_errors(text: str) -> tuple[str, int]:
     """French missing-space fixes; returns (text, number_of_fixes)."""
+    if not _ANY_SPACE_FIX_RE.search(text):
+        return text, 0
     fixes = 0
     for pattern, replacement in _SPACE_FIXES:
         matches = pattern.findall(text)
