@@ -852,6 +852,97 @@ FROM decisions GROUP BY 1, 2, 3
 _DEFS["routing_distribution"] = (_routing_fn, _routing_duck_sql())
 
 
+# -- 27. content-type sniffing distribution (operators/sniff.py regex
+#        ladder; corpus decorated with each payload flavor)
+_SNIFF_DECORATE = """
+SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN text
+  WHEN 1 THEN '<html><body><p>' || text || '</p></body></html>'
+  WHEN 2 THEN '# Heading' || chr(10) || text
+  WHEN 3 THEN text || chr(10) || '- Page 3 -' || chr(10) || text
+  ELSE '' END AS text
+FROM documents
+"""
+_SNIFF_CASE = """
+CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+     WHEN {html} THEN 'html'
+     WHEN {md} THEN 'markdown'
+     WHEN {pdf} THEN 'pdf'
+     ELSE 'plain' END
+"""
+_SNIFF_RES = {
+    "html": r"(?is)<html|<body|<head|<article|<div[\s>]|<p[\s>]",
+    "md": r"(?m)^#{1,6}\s+\S|^\|[^\n]*\|[^\n]*\|",
+    "pdf": (r"(?m)-\s*Page \d+\s*-|\w-\n\w|^[ \t]*[\|\-_=+][ \t\|\-_=+]*$"
+            r"|^\S{1,2}\n\S{1,2}\n\S{1,2}$"),
+}
+
+
+def _sniff_sql(engine: str) -> str:
+    if engine == "spark":
+        dec = _SNIFF_DECORATE.replace("chr(10)", "'\\n'")
+        def m(p):
+            return "text RLIKE '" + p.replace("\\", "\\\\") + "'"
+    else:
+        dec = _SNIFF_DECORATE
+        def m(p):
+            return f"regexp_matches(text, '{p}')"
+    case = _SNIFF_CASE.format(**{k: m(p) for k, p in _SNIFF_RES.items()})
+    return f"""
+WITH dec AS ({dec})
+SELECT {case} AS content_type, count(*) AS n FROM dec GROUP BY 1
+"""
+_def("content_type_distribution", _q(_sniff_sql("spark"), _sniff_sql("duckdb"),
+                                     ("documents",)))
+
+# -- 28. PDF doc-type detector (document_detector.py extractible-ratio
+#        classifier on paragraph blocks; decorated multi-paragraph corpus)
+_PDFTYPE_DECORATE = """
+SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN text
+  WHEN 1 THEN 'ab' || chr(10) || chr(10) || 'cd' || chr(10) || chr(10) || 'ef'
+  WHEN 2 THEN text || chr(10) || chr(10) || 'xx' || chr(10) || chr(10) || text || chr(10) || chr(10) || 'yy'
+  ELSE text || chr(10) || chr(10) || text || chr(10) || chr(10) || text END AS text
+FROM documents
+"""
+
+
+def _pdftype_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import routing as routing_op
+
+    _register(spark, sf_dir, "documents")
+    dec = spark.sql(_PDFTYPE_DECORATE.replace("chr(10)", "'\\n'"))
+    cols = routing_op.pdf_type_cols(F.col("text"))
+    return (
+        dec.withColumn("pdf_doc_type", cols["pdf_doc_type"])
+        .groupBy("pdf_doc_type").agg(F.count("*").alias("n"))
+    )
+
+
+def _pdftype_duck_sql() -> str:
+    blocks = (r"list_filter(regexp_split_to_array(text, '\n\n'), "
+              r"b -> length(regexp_replace(b, '^\s+|\s+$', '', 'g')) > 0)")
+    sampled = f"list_slice({blocks}, 1, 5)"
+    return f"""
+WITH dec AS ({_PDFTYPE_DECORATE}),
+r AS (
+  SELECT doc_id,
+         len({sampled}) AS n,
+         len(list_filter({sampled}, b -> length(b) >= 100)) AS extractible
+  FROM dec
+)
+SELECT CASE WHEN n = 0 THEN 'EMPTY'
+            WHEN CAST(extractible AS DOUBLE) / n >= 0.8 THEN 'TEXT_BASED'
+            WHEN CAST(extractible AS DOUBLE) / n <= 0.2 THEN 'SCANNED'
+            ELSE 'HYBRID' END AS pdf_doc_type,
+       count(*) AS n
+FROM r GROUP BY 1
+"""
+_DEFS["pdf_type_distribution"] = (_pdftype_fn, _pdftype_duck_sql())
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

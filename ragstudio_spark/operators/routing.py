@@ -176,6 +176,30 @@ def quality_category(score: Column, dictionary_ratio: Column,
     )
 
 
+def pdf_type_cols(text: Column, sample_blocks: int = 5,
+                  min_chars: int = 100) -> dict[str, Column]:
+    """Document-type detector (document_detector.py:94-211) on text
+    payloads: the reference samples ≤5 pages and classifies by the ratio of
+    pages with ≥100 extractible chars (≥0.8 TEXT_BASED, ≤0.2 SCANNED, else
+    HYBRID). Pages → paragraph blocks for a text payload."""
+    blocks = F.filter(
+        F.split(text, r"\n\n"),
+        lambda b: F.length(F.regexp_replace(b, F.lit(r"^\s+|\s+$"), F.lit(""))) > 0,
+    )
+    sampled = F.slice(blocks, 1, sample_blocks)
+    n = F.size(sampled)
+    extractible = F.size(F.filter(sampled, lambda b: F.length(b) >= min_chars))
+    ratio = F.when(n > 0, extractible.cast("double") / n).otherwise(F.lit(0.0))
+    doc_type = (
+        F.when(n == 0, F.lit("EMPTY"))
+        .when(ratio >= 0.8, F.lit("TEXT_BASED"))
+        .when(ratio <= 0.2, F.lit("SCANNED"))
+        .otherwise(F.lit("HYBRID"))
+    )
+    return {"extractible_ratio": ratio, "pdf_doc_type": doc_type,
+            "sampled_blocks": n}
+
+
 def with_routing(
     df: DataFrame,
     text_col: str = "text",
