@@ -55,23 +55,30 @@ _FRENCH_E_END_RE = re.compile(r"\b[a-zàâäéèêëïîôöùûüÿç]*e\b")
 _FRENCH_EACC_END_RE = re.compile(r"\b[a-zàâäéèêëïîôöùûüÿç]*é\b")
 
 
+# one combined presence scan for the four artifact classes: when clean
+# (the common case) a single pass replaces four full-text scans; when dirty
+# the individual checks rerun unchanged
+_ANY_ARTIFACT_RE = re.compile(r"[ﬁﬂæœ]|[■□▪▫]|\s{2,}|[a-z][A-Z]")
+
+
 def detect_ocr_quality(text: str) -> dict:
     """Penalty-based OCR quality score; ``needs_repair`` below 0.8."""
     issues = []
     quality_score = 1.0
 
-    if _LIGATURE_RE.search(text):
-        issues.append("ligatures_detected")
-        quality_score -= 0.1
-    if _GEOMETRIC_RE.search(text):
-        issues.append("geometric_artifacts")
-        quality_score -= 0.05
-    if _MULTISPACE_RE.search(text):
-        issues.append("excessive_spacing")
-        quality_score -= 0.05
-    if _MISSING_SPACE_RE.search(text):
-        issues.append("missing_spaces")
-        quality_score -= 0.1
+    if _ANY_ARTIFACT_RE.search(text):
+        if _LIGATURE_RE.search(text):
+            issues.append("ligatures_detected")
+            quality_score -= 0.1
+        if _GEOMETRIC_RE.search(text):
+            issues.append("geometric_artifacts")
+            quality_score -= 0.05
+        if _MULTISPACE_RE.search(text):
+            issues.append("excessive_spacing")
+            quality_score -= 0.05
+        if _MISSING_SPACE_RE.search(text):
+            issues.append("missing_spaces")
+            quality_score -= 0.1
 
     lower = text.lower()
     if _FRENCH_ANY_RE.search(lower):

@@ -91,7 +91,11 @@ def run_with_lineage(
     # stamp partition id before the write so lineage reflects physical layout
     metrics_with_pid = out.metrics.withColumn("partition_id", F.spark_partition_id())
     metrics_with_pid.write.mode("overwrite").parquet(os.path.join(run_dir, "metrics"))
-    out.chunks.write.mode("overwrite").parquet(os.path.join(run_dir, "chunks"))
+    # stable (conv_id, turn_idx, chunk_index) layout inside each file: a
+    # local sort (no shuffle) — predictable reader order + better parquet
+    # RLE/dictionary compression on the key columns
+    out.chunks.sortWithinPartitions("conv_id", "turn_idx", "chunk_index").write.mode(
+        "overwrite").parquet(os.path.join(run_dir, "chunks"))
     out.quarantine.write.mode("overwrite").parquet(os.path.join(run_dir, "quarantine"))
 
     lineage = (
