@@ -242,7 +242,16 @@ sigs AS (
 banded AS ({band})
 {_PAIRS}
 """
-_def("dedup_minhash_lsh", _q(_minhash_sql("spark"), _minhash_sql("duckdb"), ("documents",)))
+def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    return dedupe.minhash_lsh_pairs(spark.table("documents"))
+
+
+# Spark side runs the first-class operator (operators/dedupe.py); the
+# DuckDB SQL twin pins its semantics value-for-value.
+_def("dedup_minhash_lsh", (_minhash_fn, _minhash_sql("duckdb")))
 
 # -- 7. exact n-gram Jaccard top pairs (ground truth for LSH)
 def _jaccard_sql(engine: str) -> str:
@@ -282,7 +291,17 @@ FROM pairs
 ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
 LIMIT 20
 """
-_def("ngram_jaccard_top_pairs", _q(_jaccard_sql("spark"), _jaccard_sql("duckdb"), ("documents",)))
+def _jaccard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    pairs = dedupe.jaccard_pairs(spark.table("documents"))
+    return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
+
+
+_def("ngram_jaccard_top_pairs", (_jaccard_fn, _jaccard_sql("duckdb")))
 
 # -- 8. SimHash (16-bit, md5-nibble bits, ±1 votes per distinct token)
 def _simhash_sql(engine: str) -> str:
@@ -323,7 +342,14 @@ WITH w AS (
 SELECT doc_id, CAST(sum(CAST(vote_sign AS BIGINT) * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash16
 FROM votes GROUP BY doc_id
 """
-_def("dedup_simhash", _q(_simhash_sql("spark"), _simhash_sql("duckdb"), ("documents",)))
+def _simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    return dedupe.simhash16(spark.table("documents"))
+
+
+_def("dedup_simhash", (_simhash_fn, _simhash_sql("duckdb")))
 
 # -- 9. brute-force cosine top-k ANN (ranks only; floats never emitted)
 def _ann_sql(engine: str) -> str:
@@ -342,7 +368,18 @@ SELECT query_id, neighbor_id, rank FROM (
 WHERE rank <= 5
 """
     return rank_src
-_def("ann_cosine_topk", _q(_ann_sql("spark"), _ann_sql("duckdb"), ("embeddings",)))
+def _ann_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import similarity
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    queries_df = vectors.filter("vec_id < 8")
+    return similarity.brute_force_topk(vectors, queries_df, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+_def("ann_cosine_topk", (_ann_fn, _ann_sql("duckdb")))
 
 # -- 10. IVF-bucketed ANN (coarse quantize to 16 leader centroids, search
 #        only the query's cell — the 100TB-scale path vs brute force)
@@ -372,7 +409,23 @@ SELECT query_id, neighbor_id, rank FROM (
   JOIN embeddings q ON q.vec_id = qq.query_id) r
 WHERE rank <= 3
 """
-_def("ann_ivf_topk", _q(_ivf_sql("spark"), _ivf_sql("duckdb"), ("embeddings",)))
+def _ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import similarity
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    centroids = vectors.filter("vec_id < 16").select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries_df = vectors.filter("vec_id < 8")
+    return similarity.ivf_topk(vectors, queries_df, centroids, k=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+_def("ann_ivf_topk", (_ivf_fn, _ivf_sql("duckdb")))
 
 # -- 11. embedding nearest-neighbor per vector (near-dup scan, rank-1 only)
 def _nn_sql(engine: str) -> str:
@@ -386,7 +439,20 @@ SELECT vec_id, nn_id FROM (
   WHERE a.vec_id < 64) t
 WHERE rn = 1
 """
-_def("embedding_nearest_neighbor", _q(_nn_sql("spark"), _nn_sql("duckdb"), ("embeddings",)))
+def _nn_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import similarity
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    queries_df = vectors.filter("vec_id < 64")
+    return similarity.brute_force_topk(vectors, queries_df, k=1).select(
+        F.col("query_id").alias("vec_id"), F.col("neighbor_id").alias("nn_id")
+    )
+
+
+_def("embedding_nearest_neighbor", (_nn_fn, _nn_sql("duckdb")))
 
 # -- 12. heuristic language-ID distribution (stopword profile scorer)
 _LANG_STOPWORDS = {
@@ -708,8 +774,24 @@ WITH bits AS (
 SELECT bucket, count(*) AS n_vectors
 FROM buckets GROUP BY bucket HAVING count(*) > 1
 """
-_def("embedding_lsh_buckets", _q(_hyperplane_sql("spark"), _hyperplane_sql("duckdb"),
-                                 ("embeddings",)))
+def _lsh_buckets_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import similarity
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    planes = vectors.filter("vec_id BETWEEN 8 AND 15").select(
+        (F.col("vec_id") - 8).alias("plane"), "embedding"
+    )
+    buckets = similarity.hyperplane_buckets(vectors, planes)
+    return (
+        buckets.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+        .filter(F.col("n_vectors") > 1)
+    )
+
+
+_def("embedding_lsh_buckets", (_lsh_buckets_fn, _hyperplane_sql("duckdb")))
 
 # -- 25. chunk-table eval stats (eval.py:144-181 over the SQL window
 #        chunker's output — per-document chunk counts and span coverage)

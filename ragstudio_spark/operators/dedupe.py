@@ -1,0 +1,169 @@
+"""Deduplication operators — first-class DataFrame APIs.
+
+Large-scale training-data dedup toolkit over a text column:
+
+* ``exact_duplicates``    — md5 hash-groupBy (bit-exact dupes).
+* ``minhash_signatures`` / ``minhash_lsh_pairs`` — shingle → 8 md5-
+  permutation minima → 2 bands of 4 → bucket self-join. Shaped for scale:
+  explode once, partial-aggregate ``min()`` map-side (never nest the
+  signature computation in reused expressions — Spark inlines and
+  recomputes), band join only touches collided buckets.
+* ``simhash16``           — 16-bit md5-nibble-vote sketch + banded
+  near-pair candidates at a Hamming radius.
+* ``jaccard_pairs``       — exact n-gram-shingle Jaccard via shared-shingle
+  join (the ground truth LSH approximates).
+
+Everything is JVM-side column expressions (md5/regexp/array functions) —
+no Python in any of these paths. The SQL twins in entry_queries.py verify
+the semantics against DuckDB value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+N_HASHES = 8
+N_BANDS = 2
+
+
+def words_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def shingles_col(words: Column, k: int = 3) -> Column:
+    """k-word shingles (with duplicates)."""
+    idx = F.sequence(F.lit(0), F.size(words) - k)
+    return F.when(
+        F.size(words) >= k,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+        )),
+    ).otherwise(F.array())
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of bit-identical texts: (text_hash, dup_count, doc_ids)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("dup_count"),
+             F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return (
+        df.select(F.col(id_col), shingles_col(words_col(F.col(text_col)), k).alias("sh"))
+        .select(id_col, F.explode("sh").alias("shingle"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """One row per doc with h0..h{N_HASHES-1} minima (md5 permutations)."""
+    ex = _exploded_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"h{h}")
+        for h in range(N_HASHES)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any signature band."""
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    per_band = N_HASHES // N_BANDS
+    bands = None
+    for b in range(N_BANDS):
+        cols = [F.col(f"h{b * per_band + j}") for j in range(per_band)]
+        one = sigs.select(
+            F.col(id_col), F.lit(b).alias("band_idx"),
+            F.md5(F.concat(*cols)).alias("band_key"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(b_, (F.col(f"a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over distinct tokens (md5-nibble bit votes)."""
+    w = (
+        df.select(F.col(id_col),
+                  F.explode(F.array_distinct(words_col(F.col(text_col)))).alias("word"))
+        .select(id_col, F.md5("word").alias("h"))
+        .select(id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
+        .withColumn(
+            "nib",
+            F.instr(F.lit("0123456789abcdef"),
+                    F.substring(F.col("h"), (F.floor(F.col("b") / 4) + 1).cast("int"), 1)) - 1,
+        )
+    )
+    # python F.shiftright requires a literal shift amount — use the SQL form
+    bit = F.expr("shiftright(nib, CAST(b % 4 AS INT)) & 1")
+    votes = (
+        w.select(id_col, "b", F.when(bit == 1, 1).otherwise(-1).alias("v"))
+        .groupBy(id_col, "b")
+        .agg(F.when(F.sum("v") > 0, 1).otherwise(0).alias("vote"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(F.col("vote").cast("bigint") * F.pow(2, F.col("b")).cast("bigint"))
+        .cast("bigint").alias("simhash16")
+    )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate candidates: 4-bit band join, then Hamming filter."""
+    sh = simhash16(df, text_col, id_col)
+    bands = None
+    for b in range(4):
+        one = sh.select(
+            id_col, "simhash16", F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash16"), b * 4).bitwiseAND(F.lit(0xF)).alias("key"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.bit_count(F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16")))
+                .alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3, min_jaccard: float = 0.0) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs sharing ≥1 shingle."""
+    distinct_sh = (
+        df.select(F.col(id_col),
+                  F.array_distinct(shingles_col(words_col(F.col(text_col)), k)).alias("sh"))
+        .select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    )
+    a, b = distinct_sh.alias("a"), distinct_sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"),
+             F.min("a.n_sh").alias("na"), F.min("b.n_sh").alias("nb"))
+    )
+    out = inter.withColumn(
+        "jaccard", F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    ).select("doc_a", "doc_b", "jaccard")
+    return out.filter(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out

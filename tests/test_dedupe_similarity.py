@@ -1,0 +1,96 @@
+"""Dedup + similarity operator semantics on constructed near-duplicates."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ragstudio_spark.operators import dedupe, similarity
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun light")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                    # exact dup of 0
+        (2, BASE.replace("afternoon", "morning")),     # near dup of 0
+        (3, "completely different content about spark query engines and "
+            "distributed shuffle partitioning strategies at scale"),
+        (4, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+class TestDedupe:
+    def test_exact_duplicates(self, spark, docs):
+        groups = dedupe.exact_duplicates(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["dup_count"] == 2
+        assert groups[0]["doc_ids"] == [0, 1]
+
+    def test_jaccard_ranks_near_dups(self, spark, docs):
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in dedupe.jaccard_pairs(docs).collect()}
+        assert pairs[(0, 1)] == 1.0
+        assert 0.5 < pairs[(0, 2)] < 1.0
+        assert (0, 3) not in pairs  # no shared shingles
+
+    def test_minhash_catches_exact_and_near(self, spark, docs):
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in dedupe.minhash_lsh_pairs(docs).collect()}
+        assert (0, 1) in pairs
+        assert (0, 3) not in pairs
+
+    def test_simhash_distance_ordering(self, spark, docs):
+        sh = {r["doc_id"]: r["simhash16"] for r in dedupe.simhash16(docs).collect()}
+        assert sh[0] == sh[1]  # identical text → identical sketch
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        assert ham(sh[0], sh[2]) <= ham(sh[0], sh[3])
+        near = {(r["doc_a"], r["doc_b"]): r["hamming"]
+                for r in dedupe.simhash_near_pairs(docs, max_hamming=3).collect()}
+        assert near[(0, 1)] == 0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+            (4, [1.0, 0.0, 0.0]),   # identical direction to 0
+        ]
+        return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def test_brute_force_ranks(self, spark, vectors):
+        out = similarity.brute_force_topk(
+            vectors, vectors.filter("vec_id = 0"), k=4
+        ).collect()
+        ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert ranked[0] == 4          # cosine 1.0
+        assert ranked[1] == 1          # 0.99…
+        assert set(ranked[2:]) == {2, 3}
+
+    def test_ivf_searches_only_own_cell(self, spark, vectors):
+        centroids = vectors.filter("vec_id IN (0, 2)").select(
+            F.col("vec_id").alias("cid"), "embedding"
+        )
+        out = similarity.ivf_topk(
+            vectors, vectors.filter("vec_id = 0"), centroids, k=4
+        ).collect()
+        neighbors = {r["neighbor_id"] for r in out}
+        # vec 2 is its own centroid's cell; vec 3 ties 0-0 between both
+        # centroids and the deterministic cid-asc tie-break puts it in cell
+        # 0 — so cell 0 holds {0, 1, 3, 4} and vec 2 is never searched
+        assert neighbors == {1, 3, 4}
+
+    def test_hyperplane_buckets_group_identical_vectors(self, spark, vectors):
+        planes = vectors.filter("vec_id IN (1, 2, 3)").select(
+            (F.col("vec_id") - 1).alias("plane"), "embedding"
+        )
+        buckets = {r["vec_id"]: r["bucket"]
+                   for r in similarity.hyperplane_buckets(vectors, planes).collect()}
+        assert buckets[0] == buckets[4]
