@@ -58,6 +58,16 @@ def _pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.metrics.orderBy("conv_id", "turn_idx")
 
 
+def _streaming_transform_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming transform applied in batch mode — the exact
+    code path the file-source stream executes (streaming/jobs.py)."""
+    from ragstudio_spark.streaming.jobs import transform_stream
+
+    return transform_stream(_documents_as_transcripts(spark, sf_dir)).orderBy(
+        "conv_id", "turn_idx", "chunk_index"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extract+chunk pipeline over sf0.001 documents shaped
     as transcripts; returns the chunks DataFrame."""
@@ -69,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["pipeline_chunks"] = _pipeline_chunks            # rows-only (pandas UDFs)
     qs["pipeline_adaptive_chunks"] = _pipeline_adaptive_chunks  # rows-only
     qs["pipeline_metrics"] = _pipeline_metrics          # rows-only
+    qs["streaming_transform_chunks"] = _streaming_transform_chunks  # rows-only
     return qs
 
 
