@@ -44,6 +44,60 @@ def salted_conv_agg(df: DataFrame, value_col: Column, n_salts: int = 32) -> Data
     )
 
 
+def assemble_conversations(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n\n",
+    bucket_size: int = 64,
+) -> DataFrame:
+    """Turn-ordered conversation assembly (turns → one document per
+    conversation), skew-safe via two-phase ordered concatenation:
+
+      phase 1: partial concat per (conv_id, turn_idx // bucket_size) —
+               a 2000-turn outlier becomes ~32 bucket rows processed by
+               different tasks instead of one giant collect_list;
+      phase 2: concat the (few) bucket rows per conversation in bucket
+               order.
+
+    Ordering comes from (bucket, turn_idx) sort keys inside array_sort —
+    deterministic under any shuffle. Returns (conv_id, n_turns, doc_text).
+    """
+    bucket = (F.col("turn_idx") / bucket_size).cast("int")
+    partial = (
+        df.withColumn("bucket", bucket)
+        .groupBy("conv_id", "bucket")
+        .agg(
+            F.count("*").alias("pn"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("turn_idx"), F.coalesce(F.col(text_col), F.lit("")).alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                sep,
+            ).alias("ptext"),
+        )
+    )
+    return (
+        partial.groupBy("conv_id")
+        .agg(
+            F.sum("pn").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("bucket"), F.col("ptext").alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                sep,
+            ).alias("doc_text"),
+        )
+    )
+
+
 def rebalance_by_size(df: DataFrame, text_col: str = "text",
                       num_partitions: int | None = None) -> DataFrame:
     """Range-partition on (log-size bucket, row hash): giant turns spread

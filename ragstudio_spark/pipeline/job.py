@@ -43,6 +43,7 @@ class PipelineConfig:
     min_readable_ratio: float = 0.9
     chunk_min_ratio: float = 0.3
     on_error: str = "quarantine"     # fail_fast | skip | quarantine
+    dedupe_chunks: bool = False      # corpus-wide exact chunk dedup stage
 
 
 @dataclass
@@ -114,4 +115,20 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
         "conv_id", "turn_idx", "content_type", "extraction_engine",
         "extraction_fixes", "page_numbers_removed", *meta, "chunk.*",
     )
+
+    if cfg.dedupe_chunks:
+        # corpus-wide exact dedup (training-data hygiene): one shuffle on
+        # the text hash; the surviving copy is deterministic (first by
+        # (conv_id, turn_idx, chunk_index)), never shuffle-order-dependent
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.md5(F.col("text"))).orderBy(
+            "conv_id", "turn_idx", "chunk_index"
+        )
+        chunks = (
+            chunks.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     return PipelineOutput(chunks=chunks, metrics=metrics, quarantine=quarantine)

@@ -1,0 +1,59 @@
+"""Conversation assembly (skew-safe ordered concat) + chunk-dedup stage."""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ragstudio_spark.operators import skew
+from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+from ragstudio_spark.sources import transcripts as tsrc
+
+
+class TestConversationAssembly:
+    def test_matches_naive_ordered_concat(self, spark):
+        df = tsrc.transcripts_df(spark, 300, seed=91, partitions=8)
+        got = skew.assemble_conversations(df, bucket_size=4).toPandas()
+        naive = (
+            df.toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .groupby("conv_id")
+            .agg(n_turns=("turn_idx", "size"),
+                 doc_text=("text", lambda s: "\n\n".join(x or "" for x in s)))
+            .reset_index()
+        )
+        key = "conv_id"
+        g = got.sort_values(key).reset_index(drop=True)
+        n = naive.sort_values(key).reset_index(drop=True)
+        assert (g["n_turns"].values == n["n_turns"].values).all()
+        assert (g["doc_text"].values == n["doc_text"].values).all()
+
+    def test_deterministic_across_partitionings(self, spark):
+        df1 = tsrc.transcripts_df(spark, 200, seed=93, partitions=1)
+        df8 = tsrc.transcripts_df(spark, 200, seed=93, partitions=8)
+        a = skew.assemble_conversations(df1).toPandas().sort_values("conv_id").reset_index(drop=True)
+        b = skew.assemble_conversations(df8).toPandas().sort_values("conv_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestChunkDedupStage:
+    def test_dedupe_removes_corpus_wide_exact_dupes(self, spark):
+        # repetitive generator text guarantees cross-turn duplicate chunks
+        df = tsrc.transcripts_df(spark, 300, seed=95, partitions=4)
+        base = run_pipeline(df, PipelineConfig()).chunks
+        deduped = run_pipeline(df, PipelineConfig(dedupe_chunks=True)).chunks
+        n_base, n_dedup = base.count(), deduped.count()
+        n_distinct = base.select(F.md5("text")).distinct().count()
+        assert n_dedup == n_distinct <= n_base
+        # surviving copy is the first by (conv_id, turn_idx, chunk_index)
+        d = deduped.toPandas()
+        assert not d.duplicated(subset=["text"]).any()
+
+    def test_dedupe_deterministic_winner(self, spark):
+        df = tsrc.transcripts_df(spark, 200, seed=97, partitions=4)
+        a = run_pipeline(df, PipelineConfig(dedupe_chunks=True)).chunks.toPandas()
+        b = run_pipeline(df, PipelineConfig(dedupe_chunks=True)).chunks.toPandas()
+        key = ["conv_id", "turn_idx", "chunk_index"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True),
+        )
