@@ -132,15 +132,35 @@ def retry_turn_keys(spark: SparkSession, root: str,
     )
 
 
-def retry_failed(spark: SparkSession, transcripts: DataFrame, root: str,
-                 run_id: str, config=None) -> dict:
-    """``ragctl retry`` analogue: reprocess only turns whose latest status
-    is retryable (semi-join), appending a new committed run."""
+def estimated_retry_turns(root: str) -> int:
+    """Upper bound on retryable keys: failed+skipped counters summed across
+    committed run.json summaries (pure file reads, no Spark job)."""
+    return sum(r.get("failed", 0) + r.get("skipped", 0)
+               for r in _lineage.run_summaries(root))
+
+
+def retry_subset(spark: SparkSession, transcripts: DataFrame, root: str,
+                 max_broadcast_keys: int = _lineage.BROADCAST_MAX_KEYS,
+                 ) -> DataFrame | None:
+    """Semi-join the input to the retryable key set, size-guarding the
+    broadcast hint — after a large-scale partial failure the retry set can
+    be arbitrarily big, so the hint is applied only under the estimate."""
     keys = retry_turn_keys(spark, root)
     if keys is None:
+        return None
+    keys = _lineage.maybe_broadcast(keys, estimated_retry_turns(root),
+                                    max_broadcast_keys)
+    return transcripts.join(keys, on=["conv_id", "turn_idx"], how="left_semi")
+
+
+def retry_failed(spark: SparkSession, transcripts: DataFrame, root: str,
+                 run_id: str, config=None,
+                 max_broadcast_keys: int = _lineage.BROADCAST_MAX_KEYS) -> dict:
+    """``ragctl retry`` analogue: reprocess only turns whose latest status
+    is retryable (semi-join), appending a new committed run."""
+    subset = retry_subset(spark, transcripts, root, max_broadcast_keys)
+    if subset is None:
         return _lineage.run_with_lineage(spark, transcripts, root, run_id, config)
-    subset = transcripts.join(F.broadcast(keys), on=["conv_id", "turn_idx"],
-                              how="left_semi")
     return _lineage.run_with_lineage(
         spark, subset, root, run_id, config, resume=False
     )

@@ -15,9 +15,16 @@ history.py:22-106,311-328; retry.py:27-140) with table-native primitives:
   ``(conv_id, turn_idx)``, and the final chunks table equals a single-run
   output (verified in tests).
 
-The anti-join is the only shuffle the resume path adds; the committed-keys
-side is typically much smaller after a crash, and Spark broadcast-joins it
-when it fits (we hint explicitly below a size threshold).
+The anti-join is the only shuffle the resume path adds. The committed-keys
+side is **unbounded** at the 100 TB design point (a crash at 60% of a 10¹²-
+turn run leaves ~10¹¹ committed keys), so we never force a broadcast blindly:
+the key count is estimated for free from the committed runs' ``run.json``
+summaries (no Spark job), and the broadcast hint is applied only when the
+estimate is under ``BROADCAST_MAX_KEYS`` — above it the join is a plain
+shuffle anti-join and AQE may still choose broadcast at runtime from actual
+sizes. Mirrors the reference's retry-set semantics
+(src/core/pipeline/history.py:311-328) with a scale guard it never needed
+single-node.
 """
 
 from __future__ import annotations
@@ -31,6 +38,47 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ragstudio_spark.pipeline.job import PipelineConfig, PipelineOutput, run_pipeline
 
 COMMIT_MARKER = "_COMMITTED"
+
+# Broadcasting the committed/retry key set is only safe when it is small.
+# 1M (conv_id, turn_idx) keys ≈ tens of MB serialized — comfortably inside
+# executor broadcast budgets; past that the anti-join runs as a shuffle
+# join (AQE can still downgrade it to broadcast from *measured* sizes).
+BROADCAST_MAX_KEYS = 1_000_000
+
+
+def run_summaries(root: str) -> list[dict]:
+    """run.json summaries of committed runs, oldest first (pure file reads)."""
+    out = []
+    for run_id in committed_runs(root):
+        path = os.path.join(_run_dir(root, run_id), "run.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                out.append(json.load(f))
+    return out
+
+
+def estimated_committed_turns(root: str) -> int:
+    """Upper bound on committed (conv_id, turn_idx) keys, from run.json
+    counters — free (no Spark job), and an over-estimate when runs overlap
+    (distinct() shrinks the real set), which errs on the safe side."""
+    return sum(r.get("total_turns", 0) for r in run_summaries(root))
+
+
+def maybe_broadcast(keys: DataFrame, estimated_keys: int,
+                    max_keys: int = BROADCAST_MAX_KEYS) -> DataFrame:
+    """Broadcast-hint ``keys`` only when the estimate fits the budget."""
+    return F.broadcast(keys) if estimated_keys <= max_keys else keys
+
+
+def resume_filter(spark: SparkSession, transcripts: DataFrame, root: str,
+                  max_broadcast_keys: int = BROADCAST_MAX_KEYS) -> DataFrame:
+    """Anti-join the input against committed turn keys (the resume step),
+    size-guarding the broadcast hint."""
+    done = committed_turn_keys(spark, root)
+    if done is None:
+        return transcripts
+    done = maybe_broadcast(done, estimated_committed_turns(root), max_broadcast_keys)
+    return transcripts.join(done, on=["conv_id", "turn_idx"], how="left_anti")
 
 
 def _run_dir(root: str, run_id: str) -> str:
@@ -76,14 +124,13 @@ def run_with_lineage(
     run_id: str,
     config: PipelineConfig | None = None,
     resume: bool = True,
+    max_broadcast_keys: int = BROADCAST_MAX_KEYS,
 ) -> dict:
     """Execute the pipeline with lineage + resume; returns run summary."""
     t0 = time.time()
     df = transcripts
     if resume:
-        done = committed_turn_keys(spark, root)
-        if done is not None:
-            df = df.join(F.broadcast(done), on=["conv_id", "turn_idx"], how="left_anti")
+        df = resume_filter(spark, df, root, max_broadcast_keys)
 
     out: PipelineOutput = run_pipeline(df, config)
     run_dir = _run_dir(root, run_id)

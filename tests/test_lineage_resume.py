@@ -59,6 +59,60 @@ class TestResume:
         s = lineage.run_with_lineage(spark, full, root, "run_2")
         assert s["total_turns"] == n
 
+    def test_broadcast_size_guard(self, spark, tmp_path):
+        """VERDICT r1 #1: the resume anti-join must broadcast-hint the
+        committed-key set only under the size threshold. Above it (a crash
+        deep into a 10¹²-turn run) the join must stay a shuffle anti-join —
+        forcing a broadcast there OOMs the cluster. Asserted on the physical
+        plan with auto-broadcast disabled so only the explicit hint decides."""
+        n = 80
+        full = tsrc.transcripts_df(spark, n, seed=23, partitions=4)
+        root = str(tmp_path / "guard")
+        lineage.run_with_lineage(spark, full.filter("turn_idx < 3"), root, "run_1")
+        assert lineage.estimated_committed_turns(root) > 0
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            small = lineage.resume_filter(spark, full, root,
+                                          max_broadcast_keys=10**9)
+            plan_small = small._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan_small
+
+            big = lineage.resume_filter(spark, full, root, max_broadcast_keys=0)
+            plan_big = big._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan_big
+            # result equality regardless of join strategy
+            assert small.count() == big.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    def test_retry_broadcast_size_guard(self, spark, tmp_path):
+        """Same guard on the retry semi-join (history.retry_subset)."""
+        from ragstudio_spark.pipeline import history
+
+        n = 150
+        full = tsrc.transcripts_df(spark, n, seed=61, partitions=4)
+        root = str(tmp_path / "retryguard")
+        lineage.run_with_lineage(spark, full, root, "run_1")
+        assert history.estimated_retry_turns(root) > 0
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            small = history.retry_subset(spark, full, root,
+                                         max_broadcast_keys=10**9)
+            assert "BroadcastHashJoin" in (
+                small._jdf.queryExecution().executedPlan().toString())
+            big = history.retry_subset(spark, full, root, max_broadcast_keys=0)
+            plan_big = big._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan_big
+            assert small.count() == big.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
     def test_lineage_table_shape(self, spark, tmp_path):
         n = 60
         full = tsrc.transcripts_df(spark, n, seed=19, partitions=3)
