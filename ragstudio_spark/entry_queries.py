@@ -351,6 +351,73 @@ def _simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _def("dedup_simhash", (_simhash_fn, _simhash_sql("duckdb")))
 
+# -- 8b. 64-bit SimHash near-duplicate pairs (the scale-safe banding:
+#        4 bands × 16 bits → 65,536 buckets per band, vs the retired
+#        16-bit sketch whose 4-bit bands capped at 16 buckets and made the
+#        self-join all-pairs at corpus size). Corpus decorated with
+#        constructed near-dups (every 50th doc reappears with one extra
+#        token) so the pair set is non-trivial at sf0.01.
+_SIMHASH64_DECORATE = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text || ' zqxj' AS text
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def _simhash64_sql_duck() -> str:
+    words = _words_expr("text", "duckdb")
+    nibble = "strpos('0123456789abcdef', substring(h, CAST(floor(b / 4) AS INT) + 1, 1)) - 1"
+    bit = f"(({nibble}) >> CAST(b % 4 AS INT)) & 1"
+    band_sums = ",\n    ".join(
+        f"CAST(sum(CASE WHEN b // 16 = {i} THEN vote_sign * CAST(pow(2, b % 16) AS BIGINT) "
+        f"ELSE 0 END) AS BIGINT) AS s{i}"
+        for i in range(4)
+    )
+    banded = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, s0, s1, s2, s3, {i} AS band, s{i} AS key FROM sketch"
+        for i in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.s{i}, b.s{i}))" for i in range(4))
+    return f"""
+WITH dec AS ({_SIMHASH64_DECORATE}),
+w AS (
+  SELECT doc_id, unnest(list_distinct({words})) AS word FROM dec
+), bits AS (
+  SELECT doc_id, b, CASE WHEN ({bit}) = 1 THEN 1 ELSE -1 END AS v
+  FROM (SELECT doc_id, md5(word) AS h FROM w) x, LATERAL (SELECT unnest(range(0, 64)) AS b)
+), votes AS (
+  SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS vote_sign
+  FROM bits GROUP BY doc_id, b
+), sketch AS (
+  SELECT doc_id,
+    {band_sums}
+  FROM votes GROUP BY doc_id
+), banded AS (
+{banded}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+def _simhash64_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    dec = spark.sql(_SIMHASH64_DECORATE)
+    pairs = dedupe.simhash64_near_pairs(dec, max_hamming=3)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+_def("dedup_simhash64", (_simhash64_fn, _simhash64_sql_duck()))
+
 # -- 9. brute-force cosine top-k ANN (ranks only; floats never emitted)
 def _ann_sql(engine: str) -> str:
     cos = _cosine(engine)

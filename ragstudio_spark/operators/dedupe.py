@@ -8,8 +8,10 @@ Large-scale training-data dedup toolkit over a text column:
   explode once, partial-aggregate ``min()`` map-side (never nest the
   signature computation in reused expressions — Spark inlines and
   recomputes), band join only touches collided buckets.
-* ``simhash16``           — 16-bit md5-nibble-vote sketch + banded
-  near-pair candidates at a Hamming radius.
+* ``simhash16``           — 16-bit md5-nibble-vote sketch (compact scorer).
+* ``simhash64`` / ``simhash64_near_pairs`` — 64-bit sketch as 4 × 16-bit
+  band values; near-pairs join only docs sharing a band (2^16 buckets per
+  band, exact recall at Hamming ≤ 3 by pigeonhole).
 * ``jaccard_pairs``       — exact n-gram-shingle Jaccard via shared-shingle
   join (the ground truth LSH approximates).
 
@@ -61,23 +63,33 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> Dat
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """One row per doc with h0..h{N_HASHES-1} minima (md5 permutations)."""
+                       id_col: str = "doc_id", k: int = 3,
+                       n_hashes: int = N_HASHES) -> DataFrame:
+    """One row per doc with h0..h{n_hashes-1} minima (md5 permutations)."""
     ex = _exploded_shingles(df, text_col, id_col, k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"h{h}")
-        for h in range(N_HASHES)
+        for h in range(n_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing any signature band."""
-    sigs = minhash_signatures(df, text_col, id_col, k)
-    per_band = N_HASHES // N_BANDS
+                      id_col: str = "doc_id", k: int = 3,
+                      n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any signature band.
+
+    Recall/precision dial (defaults 8 hashes / 2 bands ≈ the s-curve knee
+    at Jaccard ~0.7): more bands with fewer rows each → higher recall,
+    more candidates; fewer, wider bands → higher precision, fewer
+    candidates. ``n_bands`` must divide ``n_hashes``. Cost tradeoffs at
+    sf0.1 are tabulated in BASELINE.md (minhash parameter sweep)."""
+    if n_hashes % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_hashes={n_hashes}")
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    per_band = n_hashes // n_bands
     bands = None
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         cols = [F.col(f"h{b * per_band + j}") for j in range(per_band)]
         one = sigs.select(
             F.col(id_col), F.lit(b).alias("band_idx"),
@@ -122,39 +134,116 @@ def simhash16(df: DataFrame, text_col: str = "text",
     )
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate candidates: 4-bit band join, then Hamming filter."""
-    sh = simhash16(df, text_col, id_col)
-    bands = None
-    for b in range(4):
-        one = sh.select(
-            id_col, "simhash16", F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash16"), b * 4).bitwiseAND(F.lit(0xF)).alias("key"),
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over distinct tokens, emitted as 4 × 16-bit band
+    values ``s0..s3`` (low bits first).
+
+    Why bands instead of one bigint: (a) bit 63 of a combined value
+    overflows signed int64; (b) the near-pair join needs the 16-bit band
+    keys anyway, and banding with 65,536 buckets per band is what makes the
+    self-join scale (the retired 16-bit/4-bit scheme had ≤16 buckets/band —
+    an all-pairs join in 16 shards at corpus size). Bits come from the first
+    16 nibbles of each token's md5, ±1 votes per distinct token."""
+    w = (
+        df.select(F.col(id_col),
+                  F.explode(F.array_distinct(words_col(F.col(text_col)))).alias("word"))
+        .select(id_col, F.md5("word").alias("h"))
+        .select(id_col, "h",
+                F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"))
+        .withColumn(
+            "nib",
+            F.instr(F.lit("0123456789abcdef"),
+                    F.substring(F.col("h"), (F.floor(F.col("b") / 4) + 1).cast("int"), 1)) - 1,
         )
+    )
+    bit = F.expr("shiftright(nib, CAST(b % 4 AS INT)) & 1")
+    votes = (
+        w.select(id_col, "b", F.when(bit == 1, 1).otherwise(-1).alias("v"))
+        .groupBy(id_col, "b")
+        .agg(F.when(F.sum("v") > 0, 1).otherwise(0).alias("vote"))
+    )
+    band_val = F.expr(
+        f"shiftleft(CAST(vote AS BIGINT), CAST(b % {SIMHASH_BAND_BITS} AS INT))")
+    return votes.groupBy(id_col).agg(*[
+        F.sum(F.when(F.floor(F.col("b") / SIMHASH_BAND_BITS) == i, band_val)
+              .otherwise(F.lit(0))).cast("bigint").alias(f"s{i}")
+        for i in range(SIMHASH_BANDS)
+    ])
+
+
+def simhash64_near_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate candidates from the 64-bit sketch: join docs sharing
+    any 16-bit band value, then filter on full Hamming distance.
+
+    LSH guarantee: with 4 bands, any pair at Hamming ≤ 3 shares at least
+    one intact band (pigeonhole), so recall is exact for the default
+    radius. Band keys have 2^16 buckets so bucket occupancy — and the
+    self-join's fan-out — stays bounded as the corpus grows."""
+    sh = simhash64(df, text_col, id_col)
+    s_cols = [f"s{i}" for i in range(SIMHASH_BANDS)]
+    bands = None
+    for i in range(SIMHASH_BANDS):
+        one = sh.select(id_col, *s_cols, F.lit(i).alias("band"),
+                        F.col(f"s{i}").alias("key"))
         bands = one if bands is None else bands.unionByName(one)
     a, b_ = bands.alias("a"), bands.alias("b")
+    hamming = None
+    for c in s_cols:
+        term = F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+        hamming = term if hamming is None else hamming + term
     pairs = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.key") == F.col("b.key"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"),
-                F.bit_count(F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16")))
-                .alias("hamming"))
+                hamming.alias("hamming"))
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate candidates (delegates to the 64-bit banded sketch —
+    the 16-bit variant's 4-bit bands capped at 16 buckets/band and
+    degenerated to an all-pairs join at corpus scale)."""
+    return simhash64_near_pairs(df, text_col, id_col, max_hamming)
+
+
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  k: int = 3, min_jaccard: float = 0.0) -> DataFrame:
-    """Exact shingle-set Jaccard for pairs sharing ≥1 shingle."""
+                  k: int = 3, min_jaccard: float = 0.0,
+                  max_shingle_df: int | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs sharing ≥1 shingle.
+
+    ``max_shingle_df`` caps the shared-shingle join's fan-out: shingles
+    appearing in more than that many documents are excluded from candidate
+    generation (their pairs are found through rarer shared shingles, or
+    dropped). Without the cap the join is O(Σ df²) — one stop-shingle in
+    10⁶ docs yields 10¹² join rows — so corpus-wide runs MUST set it; the
+    default (None, exact) is the oracle/ground-truth mode. Set sizes
+    ``na``/``nb`` stay exact either way — only candidate generation and the
+    intersection count are approximated by the cap."""
     distinct_sh = (
         df.select(F.col(id_col),
                   F.array_distinct(shingles_col(words_col(F.col(text_col)), k)).alias("sh"))
         .select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     )
+    if max_shingle_df is not None:
+        hot = (
+            distinct_sh.groupBy("shingle").agg(F.count("*").alias("shingle_df"))
+            .filter(F.col("shingle_df") > max_shingle_df)
+            .select("shingle")
+        )
+        # the hot set is tiny (only stop-shingles) — AQE broadcasts it
+        distinct_sh = distinct_sh.join(hot, on="shingle", how="left_anti")
     a, b = distinct_sh.alias("a"), distinct_sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -37,11 +37,72 @@ class TestDedupe:
         assert 0.5 < pairs[(0, 2)] < 1.0
         assert (0, 3) not in pairs  # no shared shingles
 
+    def test_jaccard_shingle_df_cap_bounds_candidates(self, spark):
+        """VERDICT r1 #3: a stop-shingle shared by every doc must not
+        explode the candidate join when max_shingle_df is set."""
+        import hashlib
+
+        stop = "the common header line"
+        rows = [(i, stop + " " + " ".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8]
+            for j in range(10))) for i in range(30)]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+        uncapped = dedupe.jaccard_pairs(docs).count()
+        assert uncapped == 30 * 29 // 2  # every pair collides on the stop-shingles
+
+        capped = dedupe.jaccard_pairs(docs, max_shingle_df=5).count()
+        assert capped == 0               # unique tails share nothing rarer
+
+        # cap high enough to be inert → exact result unchanged
+        inert = dedupe.jaccard_pairs(docs, max_shingle_df=1000)
+        exact = dedupe.jaccard_pairs(docs)
+        assert sorted(map(tuple, inert.collect())) == sorted(map(tuple, exact.collect()))
+
     def test_minhash_catches_exact_and_near(self, spark, docs):
         pairs = {(r["doc_a"], r["doc_b"])
                  for r in dedupe.minhash_lsh_pairs(docs).collect()}
         assert (0, 1) in pairs
         assert (0, 3) not in pairs
+
+    def test_minhash_parameterized(self, spark, docs):
+        """n_hashes/n_bands are dials; exact dups survive any setting."""
+        for n_hashes, n_bands in ((8, 4), (16, 4), (4, 2)):
+            pairs = {(r["doc_a"], r["doc_b"])
+                     for r in dedupe.minhash_lsh_pairs(
+                         docs, n_hashes=n_hashes, n_bands=n_bands).collect()}
+            assert (0, 1) in pairs, (n_hashes, n_bands)
+        with pytest.raises(ValueError):
+            dedupe.minhash_lsh_pairs(docs, n_hashes=8, n_bands=3)
+
+    def test_simhash64_sketch_and_near_pairs(self, spark, docs):
+        sk = {r["doc_id"]: (r["s0"], r["s1"], r["s2"], r["s3"])
+              for r in dedupe.simhash64(docs).collect()}
+        assert sk[0] == sk[1]                      # identical text → identical sketch
+        assert all(0 <= v < 2 ** 16 for v in sk[0])  # band values are 16-bit
+        near = {(r["doc_a"], r["doc_b"]): r["hamming"]
+                for r in dedupe.simhash64_near_pairs(docs, max_hamming=3).collect()}
+        assert near[(0, 1)] == 0
+
+    def test_simhash64_band_cardinality_grows(self, spark):
+        """VERDICT r1 #2: band-key cardinality must grow with corpus size —
+        the retired 4-bit banding capped at 16 buckets/band, which turned
+        the near-pair self-join into all-pairs at scale."""
+        import hashlib
+
+        def corpus(n):
+            rows = [(i, " ".join(
+                hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8]
+                for j in range(30))) for i in range(n)]
+            return spark.createDataFrame(rows, "doc_id int, text string")
+
+        def distinct_keys(n):
+            sk = dedupe.simhash64(corpus(n))
+            return sk.select(F.countDistinct("s0")).collect()[0][0]
+
+        small, big = distinct_keys(50), distinct_keys(200)
+        assert small > 16            # impossible under the 4-bit scheme
+        assert big > small           # cardinality scales with N
 
     def test_simhash_distance_ordering(self, spark, docs):
         sh = {r["doc_id"]: r["simhash16"] for r in dedupe.simhash16(docs).collect()}
