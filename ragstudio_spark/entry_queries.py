@@ -818,8 +818,22 @@ SELECT doc_id, rank FROM (
   FROM fused) t
 WHERE rank <= 10
 """
-_def("hybrid_bm25_rrf", _q(_bm25_hybrid_sql("spark"), _bm25_hybrid_sql("duckdb"),
-                           ("documents", "embeddings")))
+def _bm25_hybrid_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import retrieval
+
+    _register(spark, sf_dir, "documents", "embeddings")
+    docs = spark.table("documents")
+    vectors = spark.table("embeddings").filter("vec_id <> 0")
+    query = spark.table("embeddings").filter("vec_id = 0")
+    return retrieval.hybrid_search(
+        docs, vectors, list(_BM25_TERMS), query,
+        config=retrieval.HybridConfig(k=10),
+    )
+
+
+# Spark side runs the first-class operator (operators/retrieval.py); the
+# DuckDB SQL twin pins BM25 (k1=1.5, b=0.75) + RRF (k=60) value-for-value.
+_def("hybrid_bm25_rrf", (_bm25_hybrid_fn, _bm25_hybrid_sql("duckdb")))
 
 # -- 24. random-hyperplane LSH bucketing over embeddings (sign-bit sketch;
 #        planes = vectors 8..15, deterministic). The scale path for

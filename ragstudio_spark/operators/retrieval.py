@@ -1,0 +1,164 @@
+"""Hybrid retrieval — BM25 keyword scoring + reciprocal-rank fusion.
+
+DataFrame-operator form of the reference's hybrid search tier
+(/root/reference/src/core/rag/hybrid_search.py:37-130: HybridSearchConfig
+vector_weight=0.5, bm25_weight=0.5, bm25_k1=1.5, bm25_b=0.75; the reference
+delegates the mechanics to LangChain's BM25Retriever + EnsembleRetriever —
+here both are native column expressions).
+
+Exactness rules (the DuckDB oracle hash-compares values):
+* corpus stats (N, avgdl, per-term df) are one single-row aggregate,
+  broadcast-cross-joined back — never recomputed per row;
+* fusion scores are built from integer ranks only (RRF k=60), so the
+  doubles are bit-identical across engines;
+* ties break on doc id ascending everywhere.
+
+Scale shape: scoring is embarrassingly parallel (one scan, no shuffle
+beyond the stats broadcast). Exact global ranking needs a total order —
+``candidate_limit`` bounds that: scores go through ``orderBy().limit(C)``,
+which Spark executes as TakeOrderedAndProject (per-partition partial top-k
++ driver merge, no full sort shuffle), and only the ≤C candidates enter the
+single-partition rank window and the fusion join. ``None`` ranks the full
+corpus (oracle/ground-truth mode; fine to sf0.1, not for 100 TB).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+@dataclass
+class HybridConfig:
+    """Mirrors reference HybridSearchConfig (hybrid_search.py:37-74)."""
+
+    vector_weight: float = 0.5
+    bm25_weight: float = 0.5
+    k: int = 10
+    bm25_k1: float = 1.5
+    bm25_b: float = 0.75
+    rrf_k: int = 60
+
+    def __post_init__(self):
+        if not 0.0 <= self.vector_weight <= 1.0:
+            raise ValueError("vector_weight must be between 0.0 and 1.0")
+        if not 0.0 <= self.bm25_weight <= 1.0:
+            raise ValueError("bm25_weight must be between 0.0 and 1.0")
+
+
+def _dl_col(text: Column) -> Column:
+    """Document length = whitespace token count (lower-cased, no empties)."""
+    return F.size(F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != ""))
+
+
+def _tf_col(text: Column, term: str) -> Column:
+    """Whole-word term frequency (case-insensitive)."""
+    return F.size(F.regexp_extract_all(
+        F.lower(text), F.lit(rf"\b{term}\b"), F.lit(0)))
+
+
+def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.5,
+                b: float = 0.75) -> DataFrame:
+    """Per-document BM25 score for a bag of query terms.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (the +1 keeps it positive)
+    tf-part = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    """
+    per_doc = docs.select(
+        F.col(id_col),
+        _dl_col(F.col(text_col)).alias("dl"),
+        *[_tf_col(F.col(text_col), t).alias(f"tf_{i}")
+          for i, t in enumerate(terms)],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+          for i in range(len(terms))],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log((F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                    / (F.col(f"df_{i}") + 0.5) + 1)
+        tf = F.col(f"tf_{i}")
+        part = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        score = part if score is None else score + part
+    return scored.select(F.col(id_col), score.alias("bm25_score"))
+
+
+def _ranked(scored: DataFrame, id_col: str, score_col: str, rank_name: str,
+            candidate_limit: int | None) -> DataFrame:
+    """score → dense integer ranks (desc score, asc id). With a candidate
+    limit the total order is computed as a distributed partial top-k
+    (TakeOrderedAndProject) before the small rank window."""
+    if candidate_limit is not None:
+        scored = scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(candidate_limit)
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return scored.select(F.col(id_col), F.row_number().over(w).alias(rank_name))
+
+
+def cosine_scores(vectors: DataFrame, query: DataFrame,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Cosine similarity of every vector against ONE broadcast query row
+    (sequential left-fold dot product — fixed accumulation order)."""
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    joined = vectors.crossJoin(q)
+    a, b = F.col(vec_col), F.col("_qvec")
+    cos = dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return joined.select(F.col(id_col), cos.alias("vec_score"))
+
+
+def rrf_fuse(bm25_ranks: DataFrame, vec_ranks: DataFrame,
+             id_col: str = "doc_id", config: HybridConfig | None = None,
+             require_both: bool = True) -> DataFrame:
+    """Reciprocal-rank fusion: w_b/(k+r_bm25) + w_v/(k+r_vec) → top-k
+    (doc_id, rank). ``require_both=True`` inner-joins the two rankings
+    (exact full-corpus mode); ``False`` outer-joins so a candidate missing
+    from one modality still scores on the other (candidate-limited mode —
+    the EnsembleRetriever behavior when top-k lists only partially overlap)."""
+    cfg = config or HybridConfig()
+    how = "inner" if require_both else "full_outer"
+    fused = bm25_ranks.join(vec_ranks, on=id_col, how=how)
+    contrib_b = F.when(F.col("bm25_rank").isNotNull(),
+                       cfg.bm25_weight / (cfg.rrf_k + F.col("bm25_rank"))).otherwise(0.0)
+    contrib_v = F.when(F.col("vec_rank").isNotNull(),
+                       cfg.vector_weight / (cfg.rrf_k + F.col("vec_rank"))).otherwise(0.0)
+    scored = fused.select(F.col(id_col), (contrib_b + contrib_v).alias("rrf"))
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("rrf"), F.asc(id_col)).limit(cfg.k)
+        .select(F.col(id_col), F.row_number().over(w).alias("rank"))
+    )
+
+
+def hybrid_search(docs: DataFrame, vectors: DataFrame, terms: list[str],
+                  query: DataFrame, text_col: str = "text",
+                  doc_id_col: str = "doc_id", vec_id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  config: HybridConfig | None = None,
+                  candidate_limit: int | None = None) -> DataFrame:
+    """Full hybrid pipeline: BM25 over ``docs`` + cosine over ``vectors``
+    against one ``query`` row, RRF-fused to (doc_id, rank). ``vectors``'
+    ids must align with ``docs``' ids (chunk embedding table)."""
+    cfg = config or HybridConfig()
+    bm25 = _ranked(
+        bm25_scores(docs, terms, text_col, doc_id_col, cfg.bm25_k1, cfg.bm25_b),
+        doc_id_col, "bm25_score", "bm25_rank", candidate_limit)
+    vec = _ranked(
+        cosine_scores(vectors, query, vec_id_col, vec_col)
+        .withColumnRenamed(vec_id_col, doc_id_col)
+        if vec_id_col != doc_id_col
+        else cosine_scores(vectors, query, vec_id_col, vec_col),
+        doc_id_col, "vec_score", "vec_rank", candidate_limit)
+    return rrf_fuse(bm25, vec, doc_id_col, cfg,
+                    require_both=candidate_limit is None)

@@ -1,0 +1,79 @@
+"""Hybrid retrieval operator (BM25 + RRF) semantics and scale-path tests."""
+
+import pytest
+
+from ragstudio_spark.operators import retrieval
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark makes the query engine fast and the table scan faster"),
+        (1, "a query against a table"),
+        (2, "nothing relevant here at all just filler words and more filler"),
+        (3, "spark spark spark query query table fast"),
+        (4, "the cat sat on the mat"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.2]),
+        (2, [0.0, 1.0]),
+        (3, [0.8, 0.1]),
+        (4, [0.1, 0.9]),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, embedding array<float>")
+
+
+class TestBM25:
+    def test_scores_rank_keyword_matches_first(self, spark, corpus):
+        scores = {r["doc_id"]: r["bm25_score"]
+                  for r in retrieval.bm25_scores(
+                      corpus, ["spark", "query", "table"]).collect()}
+        assert scores[3] > scores[2]       # term-rich beats filler
+        assert scores[0] > scores[2]
+        assert scores[4] == 0.0            # no query terms at all
+
+    def test_tf_saturation(self, spark, corpus):
+        """k1 saturates term frequency: doc 3's triple 'spark' must not
+        score 3x doc 0's single 'spark'."""
+        s = {r["doc_id"]: r["bm25_score"]
+             for r in retrieval.bm25_scores(corpus, ["spark"]).collect()}
+        assert s[3] < 3 * s[0]
+        assert s[3] > s[0]
+
+
+class TestHybrid:
+    def test_fusion_blends_modalities(self, spark, corpus, vectors):
+        query = vectors.filter("doc_id = 0").select("embedding")
+        out = retrieval.hybrid_search(
+            corpus, vectors.filter("doc_id <> 0"), ["spark", "query"],
+            query, vec_id_col="doc_id",
+            config=retrieval.HybridConfig(k=4),
+        ).collect()
+        ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        # doc 3: best bm25 AND near-best vector → must fuse to rank 1
+        assert ranked[0] == 3
+
+    def test_candidate_limit_matches_full_ranking_for_topk(self, spark, corpus, vectors):
+        """The TakeOrderedAndProject candidate path must agree with the
+        full-corpus ranking when the limit covers the corpus."""
+        query = vectors.filter("doc_id = 0").select("embedding")
+        kwargs = dict(vec_id_col="doc_id", config=retrieval.HybridConfig(k=3))
+        full = retrieval.hybrid_search(
+            corpus, vectors.filter("doc_id <> 0"), ["spark", "query"], query,
+            **kwargs).collect()
+        limited = retrieval.hybrid_search(
+            corpus, vectors.filter("doc_id <> 0"), ["spark", "query"], query,
+            candidate_limit=10, **kwargs).collect()
+        assert sorted(map(tuple, full)) == sorted(map(tuple, limited))
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError):
+            retrieval.HybridConfig(vector_weight=1.5)
+        with pytest.raises(ValueError):
+            retrieval.HybridConfig(bm25_weight=-0.1)
