@@ -1106,6 +1106,65 @@ FROM r GROUP BY 1
 _DEFS["pdf_type_distribution"] = (_pdftype_fn, _pdftype_duck_sql())
 
 
+# -- 29. tool-call payload mining (operators/toolcalls.py over the
+#        transcript `tool` column; reference carries tool bodies per turn).
+#        The documents table has no tool column, so the query decorates it
+#        with deterministic JSON bodies (incl. ~1/7 malformed → NULL
+#        fields, and 1/3 NULL → filtered) and mines them. Spark runs the
+#        operator (JVM from_json); DuckDB re-derives with json_extract.
+def _tool_decorate(engine: str) -> str:
+    str_t = "STRING" if engine == "spark" else "VARCHAR"
+    return f"""
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN NULL
+       WHEN doc_id % 7 = 1 THEN '{{not json'
+       ELSE '{{"tool": "' || CASE WHEN doc_id % 2 = 0 THEN 'search' ELSE 'fetch' END
+            || '", "status": "' || CASE WHEN doc_id % 5 = 0 THEN 'error' ELSE 'ok' END
+            || '", "call_id": ' || CAST(doc_id AS {str_t}) || '}}'
+  END AS tool
+FROM documents
+"""
+
+
+def _toolcalls_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import toolcalls
+
+    _register(spark, sf_dir, "documents")
+    dec = spark.sql(_tool_decorate("spark"))
+    calls = toolcalls.parse_tool_calls(dec, id_cols=("doc_id",))
+    stats = toolcalls.tool_call_stats(calls)
+    return stats.select(
+        "tool_name", "tool_status",
+        F.col("n_calls").cast("bigint").alias("n_calls"),
+        F.col("n_distinct_ids").cast("bigint").alias("n_distinct_ids"),
+    )
+
+
+def _toolcalls_duck_sql() -> str:
+    return f"""
+WITH dec AS ({_tool_decorate("duckdb")}),
+calls AS (
+  SELECT doc_id,
+         CASE WHEN json_valid(tool)
+              THEN json_extract_string(tool, '$.tool') END AS tool_name,
+         CASE WHEN json_valid(tool)
+              THEN json_extract_string(tool, '$.status') END AS tool_status,
+         CASE WHEN json_valid(tool)
+              THEN CAST(json_extract(tool, '$.call_id') AS BIGINT) END AS call_id
+  FROM dec WHERE tool IS NOT NULL
+)
+SELECT tool_name, tool_status,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT call_id) AS BIGINT) AS n_distinct_ids
+FROM calls GROUP BY tool_name, tool_status
+"""
+
+
+_def("tool_payload_extraction", (_toolcalls_fn, _toolcalls_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

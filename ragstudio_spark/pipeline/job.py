@@ -44,6 +44,7 @@ class PipelineConfig:
     chunk_min_ratio: float = 0.3
     on_error: str = "quarantine"     # fail_fast | skip | quarantine
     dedupe_chunks: bool = False      # corpus-wide exact chunk dedup stage
+    extract_tools: bool = False      # mine tool-call JSON payloads table
 
 
 @dataclass
@@ -51,6 +52,7 @@ class PipelineOutput:
     chunks: DataFrame        # one row per chunk
     metrics: DataFrame       # one row per turn (extraction metrics table)
     quarantine: DataFrame    # failed/empty turns with reason
+    tool_calls: DataFrame | None = None  # parsed tool payloads (opt-in)
 
 
 TURN_KEY = ("conv_id", "turn_idx")
@@ -58,6 +60,15 @@ TURN_KEY = ("conv_id", "turn_idx")
 
 def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -> PipelineOutput:
     cfg = config or PipelineConfig()
+
+    tool_calls = None
+    if cfg.extract_tools and "tool" in transcripts.columns:
+        # independent JVM-only branch off the same scan — never rides
+        # through the fused Python hop (operators/toolcalls.py rationale)
+        from ragstudio_spark.operators import toolcalls
+
+        tool_calls = toolcalls.parse_tool_calls(transcripts)
+
     df = sniff.with_content_type(transcripts)
 
     turns = fused.process_turns(
@@ -131,4 +142,5 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
             .drop("_rn")
         )
 
-    return PipelineOutput(chunks=chunks, metrics=metrics, quarantine=quarantine)
+    return PipelineOutput(chunks=chunks, metrics=metrics, quarantine=quarantine,
+                          tool_calls=tool_calls)

@@ -144,6 +144,9 @@ def run_with_lineage(
     out.chunks.sortWithinPartitions("conv_id", "turn_idx", "chunk_index").write.mode(
         "overwrite").parquet(os.path.join(run_dir, "chunks"))
     out.quarantine.write.mode("overwrite").parquet(os.path.join(run_dir, "quarantine"))
+    if out.tool_calls is not None:
+        out.tool_calls.write.mode("overwrite").parquet(
+            os.path.join(run_dir, "tool_calls"))
 
     lineage = (
         spark.read.parquet(os.path.join(run_dir, "metrics"))
