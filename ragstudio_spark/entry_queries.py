@@ -605,19 +605,24 @@ _def("quality_gate", _q(_quality_sql("spark"), _quality_sql("duckdb"), ("documen
 #        every reachable branch of the selector decision tree; the
 #        high_structure_score branch is unreachable from real text — any
 #        profile scoring >0.6 also trips an earlier branch)
-def _strategy_sql(engine: str) -> str:
-    nl = "chr(10)"
-    dec = f"""
+# dialect-neutral decoration (chr/repeat/|| work in both engines) reused by
+# strategy_distribution and strategy_distribution_ml
+_NL = "chr(10)"
+_STRATEGY_DECORATE = f"""
 SELECT doc_id, CASE CAST(doc_id % 7 AS INT)
-  WHEN 0 THEN '# Titre' || {nl} || '## Sous-section' || {nl} || repeat(text || ' ', 15)
+  WHEN 0 THEN '# Titre' || {_NL} || '## Sous-section' || {_NL} || repeat(text || ' ', 15)
   WHEN 1 THEN 'sommaire ' || repeat(text || ' ', 10)
-  WHEN 2 THEN repeat(text || ' ', 12) || {nl} || '| a | b | c | d | e | f | g |'
+  WHEN 2 THEN repeat(text || ' ', 12) || {_NL} || '| a | b | c | d | e | f | g |'
   WHEN 3 THEN 'introduction ' || repeat(text || ' ', 80)
   WHEN 4 THEN text
   WHEN 5 THEN 'conclusion ' || repeat(text || ' ', 20)
   ELSE 'caractéristiques ' || repeat(text || ' ', 15) END AS text
 FROM documents
 """
+
+
+def _strategy_sql(engine: str) -> str:
+    dec = _STRATEGY_DECORATE
     if engine == "spark":
         md_depths = "transform(regexp_extract_all(text, '(?m)^(#{1,6})\\\\s+', 1), h -> length(h))"
         num_depths = ("transform(regexp_extract_all(text, '(?m)^(\\\\d+(?:\\\\.\\\\d+)*)\\\\.\\\\s+', 1), "
@@ -688,6 +693,82 @@ sel AS (
 SELECT strategy, reason, count(*) AS n FROM sel GROUP BY strategy, reason
 """
 _def("strategy_distribution", _q(_strategy_sql("spark"), _strategy_sql("duckdb"), ("documents",)))
+
+# -- 16b. ML strategy classifier distribution (reference auto mode,
+#         chunk.py:677-717). Spark runs the column-expression operator
+#         (operators/ml_strategy.py); DuckDB re-derives the integer logits.
+#         Integer scores make argmax + sums engine-exact; the confidence
+#         double is one exact division and is NOT emitted (sums of doubles
+#         are order-dependent) — sum_best/sum_total pin it instead.
+def _ml_strategy_duck_sql() -> str:
+    md_depths = r"list_transform(regexp_extract_all(text, '(?m)^(#{1,6})\s+', 1), h -> length(h))"
+    num_depths = (r"list_transform(regexp_extract_all(text, '(?m)^(\d+(?:\.\d+)*)\.\s+', 1), "
+                  r"s -> len(string_split(s, '.')))")
+    depth = (f"CASE WHEN len(list_concat({md_depths}, {num_depths})) > 0 "
+             f"THEN list_max(list_concat({md_depths}, {num_depths})) ELSE 1 END")
+    pipe_count = "(length(text) - length(replace(text, '|', '')))"
+    tab_count = "(length(text) - length(replace(text, chr(9), '')))"
+    col_count = "(length(text) - length(replace(text, 'colonne', ''))) / 7"
+    lig_count = "(length(text) - length(replace(text, 'ligne', ''))) / 5"
+    heading_re = r"(?m)^\s*#{1,6}\s+|^\s*\d+\.\s+|^\s*[A-Z][A-Z\s]+$|^\s*[IVX]+\.\s+"
+    list_re = r"(?m)^\s*[-*•]\s+|^\s*\d+\.\s+|^\s*[a-z]\.\s+"
+    return f"""
+WITH dec AS ({_STRATEGY_DECORATE}),
+feat AS (
+  SELECT doc_id,
+    CAST(floor(length(text) / 4) AS BIGINT) AS t,
+    CASE WHEN regexp_matches(text, '{heading_re}') THEN 1 ELSE 0 END AS h,
+    CASE WHEN ({pipe_count} + {tab_count} + {col_count} + {lig_count}) > 5
+         THEN 1 ELSE 0 END AS tb,
+    CASE WHEN regexp_matches(text, '{list_re}') THEN 1 ELSE 0 END AS ls,
+    CAST({depth} AS BIGINT) AS d
+  FROM dec
+),
+scores AS (
+  SELECT doc_id,
+    3*h + 2*tb + 2*d + 4*(CASE WHEN t >= 2000 THEN 1 ELSE 0 END) + ls AS s_semantic,
+    2 + 3*(CASE WHEN t >= 500 AND t < 2000 THEN 1 ELSE 0 END)
+      + (CASE WHEN t >= 2000 THEN 1 ELSE 0 END) AS s_sentence,
+    1 + 4*(CASE WHEN t < 500 THEN 1 ELSE 0 END) AS s_token
+  FROM feat
+),
+pred AS (
+  SELECT
+    CASE WHEN s_semantic >= s_sentence AND s_semantic >= s_token THEN 'semantic'
+         WHEN s_sentence >= s_token THEN 'sentence'
+         ELSE 'token' END AS ml_strategy,
+    greatest(s_semantic, s_sentence, s_token) AS best,
+    s_semantic + s_sentence + s_token AS total
+  FROM scores
+)
+SELECT ml_strategy, count(*) AS n,
+       CAST(sum(best) AS BIGINT) AS sum_best,
+       CAST(sum(total) AS BIGINT) AS sum_total
+FROM pred GROUP BY ml_strategy
+"""
+
+
+def _ml_strategy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import ml_strategy
+
+    _register(spark, sf_dir, "documents")
+    dec = spark.sql(_STRATEGY_DECORATE)
+    scored = ml_strategy.with_ml_strategy(dec, text_col="text")
+    best = F.greatest(*[F.col(f"ml_score_{c}") for c in ml_strategy.ML_CLASSES])
+    total = sum(F.col(f"ml_score_{c}") for c in ml_strategy.ML_CLASSES)
+    return (
+        scored.select("ml_strategy", best.alias("best"), total.alias("total"))
+        .groupBy("ml_strategy")
+        .agg(F.count("*").alias("n"),
+             F.sum("best").cast("bigint").alias("sum_best"),
+             F.sum("total").cast("bigint").alias("sum_total"))
+    )
+
+
+_def("strategy_distribution_ml", (_ml_strategy_fn, _ml_strategy_duck_sql()))
+
 
 # -- 17. resume anti-join (retry semantics: history.py:311-328)
 _RESUME = """

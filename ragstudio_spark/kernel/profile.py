@@ -151,6 +151,58 @@ def select_chunking_strategy(profile: dict) -> dict:
             "reason": "default_fallback"}
 
 
+# --- ML strategy prediction (reference "auto" mode) --------------------------
+#
+# Reference: src/core/cli/commands/chunk.py:677-717 imports
+# src.workflows.analyzer.strategy_selector.predict_best_strategy — a module
+# absent from the reference repo, so its auto mode ALWAYS falls back to
+# "semantic". We implement the advertised contract: (strategy, confidence)
+# over the CLI's valid classes {semantic, sentence, token}, with the same
+# fallback-on-failure. The model is a dependency-free multinomial logit with
+# INTEGER-scaled weights over integer/boolean profile features: argmax of
+# logits equals argmax of softmax, so dropping exp() keeps the decision —
+# and the confidence ratio — bit-identical across Python, Spark SQL and
+# DuckDB (the oracle contract).
+
+ML_CLASSES = ("semantic", "sentence", "token")
+
+
+def ml_strategy_scores(text: str) -> dict[str, int]:
+    """Integer logit scores per class from profile features."""
+    t = len(text) // 4
+    b_short = 1 if t < 500 else 0
+    b_mid = 1 if 500 <= t < 2000 else 0
+    b_long = 1 if t >= 2000 else 0
+    h = 1 if has_headings(text) else 0
+    tb = 1 if has_tables(text) else 0
+    ls = 1 if has_lists(text) else 0
+    d = hierarchy_depth(text)
+    return {
+        # structure/length → semantic; mid-size prose → sentence; short → token
+        "semantic": 3 * h + 2 * tb + 2 * d + 4 * b_long + ls,
+        "sentence": 2 + 3 * b_mid + b_long,
+        "token": 1 + 4 * b_short,
+    }
+
+
+def predict_best_strategy(text: str) -> tuple[str, float]:
+    """(strategy, confidence); ties break in ML_CLASSES order."""
+    scores = ml_strategy_scores(text)
+    best = max(ML_CLASSES, key=lambda c: (scores[c], -ML_CLASSES.index(c)))
+    total = sum(scores.values())
+    return best, scores[best] / total if total > 0 else 0.0
+
+
+def auto_strategy(text: str) -> tuple[str, float, str]:
+    """Reference auto-mode semantics: ML prediction, 'semantic' on any
+    failure (chunk.py:705-717). Returns (strategy, confidence, method)."""
+    try:
+        strategy, confidence = predict_best_strategy(text)
+        return strategy, confidence, "ml_prediction"
+    except Exception:  # noqa: BLE001 — mirror reference catch-all fallback
+        return "semantic", 0.0, "fallback"
+
+
 def validate_strategy_config(config: dict) -> bool:
     """Shape/range validation — strategy_selector.py:122-161."""
     required = ("strategy", "max_tokens", "overlap", "reason")

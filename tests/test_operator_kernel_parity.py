@@ -49,6 +49,31 @@ class TestProfilerParity:
             assert row["strategy_reason"] == sel["reason"]
 
 
+class TestMLStrategyParity:
+    def test_ml_prediction_matches_kernel(self, spark):
+        from ragstudio_spark.operators import ml_strategy
+
+        df = ml_strategy.with_ml_strategy(
+            _texts(spark), text_col="extracted_text"
+        ).toPandas()
+        for _, row in df.iterrows():
+            text = row["extracted_text"] or ""
+            scores = kprofile.ml_strategy_scores(text)
+            strategy, confidence = kprofile.predict_best_strategy(text)
+            for cls in kprofile.ML_CLASSES:
+                assert row[f"ml_score_{cls}"] == scores[cls], text[:80]
+            assert row["ml_strategy"] == strategy
+            assert row["ml_confidence"] == confidence  # exact: integer ratio
+
+    def test_auto_mode_fallback_is_semantic(self):
+        # reference chunk.py:705-717: any predictor failure → 'semantic'
+        strategy, confidence, method = kprofile.auto_strategy(None)  # type: ignore[arg-type]
+        assert (strategy, method) == ("semantic", "fallback")
+        ok_strategy, _conf, ok_method = kprofile.auto_strategy("some text")
+        assert ok_method == "ml_prediction"
+        assert ok_strategy in kprofile.ML_CLASSES
+
+
 class TestQualityParity:
     def test_readability_exprs_match_kernel(self, spark):
         df = quality_gate.with_text_quality(
