@@ -38,18 +38,22 @@ def main() -> None:
                    help="generate N synthetic turns instead of --input")
     p.add_argument("--output", required=True, help="output root (runs/ inside)")
     p.add_argument("--run-id", required=True)
-    p.add_argument("--adaptive", action="store_true")
-    p.add_argument("--strategy", default="recursive")
-    p.add_argument("--max-tokens", type=int, default=400)
-    p.add_argument("--overlap", type=int, default=50)
-    p.add_argument("--langs", default="", help="comma list → language filter")
+    # config flags default to None: only explicitly-passed values enter the
+    # CLI layer of the resolution hierarchy (CLI > ENV > YAML > defaults)
+    p.add_argument("--config", help="YAML config file (pipeline: section)")
+    p.add_argument("--adaptive", action=argparse.BooleanOptionalAction, default=None)
+    p.add_argument("--extract-tools", action=argparse.BooleanOptionalAction, default=None)
+    p.add_argument("--strategy", default=None)
+    p.add_argument("--max-tokens", type=int, default=None)
+    p.add_argument("--overlap", type=int, default=None)
+    p.add_argument("--langs", default=None, help="comma list → language filter")
     p.add_argument("--no-resume", action="store_true")
-    p.add_argument("--min-readable-ratio", type=float, default=0.9)
+    p.add_argument("--min-readable-ratio", type=float, default=None)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from ragstudio_spark.pipeline.job import PipelineConfig
+    from ragstudio_spark.pipeline.config import resolve_config
     from ragstudio_spark.pipeline.lineage import run_with_lineage
     from ragstudio_spark.sources import transcripts as tsrc
 
@@ -63,14 +67,18 @@ def main() -> None:
     else:
         p.error("one of --input / --synthetic is required")
 
-    cfg = PipelineConfig(
-        strategy=args.strategy,
-        max_tokens=args.max_tokens,
-        overlap=args.overlap,
-        adaptive=args.adaptive,
-        language_filter=tuple(x for x in args.langs.split(",") if x) or None,
-        min_readable_ratio=args.min_readable_ratio,
-    )
+    cli_layer = {
+        k: v for k, v in {
+            "strategy": args.strategy,
+            "max_tokens": args.max_tokens,
+            "overlap": args.overlap,
+            "adaptive": args.adaptive,
+            "extract_tools": args.extract_tools,
+            "language_filter": args.langs,
+            "min_readable_ratio": args.min_readable_ratio,
+        }.items() if v is not None
+    }
+    cfg = resolve_config(cli=cli_layer, yaml_path=args.config)
     summary = run_with_lineage(
         spark, df, args.output, args.run_id, cfg, resume=not args.no_resume
     )
