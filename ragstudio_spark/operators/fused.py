@@ -69,6 +69,7 @@ def process_turns(
     carry_ts: bool = False,
     on_error: str = "quarantine",
     adaptive: bool = False,
+    with_trace: bool = False,
 ) -> DataFrame:
     """df must carry conv_id, turn_idx, text, content_type (+ ts when
     carry_ts, for event-time streaming). Returns the fused per-turn result
@@ -84,16 +85,34 @@ def process_turns(
     if on_error not in ("quarantine", "skip", "fail_fast"):
         raise ValueError(f"on_error: {on_error}")
     schema = FUSED_SCHEMA + (", ts timestamp" if carry_ts else "")
+    if with_trace:
+        # per-stage engine/duration records (reference ProcessingStep,
+        # src/workflows/io/processing_logger.py:20-110) — opt-in: the
+        # perf_counter calls and the extra array column stay entirely out
+        # of the default hot path
+        schema += (", stage_trace array<struct<"
+                   "stage:string,engine:string,duration_ms:double>>")
 
     def process_one(conv_id, turn_idx, text, ctype):
+        from time import perf_counter
+
+        trace: list | None = [] if with_trace else None
+
+        def mark(stage, engine, t0):
+            if trace is not None:
+                trace.append((stage, engine, (perf_counter() - t0) * 1000.0))
+
         raw = text or ""
+        t0 = perf_counter() if with_trace else 0.0
         extracted = _extract_one(raw, ctype)
+        mark("ingestion", _ENGINES.get(ctype, "identity"), t0)
 
         language = None
         quality_score = 1.0
         needs_repair = False
         repaired = False
         if with_normalize:
+            t0 = perf_counter() if with_trace else 0.0
             cleaned = textops.clean_text(extracted)
             if cleaned:
                 q = textops.detect_ocr_quality(cleaned)
@@ -104,6 +123,7 @@ def process_turns(
                     repaired = True
                     extracted = cleaned
                 language = langid.detect_language(cleaned)
+            mark("ocr_detection", "rule_based", t0)
 
         reason = None
         turn_strategy, turn_max_tokens, turn_overlap = strategy, max_tokens, overlap
@@ -111,13 +131,16 @@ def process_turns(
             # profile-driven strategy selection (same formulas as the JVM
             # column-expression operators — kernel.profile is the tested
             # ground truth for both)
+            t0 = perf_counter() if with_trace else 0.0
             prof = kprofile.analyze_text(extracted, language=language)
             sel = kprofile.select_chunking_strategy(prof)
             turn_strategy = sel["strategy"]
             turn_max_tokens = sel["max_tokens"]
             turn_overlap = sel["overlap"]
             reason = sel["reason"]
+            mark("strategy_selection", "profile_tree", t0)
 
+        t0 = perf_counter() if with_trace else 0.0
         chunks, stats = kchunk.chunk_turn(
             extracted,
             source=f"{conv_id}:{turn_idx}",
@@ -127,8 +150,9 @@ def process_turns(
             do_preprocess=do_preprocess,
             adaptive=adaptive,
         )
+        mark("chunking", turn_strategy, t0)
         return (language, quality_score, needs_repair, repaired,
-                len(extracted), stats, chunks, reason)
+                len(extracted), stats, chunks, reason, trace)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,14 +160,15 @@ def process_turns(
                 "conv_id", "turn_idx", "content_type", "extraction_engine",
                 "text_head", "language", "quality_score", "needs_repair",
                 "repair_applied", "extracted_chars", "extraction_fixes",
-                "page_numbers_removed", "error", "chunking_reason", "chunks")}
+                "page_numbers_removed", "error", "chunking_reason", "chunks",
+                *(["stage_trace"] if with_trace else []))}
             for conv_id, turn_idx, text, ctype in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["content_type"]
             ):
                 error = None
                 try:
                     (language, quality_score, needs_repair, repaired,
-                     n_extracted, stats, chunks, reason) = process_one(
+                     n_extracted, stats, chunks, reason, trace) = process_one(
                         conv_id, turn_idx, text, ctype)
                 except Exception as exc:  # noqa: BLE001 — row-level fault barrier
                     if on_error == "fail_fast":
@@ -152,7 +177,7 @@ def process_turns(
                     language, quality_score = None, 0.0
                     needs_repair, repaired, n_extracted = False, False, 0
                     stats = {"extraction_fixes": 0, "page_numbers_removed": 0}
-                    chunks, reason = [], None
+                    chunks, reason, trace = [], None, [] if with_trace else None
                 out["conv_id"].append(conv_id)
                 out["turn_idx"].append(turn_idx)
                 out["content_type"].append(ctype)
@@ -170,6 +195,8 @@ def process_turns(
                 out["chunks"].append(
                     [tuple(c[k] for k in _CHUNK_FIELDS) for c in chunks]
                 )
+                if with_trace:
+                    out["stage_trace"].append(trace)
             if carry_ts:
                 out["ts"] = list(pdf["ts"])
             yield pd.DataFrame(out)

@@ -45,6 +45,7 @@ class PipelineConfig:
     on_error: str = "quarantine"     # fail_fast | skip | quarantine
     dedupe_chunks: bool = False      # corpus-wide exact chunk dedup stage
     extract_tools: bool = False      # mine tool-call JSON payloads table
+    with_trace: bool = False         # per-turn stage duration/engine trace
 
 
 @dataclass
@@ -81,6 +82,7 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
         apply_repair=cfg.apply_repair,
         on_error=cfg.on_error,
         adaptive=cfg.adaptive,
+        with_trace=cfg.with_trace,
     )
 
     if cfg.language_filter:
@@ -109,6 +111,7 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
         F.col("total_chunks_gate").alias("total_chunks"),
         "readable_chunks", "readable_ratio", "status", "error",
         "language", "quality_score", "needs_repair", "repair_applied",
+        *(["stage_trace"] if cfg.with_trace else []),
     )
 
     quarantine = turns.filter(F.col("status") != "success").select(
