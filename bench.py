@@ -30,12 +30,12 @@ def main() -> None:
     from ragstudio_spark.session import get_spark
     from ragstudio_spark.sources import transcripts as tsrc
 
-    # size scan splits to the toy data (25 MB-ish inputs collapse to ~6
-    # tasks under the 128 MB default — at real scale the default is right)
+    # openCost=0 so per-file splits stay 1:1 with the written layout; scan
+    # parallelism for the battery tables comes from the explicit fan-out
+    # repartition in entry_queries, not from split slicing
     spark = get_spark("ragstudio-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus,
                       extra_conf={
-                          "spark.sql.files.maxPartitionBytes": str(256 * 1024),
                           "spark.sql.files.openCostInBytes": "0",
                       })
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,9 +55,14 @@ def main() -> None:
     # materialize the transcript table once (the metric is throughput over
     # an existing table, not generation) — generation is itself a Python
     # hop and chaining it with the pipeline doubles workers per task
+    # one file per core → one balanced task wave. Measured at local[32]:
+    # 128 small input files cost ~1.4× the wall time of 32 uniform ones
+    # (per-task worker pickup + Arrow stream setup dominate sub-MB tasks;
+    # the per-turn work is uniform so a single wave has no stragglers).
+    # At real scale the equivalent is sizing splits to a few per core.
     import tempfile
     input_dir = os.path.join(tempfile.mkdtemp(prefix="bench_"), "transcripts")
-    tsrc.transcripts_df(spark, n_turns, partitions=cpus * 4).write.mode(
+    tsrc.transcripts_df(spark, n_turns, partitions=cpus).write.mode(
         "overwrite").parquet(input_dir)
     read = lambda: spark.read.parquet(input_dir)  # noqa: E731
 
