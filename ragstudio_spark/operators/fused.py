@@ -13,6 +13,14 @@ The JVM-side stages (content-type sniff before; quality gate, status,
 explode after) are unchanged — semantics are identical to the staged
 operators (same kernel functions), verified by the differential oracle
 tests.
+
+On batch-level pandas vectorization of the cheap stages (clean / quality
+prescan / langid): measured and rejected. pandas ``.str`` regex ops call
+the same Python ``re`` engine per element, so grouping rows per Arrow
+batch buys only loop overhead (<5%). The actual bottleneck was the
+combined-alternation prescan regexes themselves; replacing them with
+literal substring scans in the kernel (textops.py) made the Python tier
+1.77× faster with byte-identical outputs — per-row dispatch here is fine.
 """
 
 from __future__ import annotations
