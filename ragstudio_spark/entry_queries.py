@@ -253,6 +253,42 @@ def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB SQL twin pins its semantics value-for-value.
 _def("dedup_minhash_lsh", (_minhash_fn, _minhash_sql("duckdb")))
 
+# -- 6b. near-dup cluster resolution: minhash candidate pairs → connected
+#        components (doc_id, cluster_id = min reachable id). Spark runs
+#        min-label propagation (operators/dedupe.duplicate_clusters);
+#        DuckDB proves it with a recursive-CTE transitive closure.
+def _clusters_duck_sql() -> str:
+    return f"""
+WITH RECURSIVE p AS ({_minhash_sql("duckdb")}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+def _clusters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    pairs = dedupe.minhash_lsh_pairs(spark.table("documents"))
+    clusters = dedupe.duplicate_clusters(pairs)
+    return clusters.select("doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
+
+
+_def("dedup_clusters", (_clusters_fn, _clusters_duck_sql()))
+
+
 # -- 7. exact n-gram Jaccard top pairs (ground truth for LSH)
 def _jaccard_sql(engine: str) -> str:
     words = _words_expr("text", engine)

@@ -14,6 +14,8 @@ Large-scale training-data dedup toolkit over a text column:
   band, exact recall at Hamming ≤ 3 by pigeonhole).
 * ``jaccard_pairs``       — exact n-gram-shingle Jaccard via shared-shingle
   join (the ground truth LSH approximates).
+* ``duplicate_clusters`` / ``keep_canonical`` — candidate pairs → connected
+  components (min-label propagation) → one surviving doc per cluster.
 
 Everything is JVM-side column expressions (md5/regexp/array functions) —
 no Python in any of these paths. The SQL twins in entry_queries.py verify
@@ -216,6 +218,71 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     the 16-bit variant's 4-bit bands capped at 16 buckets/band and
     degenerated to an all-pairs join at corpus scale)."""
     return simhash64_near_pairs(df, text_col, id_col, max_hamming)
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Resolve candidate near-dup pairs into clusters: (doc_id, cluster_id)
+    where cluster_id = the minimum doc id reachable through the pair graph
+    (connected components).
+
+    A dedup pipeline needs clusters, not pair lists — "keep one copy per
+    duplicate group" is only well-defined on components. Algorithm:
+    min-label propagation (each node takes the min label among itself and
+    its neighbors, iterate to fixpoint). Converges in O(component diameter)
+    rounds; near-dup components are shallow (dozens of docs, diameter ≤ a
+    few hops), so 3–5 rounds in practice. Each round is one join + one
+    groupBy — all shuffles on the id key; ``localCheckpoint`` cuts the
+    lineage so plans don't grow with iterations. For graphs with huge
+    diameters use alternating star contraction instead; near-dup graphs
+    never need it.
+
+    Input must carry ``doc_a`` / ``doc_b`` (as produced by
+    ``minhash_lsh_pairs`` / ``simhash64_near_pairs`` / ``jaccard_pairs``).
+    Only nodes appearing in ≥1 pair are returned (singletons are their own
+    trivial cluster by definition)."""
+    # undirected edge list, one direction table with both orientations
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id").agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Corpus minus duplicates: for every near-dup cluster keep only the
+    minimum-id document (the cluster_id itself), untouched rows pass
+    through. One broadcast-able anti-join against the drop set."""
+    clusters = duplicate_clusters(pairs)
+    drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+                    .select(F.col("doc_id").alias(id_col))
+    return df.join(drops, on=id_col, how="left_anti")
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -114,6 +114,31 @@ class TestDedupe:
         assert near[(0, 1)] == 0
 
 
+class TestClusters:
+    def test_transitive_components_and_canonical(self, spark):
+        # chain 1-2-3 plus island 5-6: transitivity must link 1 to 3
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "doc_a int, doc_b int")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedupe.duplicate_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in (1, 2, 3, 4, 5, 6)],
+            "doc_id int, text string")
+        kept = {r["doc_id"] for r in dedupe.keep_canonical(docs, pairs).collect()}
+        # one survivor per cluster (the min id) + untouched singleton 4
+        assert kept == {1, 4, 5}
+
+    def test_long_chain_converges(self, spark):
+        n = 40  # diameter 39 chain still resolves (label skips halve distance)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a int, doc_b int")
+        got = dedupe.duplicate_clusters(pairs, max_iter=50).collect()
+        assert {r["cluster_id"] for r in got} == {0}
+        assert len(got) == n + 1
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def vectors(self, spark):
