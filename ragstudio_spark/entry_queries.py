@@ -952,6 +952,136 @@ def _bm25_hybrid_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB SQL twin pins BM25 (k1=1.5, b=0.75) + RRF (k=60) value-for-value.
 _def("hybrid_bm25_rrf", (_bm25_hybrid_fn, _bm25_hybrid_sql("duckdb")))
 
+# -- 23b. query-expansion retrieval (reference QueryExpansionRetriever:
+#         expand → BM25 top-k per expansion → merge in expansion order,
+#         dedup, cap). The synonym expansion of the fixed query is
+#         deterministic, so the DuckDB twin is generated from the same
+#         expanded list the Spark operator will produce.
+_EXPANSION_QUERY = "what is spark query"
+_EXPANSION_K_PER = 4
+_EXPANSION_FINAL_K = 8
+
+
+def _expanded_terms() -> list[list[str]]:
+    from ragstudio_spark.operators import rag_extras
+
+    expander = rag_extras.QueryExpander(
+        rag_extras.QueryExpansionConfig(strategy="synonyms", num_queries=3))
+    return [rag_extras._query_terms(q) for q in expander.expand(_EXPANSION_QUERY)]
+
+
+def _expansion_duck_sql() -> str:
+    expansions = _expanded_terms()
+
+    def tf(t):
+        return f"len(regexp_extract_all(lower(text), '\\b{t}\\b'))"
+
+    def bm25_cte(i, terms):
+        words = _words_expr("text", "duckdb")
+        tf_cols = ", ".join(f"{tf(t)} AS tf_{j}" for j, t in enumerate(terms))
+        df_cols = ", ".join(
+            f"sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS df_{j}"
+            for j in range(len(terms)))
+        score = " + ".join(
+            f"(ln((s.n_docs - s.df_{j} + 0.5) / (s.df_{j} + 0.5) + 1) "
+            f"* d.tf_{j} * 2.5 / (d.tf_{j} + 1.5 * (0.25 + 0.75 * d.dl / s.avgdl)))"
+            for j in range(len(terms)))
+        return f"""
+d{i} AS (SELECT doc_id, {tf_cols}, len({words}) AS dl FROM documents),
+s{i} AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df_cols} FROM d{i}),
+t{i} AS (
+  SELECT doc_id, {i} AS expansion_idx FROM d{i} d CROSS JOIN s{i} s
+  ORDER BY ({score}) DESC, doc_id ASC LIMIT {_EXPANSION_K_PER}
+)"""
+
+    ctes = ",".join(bm25_cte(i, terms) for i, terms in enumerate(expansions))
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM t{i}" for i in range(len(expansions)))
+    return f"""
+WITH {ctes},
+merged AS ({union}),
+dedup AS (
+  SELECT doc_id, min(expansion_idx) AS expansion_idx
+  FROM merged GROUP BY doc_id
+),
+final AS (
+  SELECT doc_id, expansion_idx FROM dedup
+  ORDER BY expansion_idx, doc_id ASC LIMIT {_EXPANSION_FINAL_K}
+)
+SELECT doc_id, CAST(expansion_idx AS INT) AS expansion_idx,
+       CAST(row_number() OVER (ORDER BY expansion_idx, doc_id ASC) AS BIGINT) AS rank
+FROM final
+"""
+
+
+def _expansion_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import rag_extras
+
+    _register(spark, sf_dir, "documents")
+    out = rag_extras.expansion_search(
+        spark.table("documents"), _EXPANSION_QUERY,
+        rag_extras.QueryExpander(
+            rag_extras.QueryExpansionConfig(strategy="synonyms", num_queries=3)),
+        k_per_query=_EXPANSION_K_PER, final_k=_EXPANSION_FINAL_K)
+    return out.select(
+        "doc_id", F.col("expansion_idx").cast("int").alias("expansion_idx"),
+        F.col("rank").cast("bigint").alias("rank"))
+
+
+_def("rag_expansion_search", (_expansion_fn, _expansion_duck_sql()))
+
+
+# -- 23c. lexical-overlap reranker (reference reranker.py semantics with a
+#         JVM scorer standing in for the cross-encoder): score, sort desc,
+#         min_score filter, top_k.
+_RERANK_QUERY = "spark query scan performance on the table"
+_RERANK_TOP_K = 10
+_RERANK_MIN = 0.25
+
+
+def _rerank_duck_sql() -> str:
+    import re as _re
+
+    terms = list(dict.fromkeys(
+        w for w in _re.findall(r"\w+", _RERANK_QUERY.lower()) if len(w) > 1))
+    hits = " + ".join(
+        f"(CASE WHEN regexp_matches(lower(text), '\\b{t}\\b') THEN 1 ELSE 0 END)"
+        for t in terms)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, CAST(({hits}) AS DOUBLE) / {float(len(terms))} AS rerank_score
+  FROM documents
+),
+top AS (
+  SELECT doc_id, rerank_score FROM scored
+  WHERE rerank_score >= {_RERANK_MIN}
+  ORDER BY rerank_score DESC, doc_id ASC LIMIT {_RERANK_TOP_K}
+)
+SELECT doc_id, rerank_score,
+       CAST(row_number() OVER (ORDER BY rerank_score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM top
+"""
+
+
+def _rerank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import rag_extras
+
+    _register(spark, sf_dir, "documents")
+    out = rag_extras.rerank(
+        spark.table("documents").select("doc_id", "text"),
+        rag_extras.lexical_overlap_score(_RERANK_QUERY),
+        rag_extras.RerankerConfig(top_k=_RERANK_TOP_K, min_score=_RERANK_MIN))
+    return out.select("doc_id", "rerank_score",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+_def("rerank_lexical", (_rerank_fn, _rerank_duck_sql()))
+
+
 # -- 24. random-hyperplane LSH bucketing over embeddings (sign-bit sketch;
 #        planes = vectors 8..15, deterministic). The scale path for
 #        embedding near-dup: candidates only within a bucket.

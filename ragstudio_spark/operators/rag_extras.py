@@ -1,0 +1,232 @@
+"""Retrieval-tier extras: query expansion + re-ranking.
+
+Ports the reference's RAG retrieval helpers to the DataFrame engine:
+
+* Query expansion — /root/reference/src/core/rag/query_expansion.py:31-298.
+  Strategies: MULTI_QUERY / LLM_GENERATED need an LLM and degrade to
+  ``[query]`` without one (exactly the reference's None-llm branch);
+  SYNONYMS uses the reference's literal synonym table with case-preserving
+  first-occurrence replacement; HYBRID combines + dedups. ``expand`` keeps
+  the reference's truncate → strategy → prepend-original → case-insensitive
+  order-preserving dedup pipeline.
+* Expanded retrieval — query_expansion.py:299-375 QueryExpansionRetriever:
+  search per expanded query, merge in expansion order, dedup by content,
+  cap at final_k. Here the per-query search is the engine's BM25 scorer
+  (operators/retrieval.py), so the whole merge is a few unions over
+  top-k DataFrames — tiny and driver-safe (k_per_query rows each).
+* Re-ranking — /root/reference/src/core/rag/reranker.py:77-252. The
+  cross-encoder model itself is binary inference and NOT bundled (the
+  container has no sentence_transformers; the reference raises
+  ImportError in that case — mirrored here). The rerank semantics (score
+  jointly, sort desc, min_score filter, top_k, attach rerank_score) are
+  real and take any scorer: a Spark Column expression or a pandas scoring
+  function, so a real cross-encoder drops in as a pandas UDF.
+
+Expansion itself is a driver-side string operation (queries are single
+strings, not data), so it is plain Python by design; all document-side
+work stays in DataFrames.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# reference query_expansion.py:210-219 — verbatim semantics, small table;
+# "in production use WordNet or a custom thesaurus" per the reference
+SYNONYMS: dict[str, list[str]] = {
+    "what is": ["define", "explain", "describe"],
+    "how to": ["method to", "way to", "process of"],
+    "machine learning": ["ML", "artificial intelligence", "AI"],
+    "artificial intelligence": ["AI", "machine learning", "ML"],
+    "data science": ["analytics", "data analysis", "statistical analysis"],
+    "grammaire": ["règles grammaticales", "syntaxe", "structure grammaticale"],
+    "français": ["langue française", "francophone"],
+}
+
+STRATEGIES = ("multi_query", "synonyms", "llm_generated", "hybrid")
+
+
+@dataclass
+class QueryExpansionConfig:
+    """Mirrors reference QueryExpansionConfig (query_expansion.py:48-64)."""
+
+    strategy: str = "multi_query"
+    num_queries: int = 3
+    include_original: bool = True
+    max_query_length: int = 500
+
+    def __post_init__(self):
+        if self.strategy not in STRATEGIES:
+            raise ValueError(f"strategy must be one of {STRATEGIES}")
+
+
+class QueryExpander:
+    """Reference QueryExpander (query_expansion.py:67-298). ``llm`` is an
+    optional callable ``prompt -> text``; without it the LLM strategies
+    return just the original query (the reference's None branch)."""
+
+    def __init__(self, config: QueryExpansionConfig | None = None,
+                 llm: Callable[[str], str] | None = None):
+        self.config = config or QueryExpansionConfig()
+        self.llm = llm
+
+    def expand(self, query: str) -> list[str]:
+        if not query or not query.strip():
+            return [query]
+        query = query[: self.config.max_query_length]
+        fn = {
+            "multi_query": self._expand_multi_query,
+            "synonyms": self._expand_synonyms,
+            "llm_generated": self._expand_multi_query,  # same mechanics
+            "hybrid": self._expand_hybrid,
+        }[self.config.strategy]
+        expanded = fn(query)
+        if self.config.include_original and query not in expanded:
+            expanded = [query] + expanded
+        seen: set[str] = set()
+        out: list[str] = []
+        for q in expanded:
+            q_clean = q.strip()
+            if q_clean and q_clean.lower() not in seen:
+                seen.add(q_clean.lower())
+                out.append(q_clean)
+        return out
+
+    def _expand_multi_query(self, query: str) -> list[str]:
+        if self.llm is None:
+            return [query]
+        try:
+            text = self.llm(query)
+            queries = [line.strip().lstrip("123456789.-*) ")
+                       for line in text.strip().split("\n") if line.strip()]
+            return queries[: self.config.num_queries]
+        except Exception:  # noqa: BLE001 — reference catches + falls back
+            return [query]
+
+    def _expand_synonyms(self, query: str) -> list[str]:
+        expanded = [query]
+        query_lower = query.lower()
+        for term, synonyms in SYNONYMS.items():
+            if term in query_lower:
+                for synonym in synonyms[: self.config.num_queries - 1]:
+                    pattern = re.compile(re.escape(term), re.IGNORECASE)
+                    new_query = pattern.sub(synonym, query, count=1)
+                    if new_query != query:
+                        expanded.append(new_query)
+        return expanded[: self.config.num_queries]
+
+    def _expand_hybrid(self, query: str) -> list[str]:
+        combined = self._expand_multi_query(query) + self._expand_synonyms(query)
+        seen: set[str] = set()
+        out = []
+        for q in combined:
+            if q.lower() not in seen:
+                seen.add(q.lower())
+                out.append(q)
+        return out[: self.config.num_queries]
+
+
+def _query_terms(query: str) -> list[str]:
+    return [w for w in re.findall(r"\w+", query.lower()) if len(w) > 1]
+
+
+def expansion_search(docs: DataFrame, query: str,
+                     expander: QueryExpander | None = None,
+                     k_per_query: int = 4, final_k: int = 10,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """QueryExpansionRetriever.retrieve over BM25: search per expanded
+    query, merge in expansion order, dedup (first expansion that surfaced
+    a doc wins), cap at final_k. Returns (doc_id, expansion_idx, rank).
+
+    Scale shape: each per-query search is one scan + stats broadcast +
+    distributed top-k (TakeOrderedAndProject); the merge unions k_per_query
+    rows per expansion — trivially small."""
+    from ragstudio_spark.operators import retrieval
+
+    expander = expander or QueryExpander()
+    merged = None
+    for i, q in enumerate(expander.expand(query)):
+        terms = _query_terms(q)
+        if not terms:
+            continue
+        scores = retrieval.bm25_scores(docs, terms, text_col, id_col)
+        topk = (
+            scores.orderBy(F.desc("bm25_score"), F.asc(id_col)).limit(k_per_query)
+            .select(F.col(id_col), F.lit(i).alias("expansion_idx"))
+        )
+        merged = topk if merged is None else merged.unionByName(topk)
+    if merged is None:
+        raise ValueError("no expandable terms in query")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("expansion_idx")
+    dedup = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+    w_all = Window.orderBy("expansion_idx", F.asc(id_col))
+    return (
+        dedup.orderBy("expansion_idx", F.asc(id_col)).limit(final_k)
+        .select(id_col, "expansion_idx", F.row_number().over(w_all).alias("rank"))
+    )
+
+
+# --- re-ranking --------------------------------------------------------------
+
+@dataclass
+class RerankerConfig:
+    """Mirrors reference RerankerConfig (reranker.py:77-94)."""
+
+    top_k: int = 4
+    min_score: float | None = None
+
+
+def load_cross_encoder(model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2"):
+    """Load the reference's cross-encoder (reranker.py:121-161). The
+    container ships no sentence_transformers — this raises exactly like
+    the reference's CROSSENCODER_AVAILABLE=False branch; swap in any
+    ``(query, text) -> score`` model on a real deployment."""
+    try:
+        from sentence_transformers import CrossEncoder  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "CrossEncoder not available. Install with: "
+            "pip install sentence-transformers"
+        ) from exc
+    return CrossEncoder(model_name)  # pragma: no cover — not in container
+
+
+def rerank(candidates: DataFrame, score: Column,
+           config: RerankerConfig | None = None,
+           id_col: str = "doc_id") -> DataFrame:
+    """Rerank semantics (reranker.py:163-227) over a candidates DataFrame:
+    attach ``rerank_score`` from ``score`` (any Column — a JVM relevance
+    expression or a pandas-UDF cross-encoder), sort desc (ties on id asc),
+    drop below min_score, keep top_k, assign final ranks."""
+    cfg = config or RerankerConfig()
+    scored = candidates.withColumn("rerank_score", score)
+    if cfg.min_score is not None:
+        scored = scored.filter(F.col("rerank_score") >= cfg.min_score)
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("rerank_score"), F.asc(id_col)).limit(cfg.top_k)
+    w = Window.orderBy(F.desc("rerank_score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def lexical_overlap_score(query: str, text_col: str = "text") -> Column:
+    """Deterministic stand-in scorer (and a useful cheap reranker on its
+    own): |query ∩ doc| / |query| over word sets — JVM-side, codegen'd."""
+    terms = list(dict.fromkeys(_query_terms(query)))
+    if not terms:
+        return F.lit(0.0)
+    hits = None
+    for t in terms:
+        h = F.when(F.lower(F.col(text_col)).rlike(rf"\b{t}\b"), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    return hits.cast("double") / F.lit(float(len(terms)))

@@ -1,0 +1,103 @@
+"""Query expansion + reranker semantics (reference src/core/rag tier)."""
+
+import pytest
+
+from ragstudio_spark.operators import rag_extras
+
+
+class TestQueryExpander:
+    def test_synonym_expansion_case_preserving(self):
+        exp = rag_extras.QueryExpander(
+            rag_extras.QueryExpansionConfig(strategy="synonyms", num_queries=3))
+        out = exp.expand("What is machine learning")
+        # original first, then first-occurrence case-insensitive replacements
+        assert out[0] == "What is machine learning"
+        assert "define machine learning" in out
+        assert len(out) <= 3
+
+    def test_llm_strategies_degrade_without_llm(self):
+        for strategy in ("multi_query", "llm_generated"):
+            exp = rag_extras.QueryExpander(
+                rag_extras.QueryExpansionConfig(strategy=strategy))
+            assert exp.expand("anything goes here") == ["anything goes here"]
+
+    def test_llm_injection_and_parse(self):
+        def fake_llm(_prompt):
+            return "1. first version\n2. second version\n3. third version\n4. extra"
+
+        exp = rag_extras.QueryExpander(
+            rag_extras.QueryExpansionConfig(strategy="multi_query",
+                                            num_queries=3),
+            llm=fake_llm)
+        out = exp.expand("orig question")
+        assert out[0] == "orig question"       # include_original prepends
+        assert "first version" in out and "third version" in out
+        assert "extra" not in out              # capped at num_queries
+
+    def test_hybrid_dedups_case_insensitive(self):
+        def fake_llm(_prompt):
+            return "What is Machine Learning\nsomething new"
+
+        exp = rag_extras.QueryExpander(
+            rag_extras.QueryExpansionConfig(strategy="hybrid", num_queries=4),
+            llm=fake_llm)
+        out = exp.expand("what is machine learning")
+        lowered = [q.lower() for q in out]
+        assert len(lowered) == len(set(lowered))
+
+    def test_empty_and_truncation(self):
+        exp = rag_extras.QueryExpander(
+            rag_extras.QueryExpansionConfig(strategy="synonyms",
+                                            max_query_length=10))
+        assert exp.expand("") == [""]
+        assert all(len(q) <= 10 for q in exp.expand("x" * 50))
+
+    def test_invalid_strategy(self):
+        with pytest.raises(ValueError):
+            rag_extras.QueryExpansionConfig(strategy="nope")
+
+
+class TestExpansionSearch:
+    def test_merge_order_and_dedup(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "machine learning is great"),
+             (1, "define the term for beginners"),
+             (2, "nothing relevant at all"),
+             (3, "machine learning define everything")],
+            "doc_id int, text string")
+        out = rag_extras.expansion_search(
+            docs, "what is machine learning",
+            rag_extras.QueryExpander(
+                rag_extras.QueryExpansionConfig(strategy="synonyms",
+                                                num_queries=3)),
+            k_per_query=2, final_k=4).collect()
+        by_rank = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert len(by_rank) == len(set(by_rank))   # deduped
+        assert set(by_rank) <= {0, 1, 2, 3}
+        # docs surfaced by the original query rank before later expansions
+        idx = {r["doc_id"]: r["expansion_idx"] for r in out}
+        ranks = {r["doc_id"]: r["rank"] for r in out}
+        for a in idx:
+            for b in idx:
+                if idx[a] < idx[b]:
+                    assert ranks[a] < ranks[b]
+
+
+class TestReranker:
+    def test_rerank_sort_filter_topk(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "spark query engine"), (1, "spark"), (2, "unrelated prose"),
+             (3, "query spark engine fast")],
+            "doc_id int, text string")
+        score = rag_extras.lexical_overlap_score("spark query engine")
+        out = rag_extras.rerank(
+            docs, score,
+            rag_extras.RerankerConfig(top_k=2, min_score=0.5)).collect()
+        ranked = [(r["doc_id"], r["rerank_score"]) for r in
+                  sorted(out, key=lambda r: r["rank"])]
+        assert [d for d, _ in ranked] == [0, 3]    # full overlap, id tie-break
+        assert all(s >= 0.5 for _, s in ranked)
+
+    def test_cross_encoder_unavailable_raises(self):
+        with pytest.raises(ImportError, match="sentence-transformers"):
+            rag_extras.load_cross_encoder()
