@@ -84,7 +84,10 @@ def main() -> None:
     qs = entry_queries.queries()
     for name in ("quality_gate", "strategy_distribution", "dedup_minhash_lsh",
                  "ngram_jaccard_top_pairs", "dedup_simhash", "ann_cosine_topk",
-                 "window_chunks_sql", "pricing_summary", "sessionize_events"):
+                 "window_chunks_sql", "pricing_summary", "sessionize_events",
+                 # round-2 operators
+                 "dedup_simhash64", "dedup_clusters", "hybrid_bm25_rrf",
+                 "strategy_distribution_ml", "tool_payload_extraction"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

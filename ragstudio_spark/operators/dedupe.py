@@ -180,20 +180,35 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
 
 def simhash64_near_pairs(df: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                         id_col: str = "doc_id", max_hamming: int = 3,
+                         length_band: bool = False) -> DataFrame:
     """Near-duplicate candidates from the 64-bit sketch: join docs sharing
     any 16-bit band value, then filter on full Hamming distance.
 
     LSH guarantee: with 4 bands, any pair at Hamming ≤ 3 shares at least
     one intact band (pigeonhole), so recall is exact for the default
     radius. Band keys have 2^16 buckets so bucket occupancy — and the
-    self-join's fan-out — stays bounded as the corpus grows."""
+    self-join's fan-out — stays bounded as the corpus grows.
+
+    ``length_band=True`` composites each band key with a log₂ length
+    bucket: at corpus scale a 16-bit band can still collect a hot bucket
+    of trivially-sketched docs (near-empty texts), and docs whose lengths
+    differ >2× are not near-dups of interest anyway — the composite key
+    shards such buckets for free. Off by default (pure-sketch recall)."""
     sh = simhash64(df, text_col, id_col)
     s_cols = [f"s{i}" for i in range(SIMHASH_BANDS)]
+    carry = list(s_cols)
+    if length_band:
+        lb = F.floor(F.log2(F.greatest(F.length(F.col(text_col)), F.lit(1)))) \
+              .cast("int").alias("len_bucket")
+        sh = sh.join(df.select(F.col(id_col), lb), on=id_col)
+        carry.append("len_bucket")
     bands = None
     for i in range(SIMHASH_BANDS):
-        one = sh.select(id_col, *s_cols, F.lit(i).alias("band"),
-                        F.col(f"s{i}").alias("key"))
+        key = (F.concat_ws(":", F.col(f"s{i}"), F.col("len_bucket"))
+               if length_band else F.col(f"s{i}"))
+        one = sh.select(id_col, *carry, F.lit(i).alias("band"),
+                        key.alias("key"))
         bands = one if bands is None else bands.unionByName(one)
     a, b_ = bands.alias("a"), bands.alias("b")
     hamming = None

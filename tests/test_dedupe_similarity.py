@@ -104,6 +104,17 @@ class TestDedupe:
         assert small > 16            # impossible under the 4-bit scheme
         assert big > small           # cardinality scales with N
 
+    def test_simhash64_length_band_composite(self, spark, docs):
+        """Composite (band, len-bucket) keys must keep same-length near
+        dups and never add pairs beyond the pure-sketch candidate set."""
+        pure = {(r["doc_a"], r["doc_b"])
+                for r in dedupe.simhash64_near_pairs(docs, max_hamming=3).collect()}
+        comp = {(r["doc_a"], r["doc_b"])
+                for r in dedupe.simhash64_near_pairs(
+                    docs, max_hamming=3, length_band=True).collect()}
+        assert (0, 1) in comp          # identical docs share every bucket
+        assert comp <= pure            # composite only ever prunes
+
     def test_simhash_distance_ordering(self, spark, docs):
         sh = {r["doc_id"]: r["simhash16"] for r in dedupe.simhash16(docs).collect()}
         assert sh[0] == sh[1]  # identical text → identical sketch
@@ -129,6 +140,40 @@ class TestClusters:
         kept = {r["doc_id"] for r in dedupe.keep_canonical(docs, pairs).collect()}
         # one survivor per cluster (the min id) + untouched singleton 4
         assert kept == {1, 4, 5}
+
+    def test_random_graphs_match_union_find(self, spark):
+        """Property check: min-label propagation equals a reference
+        union-find on randomized pair graphs (seeded, 5 shapes)."""
+        import random
+
+        def union_find(edges):
+            parent = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            return {n: find(n) for n in parent}
+
+        for seed in range(5):
+            rng = random.Random(seed)
+            n = rng.randrange(5, 40)
+            edges = sorted({
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randrange(3, 25))
+            })
+            expected = union_find(edges)
+            pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+            got = {r["doc_id"]: r["cluster_id"]
+                   for r in dedupe.duplicate_clusters(pairs, max_iter=60).collect()}
+            assert got == expected, f"seed={seed} edges={edges}"
 
     def test_long_chain_converges(self, spark):
         n = 40  # diameter 39 chain still resolves (label skips halve distance)
