@@ -91,10 +91,18 @@ def main() -> None:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
+    # round-over-round comparability: the battery grew in r2, so the suite
+    # total is not comparable to BENCH_r01; core_suite_sec sums exactly the
+    # r1-era query set
+    core = ("pipeline_extract_chunk", "pipeline_adaptive", "quality_gate",
+            "strategy_distribution", "dedup_minhash_lsh",
+            "ngram_jaccard_top_pairs", "dedup_simhash", "ann_cosine_topk",
+            "window_chunks_sql", "pricing_summary", "sessionize_events")
     print(json.dumps({
         "metric": "headline_suite_wall_seconds",
         "value": total,
         "unit": "sec",
+        "core_suite_sec": round(sum(timings[k] for k in core), 3),
         "queries": timings,
         "sf": float(sf),
         "n_turns": n_turns,
