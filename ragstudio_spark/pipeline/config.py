@@ -35,6 +35,13 @@ def _coerce(name: str, raw: Any) -> Any:
     if raw is None:
         return None
     default = _FIELDS[name].default
+    if name == "dedupe_chunks":
+        if isinstance(raw, bool):
+            return raw
+        low = str(raw).strip().lower()
+        if low in ("exact", "near"):
+            return low
+        return low in ("1", "true", "yes", "on")
     if name == "language_filter":
         if isinstance(raw, str):
             parts = tuple(x.strip() for x in raw.split(",") if x.strip())

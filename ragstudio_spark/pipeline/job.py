@@ -43,7 +43,7 @@ class PipelineConfig:
     min_readable_ratio: float = 0.9
     chunk_min_ratio: float = 0.3
     on_error: str = "quarantine"     # fail_fast | skip | quarantine
-    dedupe_chunks: bool = False      # corpus-wide exact chunk dedup stage
+    dedupe_chunks: bool | str = False  # False | True/"exact" | "near"
     extract_tools: bool = False      # mine tool-call JSON payloads table
     with_trace: bool = False         # per-turn stage duration/engine trace
 
@@ -130,7 +130,7 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
         "extraction_fixes", "page_numbers_removed", *meta, "chunk.*",
     )
 
-    if cfg.dedupe_chunks:
+    if cfg.dedupe_chunks in (True, "exact"):
         # corpus-wide exact dedup (training-data hygiene): one shuffle on
         # the text hash; the surviving copy is deterministic (first by
         # (conv_id, turn_idx, chunk_index)), never shuffle-order-dependent
@@ -144,6 +144,25 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+    elif cfg.dedupe_chunks == "near":
+        # corpus-wide NEAR dedup: MinHash-LSH candidates over chunk text →
+        # connected components → keep the minimum-key chunk per cluster.
+        # Survivor choice is deterministic (lexicographic min of the
+        # zero-padded (conv_id, turn_idx, chunk_index) key). 16 hashes /
+        # 4 bands per the measured recall/cost sweep (BASELINE.md).
+        from ragstudio_spark.operators import dedupe
+
+        keyed = chunks.withColumn(
+            "_k",
+            F.concat_ws("|", F.col("conv_id"),
+                        F.lpad(F.col("turn_idx").cast("string"), 8, "0"),
+                        F.lpad(F.col("chunk_index").cast("string"), 6, "0")),
+        )
+        pairs = dedupe.minhash_lsh_pairs(
+            keyed, text_col="text", id_col="_k", n_hashes=16, n_bands=4)
+        chunks = dedupe.keep_canonical(keyed, pairs, id_col="_k").drop("_k")
+    elif cfg.dedupe_chunks is not False:
+        raise ValueError(f"dedupe_chunks: {cfg.dedupe_chunks!r}")
 
     return PipelineOutput(chunks=chunks, metrics=metrics, quarantine=quarantine,
                           tool_calls=tool_calls)

@@ -48,6 +48,36 @@ class TestChunkDedupStage:
         d = deduped.toPandas()
         assert not d.duplicated(subset=["text"]).any()
 
+    def test_near_dedupe_collapses_mutated_copies(self, spark):
+        """'near' mode must also drop chunks that differ by a few tokens
+        (exact mode keeps them), and keep the lexicographically-first
+        copy of each near-dup cluster."""
+        import pytest
+
+        base = tsrc.transcripts_df(spark, 120, seed=99, partitions=2)
+        # second copy of every conversation with one appended token per turn
+        mutated = base.select(
+            F.concat(F.lit("zz_"), F.col("conv_id")).alias("conv_id"),
+            "turn_idx", "role",
+            F.concat(F.col("text"), F.lit(" zqxmut")).alias("text"),
+            "tool", "ts")
+        df = base.unionByName(mutated)
+
+        exact = run_pipeline(df, PipelineConfig(dedupe_chunks="exact")).chunks.count()
+        near = run_pipeline(df, PipelineConfig(dedupe_chunks="near")).chunks.count()
+        assert near < exact  # mutated copies survive exact, not near
+
+        near_df = run_pipeline(df, PipelineConfig(dedupe_chunks="near")).chunks
+        # no surviving pair of near-identical texts from the two copies:
+        # every zz_ chunk that survives must not have a base twin
+        survivors = near_df.select("conv_id", "text").toPandas()
+        base_texts = set(survivors[~survivors.conv_id.str.startswith("zz_")]["text"])
+        for t in survivors[survivors.conv_id.str.startswith("zz_")]["text"]:
+            assert t.replace(" zqxmut", "") not in base_texts
+
+        with pytest.raises(ValueError):
+            run_pipeline(df, PipelineConfig(dedupe_chunks="fuzzy"))
+
     def test_dedupe_deterministic_winner(self, spark):
         df = tsrc.transcripts_df(spark, 200, seed=97, partitions=4)
         a = run_pipeline(df, PipelineConfig(dedupe_chunks=True)).chunks.toPandas()

@@ -72,6 +72,13 @@ class TestCoercion:
             "language_filter": ("de", "fr"),
         }
 
+    def test_dedupe_chunks_tri_state(self):
+        env = {"RAGSTUDIO_DEDUPE_CHUNKS": "near"}
+        assert from_env(env)["dedupe_chunks"] == "near"
+        assert from_env({"RAGSTUDIO_DEDUPE_CHUNKS": "exact"})["dedupe_chunks"] == "exact"
+        assert from_env({"RAGSTUDIO_DEDUPE_CHUNKS": "true"})["dedupe_chunks"] is True
+        assert from_env({"RAGSTUDIO_DEDUPE_CHUNKS": "false"})["dedupe_chunks"] is False
+
     def test_unknown_yaml_key_fails_loudly(self, tmp_path):
         path = tmp_path / "typo.yml"
         path.write_text("pipeline:\n  max_tokenz: 10\n")
