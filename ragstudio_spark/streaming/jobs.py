@@ -121,6 +121,36 @@ def conversation_state_aggregator(stream_df, timeout: str = "NoTimeout"):
     )
 
 
+def tool_calls_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming tool-call mining: the same all-JVM from_json branch as the
+    batch toolcalls operator, lifted onto the file stream — stateless and
+    row-local, so it needs no watermark and checkpoints exactly-once like
+    the chunks stream."""
+    from ragstudio_spark.operators import toolcalls
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    calls = toolcalls.parse_tool_calls(stream)
+    writer = (
+        calls.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_chunk_counts(
     stream_df: DataFrame,
     window: str = "1 minute",

@@ -90,3 +90,35 @@ class TestStatefulStreaming:
             assert row["n_turns"] == expected.loc[conv_id, "n_turns"]
             assert row["n_chars"] == expected.loc[conv_id, "n_chars"]
         full.unpersist()
+
+
+class TestToolCallsStream:
+    def test_incremental_tool_mining_matches_batch(self, spark, tmp_path):
+        """The file-source tool-call stream must, across two incremental
+        triggers, produce exactly the batch operator's output."""
+        import json
+
+        from ragstudio_spark.operators import toolcalls
+
+        inp = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        outp = str(tmp_path / "out")
+        full = tsrc.transcripts_df(spark, 150, seed=77, partitions=2).cache()
+        full.filter("turn_idx % 2 = 0").write.parquet(inp)
+
+        q = stream_jobs.tool_calls_stream(spark, inp, outp, ckpt)
+        q.awaitTermination(120)
+        full.filter("turn_idx % 2 = 1").write.mode("append").parquet(inp)
+        q = stream_jobs.tool_calls_stream(spark, inp, outp, ckpt)
+        q.awaitTermination(120)
+
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["tool_name"], r["call_id"])
+            for r in spark.read.parquet(outp).collect()
+        }
+        expected = {
+            (r["conv_id"], r["turn_idx"]): (r["tool_name"], r["call_id"])
+            for r in toolcalls.parse_tool_calls(full).collect()
+        }
+        assert got == expected and len(got) > 0
+        full.unpersist()
