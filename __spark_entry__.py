@@ -58,6 +58,17 @@ def _pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.metrics.orderBy("conv_id", "turn_idx")
 
 
+def _pipeline_near_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup chunk dedup stage (MinHash-LSH → components → canonical)."""
+    from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+
+    out = run_pipeline(
+        _documents_as_transcripts(spark, sf_dir),
+        PipelineConfig(dedupe_chunks="near"),
+    )
+    return out.chunks.orderBy("conv_id", "turn_idx", "chunk_index")
+
+
 def _streaming_transform_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Structured Streaming transform applied in batch mode — the exact
     code path the file-source stream executes (streaming/jobs.py)."""
@@ -80,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["pipeline_adaptive_chunks"] = _pipeline_adaptive_chunks  # rows-only
     qs["pipeline_metrics"] = _pipeline_metrics          # rows-only
     qs["streaming_transform_chunks"] = _streaming_transform_chunks  # rows-only
+    qs["pipeline_near_dedup_chunks"] = _pipeline_near_dedup_chunks  # rows-only
     return qs
 
 

@@ -43,6 +43,8 @@ def main() -> None:
     p.add_argument("--config", help="YAML config file (pipeline: section)")
     p.add_argument("--adaptive", action=argparse.BooleanOptionalAction, default=None)
     p.add_argument("--extract-tools", action=argparse.BooleanOptionalAction, default=None)
+    p.add_argument("--dedupe-chunks", default=None,
+                   help="false | exact | near (corpus-wide chunk dedup)")
     p.add_argument("--strategy", default=None)
     p.add_argument("--max-tokens", type=int, default=None)
     p.add_argument("--overlap", type=int, default=None)
@@ -74,6 +76,7 @@ def main() -> None:
             "overlap": args.overlap,
             "adaptive": args.adaptive,
             "extract_tools": args.extract_tools,
+            "dedupe_chunks": args.dedupe_chunks,
             "language_filter": args.langs,
             "min_readable_ratio": args.min_readable_ratio,
         }.items() if v is not None
