@@ -530,6 +530,88 @@ def _ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _def("ann_ivf_topk", (_ivf_fn, _ivf_sql("duckdb")))
 
+# -- 10b. k-means IVF quantizer training (deterministic Lloyd, exact mode:
+#         order-fixed member folds so centroid doubles — and therefore the
+#         final assignments — are bit-identical across engines). Output is
+#         integers only (per-cell member count + id sum), but equality
+#         transitively pins the full iterative float computation.
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _km_duck_sql() -> str:
+    d2 = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(list_zip(v.embedding, c.c_vec), "
+          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+          "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (acc, x) -> acc + x)")
+    fold = ("list_reduce(list_prepend(list_transform(ms[1], x -> CAST(0.0 AS DOUBLE)), ms), "
+            "(acc, m) -> list_transform(list_zip(acc, m), p -> p[1] + CAST(p[2] AS DOUBLE)))")
+    parts = [f"""
+cent0 AS (
+  SELECT CAST(vec_id AS INT) AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec
+  FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+)"""]
+    for i in range(_KM_ITERS):
+        parts.append(f"""
+assign{i} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT v.vec_id, v.embedding, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY ({d2}) ASC, c.cid ASC) AS rn
+    FROM embeddings v CROSS JOIN cent{i} c) a
+  WHERE rn = 1
+),
+new{i} AS (
+  SELECT cid, list_transform({fold}, s -> s / n) AS c_vec FROM (
+    SELECT cid, count(*) AS n,
+           list(embedding ORDER BY vec_id) AS ms
+    FROM assign{i} GROUP BY cid) g
+),
+cent{i + 1} AS (
+  SELECT o.cid, COALESCE(n.c_vec, o.c_vec) AS c_vec
+  FROM cent{i} o LEFT JOIN new{i} n USING (cid)
+)""")
+    final_assign = f"""
+final_assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY ({d2}) ASC, c.cid ASC) AS rn
+    FROM embeddings v CROSS JOIN cent{_KM_ITERS} c) a
+  WHERE rn = 1
+)"""
+    return f"""
+WITH {','.join(parts)},{final_assign}
+SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM final_assign GROUP BY cid
+"""
+
+
+def _km_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ragstudio_spark.operators import similarity
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    cents = similarity.kmeans_centroids(vectors, k=_KM_K, iters=_KM_ITERS,
+                                        exact=True)
+    scored = vectors.crossJoin(
+        F.broadcast(cents.select("cid", F.col("embedding").alias("c_vec")))
+    ).withColumn("d", similarity._l2sq(F.col("embedding"), F.col("c_vec")))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    assign = (scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1).select("vec_id", "cid"))
+    return (assign.groupBy("cid")
+            .agg(F.count("*").cast("bigint").alias("n_members"),
+                 F.sum("vec_id").cast("bigint").alias("id_sum")))
+
+
+_def("ann_kmeans_ivf", (_km_fn, _km_duck_sql()))
+
+
 # -- 11. embedding nearest-neighbor per vector (near-dup scan, rank-1 only)
 def _nn_sql(engine: str) -> str:
     cos = _cosine(engine)

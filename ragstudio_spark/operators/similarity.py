@@ -7,6 +7,9 @@
 * ``ivf_assign`` / ``ivf_topk`` — coarse quantization to leader centroids;
   search only the query's cell. The 100 TB path: the cross join shrinks
   from |Q|×N to |Q|×(N/C), and cells can be bucketed/partitioned.
+* ``kmeans_centroids`` — deterministic Lloyd iterations to TRAIN the IVF
+  quantizer (scale mode: k×dim-cell partial aggregation; exact mode:
+  order-fixed folds for the DuckDB oracle).
 * ``hyperplane_buckets`` — sign-bit sketch over fixed hyperplanes: the
   LSH-bucketed near-dup path (candidates only within a bucket).
 
@@ -92,6 +95,82 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "similarity")
     )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance in double precision."""
+    diff = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")))
+    return F.aggregate(diff, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exact: bool = False) -> DataFrame:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer: init from
+    the k lowest-id vectors, assign by squared L2 (ties → lowest cid),
+    recompute means, ``iters`` rounds. Returns (cid, embedding).
+
+    Two mean modes with identical semantics up to float summation order:
+
+    * default (scale path) — posexplode to (cid, dim) cells, one partial-
+      aggregated ``sum``/``count`` shuffle on k×dim keys, reassemble. Never
+      materializes a cluster in one task.
+    * ``exact=True`` (oracle path) — members of a cluster are collected
+      sorted by id and folded sequentially, so centroid doubles are
+      bit-identical to the DuckDB twin. Memory-bounded by cluster size —
+      for the correctness gate only, never for a 100 TB run.
+
+    Empty clusters keep their previous centroid (deterministic)."""
+    cents = (
+        vectors.orderBy(F.asc(id_col)).limit(k)
+        .select(F.col(id_col).cast("int").alias("cid"),
+                F.col(vec_col).alias("c_vec"))
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col))
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cents)).withColumn(
+            "d", _l2sq(F.col(vec_col), F.col("c_vec")))
+        w = Window.partitionBy(id_col).orderBy(F.asc("d"), F.asc("cid"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select(id_col, vec_col, "cid")
+        )
+        if exact:
+            grouped = assign.groupBy("cid").agg(
+                F.count("*").alias("n"),
+                F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                                     F.col(vec_col).alias("v"))))
+                .alias("ms"),
+            )
+            zero = F.transform(F.element_at("ms", 1)["v"],
+                               lambda _x: F.lit(0.0).cast("double"))
+            summed = F.aggregate(
+                "ms", zero,
+                lambda acc, m: F.zip_with(acc, m["v"],
+                                          lambda a, b: a + b.cast("double")))
+            new = grouped.select(
+                "cid",
+                F.transform(summed, lambda s: s / F.col("n")).alias("c_vec"))
+        else:
+            cells = assign.select(
+                "cid", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            dims = (
+                cells.groupBy("cid", "pos")
+                .agg((F.sum(F.col("x").cast("double")) / F.count("*")).alias("m"))
+            )
+            new = (
+                dims.groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dm"))
+                .select("cid", F.transform("dm", lambda s: s["m"]).alias("c_vec"))
+            )
+        # empty clusters keep their previous centroid
+        cents = (
+            cents.alias("o").join(new.alias("n"), on="cid", how="left")
+            .select("cid", F.coalesce(F.col("n.c_vec"), F.col("o.c_vec")).alias("c_vec"))
+        )
+    return cents.select("cid", F.col("c_vec").alias(vec_col))
 
 
 def hyperplane_buckets(vectors: DataFrame, planes: DataFrame,

@@ -218,6 +218,43 @@ class TestSimilarity:
         # 0 — so cell 0 holds {0, 1, 3, 4} and vec 2 is never searched
         assert neighbors == {1, 3, 4}
 
+    def test_kmeans_separates_obvious_clusters(self, spark):
+        rows = ([(i, [1.0 + i * 0.01, 0.0]) for i in range(8)]
+                + [(10 + i, [0.0, 5.0 + i * 0.01]) for i in range(8)])
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        cents = similarity.kmeans_centroids(vecs, k=2, iters=3).collect()
+        got = sorted([tuple(round(x, 2) for x in r["embedding"]) for r in cents])
+        # one centroid near x-axis cluster mean, one near y-axis cluster mean
+        assert got[0][1] > 4.5 and got[0][0] == 0.0
+        assert got[1][0] > 0.9 and got[1][1] == 0.0
+
+    def test_kmeans_exact_and_scale_modes_agree(self, spark):
+        import math
+
+        rows = [(i, [float((i * 7) % 13), float((i * 3) % 5), float(i % 4)])
+                for i in range(60)]
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        a = {r["cid"]: r["embedding"]
+             for r in similarity.kmeans_centroids(vecs, k=4, iters=2,
+                                                  exact=True).collect()}
+        b = {r["cid"]: r["embedding"]
+             for r in similarity.kmeans_centroids(vecs, k=4, iters=2,
+                                                  exact=False).collect()}
+        assert a.keys() == b.keys()
+        for cid in a:
+            assert all(math.isclose(x, y, rel_tol=1e-9)
+                       for x, y in zip(a[cid], b[cid]))
+
+    def test_kmeans_deterministic_across_partitionings(self, spark):
+        rows = [(i, [float((i * 7) % 13), float(i % 5)]) for i in range(40)]
+        one = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        eight = one.repartition(8)
+        a = sorted(map(tuple, similarity.kmeans_centroids(
+            one, k=3, iters=2, exact=True).collect()))
+        b = sorted(map(tuple, similarity.kmeans_centroids(
+            eight, k=3, iters=2, exact=True).collect()))
+        assert a == b
+
     def test_hyperplane_buckets_group_identical_vectors(self, spark, vectors):
         planes = vectors.filter("vec_id IN (1, 2, 3)").select(
             (F.col("vec_id") - 1).alias("plane"), "embedding"
