@@ -1494,6 +1494,104 @@ FROM calls GROUP BY tool_name, tool_status
 _def("tool_payload_extraction", (_toolcalls_fn, _toolcalls_duck_sql()))
 
 
+# -- 30. skew-safe conversation assembly (operators/skew.py two-phase
+#        ordered concat) vs plain ordered string_agg: documents shaped as
+#        transcripts (conversation = source, turn order = doc_id). The md5
+#        of the assembled document pins byte-exact text equality.
+def _assembly_duck_sql() -> str:
+    return """
+SELECT source AS conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS doc_md5
+FROM documents GROUP BY source
+"""
+
+
+def _assembly_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import skew
+
+    _register(spark, sf_dir, "documents")
+    shaped = spark.table("documents").select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        "text",
+    )
+    out = skew.assemble_conversations(shaped, bucket_size=16)
+    return out.select(
+        "conv_id", F.col("n_turns").cast("bigint").alias("n_turns"),
+        F.md5(F.col("doc_text")).alias("doc_md5"),
+    )
+
+
+_def("conversation_assembly", (_assembly_fn, _assembly_duck_sql()))
+
+
+# -- 31. multimodal plumbing (operators/multimodal.py): documents decorated
+#        into a media table (payload = utf-8 bytes of text, type by id,
+#        video duration from id). Spark runs the real mapInPandas UDFs
+#        (fake decode — the codec itself is the documented stub); the
+#        oracle re-derives the integer accounting: per-type byte totals
+#        from extract_features and the 1→N frame fan-out from frame_sample.
+_MEDIA_TYPES = "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+_MEDIA_DUR = "CASE WHEN doc_id % 3 = 2 THEN (CAST(doc_id % 7 AS INT) + 1) * 1500 ELSE 0 END"
+
+
+def _media_df(spark: SparkSession):
+    from pyspark.sql import functions as F
+
+    return spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_MEDIA_TYPES).alias("media_type"),
+        F.concat(F.expr(_MEDIA_TYPES), F.lit("/x-fake")).alias("mime"),
+        F.lit(64).alias("width"), F.lit(48).alias("height"),
+        F.expr(_MEDIA_DUR).cast("int").alias("duration_ms"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def _multimodal_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import multimodal
+
+    _register(spark, sf_dir, "documents")
+    media = _media_df(spark)
+    feats = multimodal.extract_features(media, fake_decode=True)
+    frames = multimodal.frame_sample(media, every_ms=1000, fake_decode=True)
+    frame_counts = frames.groupBy("media_id").agg(F.count("*").alias("nf"))
+    return (
+        feats.join(frame_counts, on="media_id", how="left")
+        .groupBy("media_type")
+        .agg(F.count("*").cast("bigint").alias("n_media"),
+             F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+             F.sum(F.coalesce(F.col("nf"), F.lit(0))).cast("bigint")
+             .alias("total_frames"))
+    )
+
+
+def _multimodal_duck_sql() -> str:
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id, {_MEDIA_TYPES} AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         {_MEDIA_DUR} AS duration_ms
+  FROM documents
+)
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN media_type = 'video'
+                     THEN greatest(1, duration_ms // 1000) ELSE 0 END) AS BIGINT)
+         AS total_frames
+FROM media GROUP BY media_type
+"""
+
+
+_def("multimodal_accounting", (_multimodal_fn, _multimodal_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------
