@@ -243,13 +243,15 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     A dedup pipeline needs clusters, not pair lists — "keep one copy per
     duplicate group" is only well-defined on components. Algorithm:
     min-label propagation (each node takes the min label among itself and
-    its neighbors, iterate to fixpoint). Converges in O(component diameter)
-    rounds; near-dup components are shallow (dozens of docs, diameter ≤ a
-    few hops), so 3–5 rounds in practice. Each round is one join + one
-    groupBy — all shuffles on the id key; ``localCheckpoint`` cuts the
-    lineage so plans don't grow with iterations. For graphs with huge
-    diameters use alternating star contraction instead; near-dup graphs
-    never need it.
+    its neighbors) plus a pointer-jumping step (each node then takes its
+    label's label), giving O(log diameter) rounds — a 10⁶-node chain
+    resolves in ~20 rounds, not 10⁶. Each round is two key-joins + one
+    groupBy; ``localCheckpoint`` cuts the lineage so plans don't grow with
+    iterations.
+
+    Exhausting ``max_iter`` without convergence raises (a silently
+    non-converged labeling would under-dedup without any signal); the
+    default cap covers diameters up to ~2^20.
 
     Input must carry ``doc_a`` / ``doc_b`` (as produced by
     ``minhash_lsh_pairs`` / ``simhash64_near_pairs`` / ``jaccard_pairs``).
@@ -271,9 +273,17 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(nbr)
             .groupBy("id").agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label ← label(label). Every label is itself a
+        # node id in the same component, so the lookup always hits.
+        lut = propagated.select(F.col("id").alias("_lid"),
+                                F.col("label").alias("_lroot"))
+        new_labels = (
+            propagated.join(lut, propagated.label == lut._lid)
+            .select("id", F.col("_lroot").alias("label"))
             .localCheckpoint()
         )
         changed = (
@@ -284,9 +294,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select(F.col("id").alias("doc_id"),
-                         F.col("label").alias("cluster_id"))
+            return labels.select(F.col("id").alias("doc_id"),
+                                 F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"duplicate_clusters did not converge within max_iter={max_iter} "
+        "rounds — raise max_iter (each round roughly doubles the resolvable "
+        "component diameter)")
 
 
 def keep_canonical(df: DataFrame, pairs: DataFrame,

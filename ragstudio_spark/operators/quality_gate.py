@@ -49,22 +49,12 @@ def with_chunks_gate(
     with ``is_readable`` built from the ratio spec — embeds the word
     extraction + per-word validity regexes several times, and Catalyst
     inlines each reference (the known reused-expression trap, CLAUDE.md
-    dialect note 5). Instead, one ``aggregate()`` per chunk walks the word
-    list ONCE, counting (n_words, n_valid) in a single accumulator and
-    finishing directly into the per-chunk readability boolean — identical
-    semantics to sqlspec.readability_exprs (pinned by the kernel↔JVM
-    parity tests and the differential suite)."""
-    valid = sqlspec.valid_word_condition("w", "spark")
-    readable_flags = f"""
-transform({chunks_col}, c -> aggregate(
-  filter(regexp_extract_all(c.text, '{sqlspec.WORD_CLASS}', 0), w -> length(w) >= 2),
-  named_struct('n', 0, 'v', 0),
-  (acc, w) -> named_struct('n', acc.n + 1, 'v', acc.v + IF({valid}, 1, 0)),
-  acc -> (c.text IS NOT NULL
-          AND length(translate(c.text, ' \\n\\t', '')) >= 20
-          AND acc.n > 0
-          AND CAST(acc.v AS DOUBLE) / acc.n >= {chunk_min_ratio})))
-"""
+    dialect note 5). The single-pass fold comes from
+    ``sqlspec.readable_fold_expr`` so the formulas stay single-sourced
+    with the staged operator and the DuckDB oracle (pinned by the
+    kernel↔JVM parity tests and the differential suite)."""
+    fold = sqlspec.readable_fold_expr("c.text", chunk_min_ratio)
+    readable_flags = f"transform({chunks_col}, c -> {fold})"
     total = F.size(F.col(chunks_col))
     readable = F.expr(f"size(filter({readable_flags}, b -> b))")
     ratio = F.when(total > 0, readable.cast("double") / total).otherwise(F.lit(0.0))

@@ -66,6 +66,8 @@ def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
     idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (the +1 keeps it positive)
     tf-part = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
     """
+    if not terms:
+        raise ValueError("bm25_scores: terms must be a non-empty list")
     per_doc = docs.select(
         F.col(id_col),
         _dl_col(F.col(text_col)).alias("dl"),

@@ -130,10 +130,13 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
         "extraction_fixes", "page_numbers_removed", *meta, "chunk.*",
     )
 
-    if cfg.dedupe_chunks in (True, "exact"):
+    if cfg.dedupe_chunks in (True, "exact", "near"):
         # corpus-wide exact dedup (training-data hygiene): one shuffle on
         # the text hash; the surviving copy is deterministic (first by
-        # (conv_id, turn_idx, chunk_index)), never shuffle-order-dependent
+        # (conv_id, turn_idx, chunk_index)), never shuffle-order-dependent.
+        # "near" mode ALSO runs this first — MinHash shingling needs ≥3
+        # words, so short exact dups would otherwise survive near mode
+        # (near-dedup must be a superset of exact-dedup).
         from pyspark.sql import Window
 
         w = Window.partitionBy(F.md5(F.col("text"))).orderBy(
@@ -144,12 +147,18 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    elif cfg.dedupe_chunks == "near":
+    elif cfg.dedupe_chunks is not False:
+        raise ValueError(f"dedupe_chunks: {cfg.dedupe_chunks!r}")
+    if cfg.dedupe_chunks == "near":
         # corpus-wide NEAR dedup: MinHash-LSH candidates over chunk text →
         # connected components → keep the minimum-key chunk per cluster.
         # Survivor choice is deterministic (lexicographic min of the
         # zero-padded (conv_id, turn_idx, chunk_index) key). 16 hashes /
         # 4 bands per the measured recall/cost sweep (BASELINE.md).
+        # localCheckpoint materializes the (deduped) chunk table ONCE: the
+        # iterative clustering and the final anti-join both read it, so the
+        # fused Python hop never re-executes. NB this makes the "near"
+        # branch eager — run_pipeline triggers the pipeline jobs here.
         from ragstudio_spark.operators import dedupe
 
         keyed = chunks.withColumn(
@@ -157,12 +166,10 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
             F.concat_ws("|", F.col("conv_id"),
                         F.lpad(F.col("turn_idx").cast("string"), 8, "0"),
                         F.lpad(F.col("chunk_index").cast("string"), 6, "0")),
-        )
+        ).localCheckpoint()
         pairs = dedupe.minhash_lsh_pairs(
             keyed, text_col="text", id_col="_k", n_hashes=16, n_bands=4)
         chunks = dedupe.keep_canonical(keyed, pairs, id_col="_k").drop("_k")
-    elif cfg.dedupe_chunks is not False:
-        raise ValueError(f"dedupe_chunks: {cfg.dedupe_chunks!r}")
 
     return PipelineOutput(chunks=chunks, metrics=metrics, quarantine=quarantine,
                           tool_calls=tool_calls)

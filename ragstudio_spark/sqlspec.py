@@ -96,3 +96,23 @@ def readability_exprs(text_col: str, engine: str, min_ratio: float = 0.4) -> dic
     )
     return {"valid_word_ratio": ratio, "is_readable": is_readable,
             "words": words, "n_words": n_words, "n_valid": n_valid}
+
+
+def readable_fold_expr(text_col: str, min_ratio: float) -> str:
+    """Spark-only single-pass form of ``is_readable``: one ``aggregate()``
+    walks the word list once, accumulating (n_words, n_valid) and finishing
+    into the readability boolean. Semantically identical to the expression
+    from ``readability_exprs`` — same WORD_CLASS / len≥2 filter / 20
+    no-space-char floor / ratio rule, same constants — but Catalyst cannot
+    inline-duplicate the expensive word extraction, because every
+    reference lives inside a single fold. Used on hot paths that evaluate
+    the predicate per array element (the chunk quality gate)."""
+    valid = valid_word_condition("w", "spark")
+    return f"""aggregate(
+  filter(regexp_extract_all({text_col}, '{WORD_CLASS}', 0), w -> length(w) >= 2),
+  named_struct('n', 0, 'v', 0),
+  (acc, w) -> named_struct('n', acc.n + 1, 'v', acc.v + IF({valid}, 1, 0)),
+  acc -> ({text_col} IS NOT NULL
+          AND length(translate({text_col}, ' \\n\\t', '')) >= 20
+          AND acc.n > 0
+          AND CAST(acc.v AS DOUBLE) / acc.n >= {min_ratio}))"""

@@ -175,13 +175,22 @@ class TestClusters:
                    for r in dedupe.duplicate_clusters(pairs, max_iter=60).collect()}
             assert got == expected, f"seed={seed} edges={edges}"
 
-    def test_long_chain_converges(self, spark):
-        n = 40  # diameter 39 chain still resolves (label skips halve distance)
+    def test_long_chain_converges_logarithmically(self, spark):
+        """Pointer jumping makes rounds O(log diameter): a 60-node chain
+        must resolve well within 10 rounds (plain propagation needs 60)."""
+        n = 60
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(n)], "doc_a int, doc_b int")
-        got = dedupe.duplicate_clusters(pairs, max_iter=50).collect()
+        got = dedupe.duplicate_clusters(pairs, max_iter=10).collect()
         assert {r["cluster_id"] for r in got} == {0}
         assert len(got) == n + 1
+
+    def test_non_convergence_raises_loudly(self, spark):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "doc_a int, doc_b int")
+        import pytest
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedupe.duplicate_clusters(pairs, max_iter=1)
 
 
 class TestSimilarity:
