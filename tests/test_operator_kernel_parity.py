@@ -49,6 +49,26 @@ class TestProfilerParity:
             assert row["strategy_reason"] == sel["reason"]
 
 
+class TestFoldSpecParity:
+    def test_readable_fold_equals_spec_expression(self, spark):
+        """sqlspec.readable_fold_expr (the hot-path single-pass form) must
+        decide identically to readability_exprs' is_readable on every text
+        in the corpus, including empty/garbage/HTML rows."""
+        from pyspark.sql import functions as F
+
+        from ragstudio_spark import sqlspec
+
+        df = _texts(spark, n=300, seed=57)
+        spec = sqlspec.readability_exprs("extracted_text", "spark", min_ratio=0.3)
+        fold = sqlspec.readable_fold_expr("extracted_text", 0.3)
+        out = df.select(
+            F.expr(spec["is_readable"]).alias("spec"),
+            F.expr(fold).alias("fold"),
+        ).collect()
+        assert all(bool(r["spec"]) == bool(r["fold"]) for r in out)
+        assert any(r["spec"] for r in out) and not all(r["spec"] for r in out)
+
+
 class TestMLStrategyParity:
     def test_ml_prediction_matches_kernel(self, spark):
         from ragstudio_spark.operators import ml_strategy
