@@ -115,6 +115,30 @@ def search(store: DataFrame, query_embedding: list[float], k: int = 4) -> DataFr
         "id", "text", "metadata", "score", "rank")
 
 
+def ingest_chunks(chunks: DataFrame, path: str,
+                  embedding: Column | None = None,
+                  mode: str = "overwrite") -> dict:
+    """The lifecycle's final step (reference: chunk → embed → vector-store
+    ingest): shape the pipeline's chunk table into store rows and persist.
+    ``embedding`` is the embedding column from a real model; defaults to
+    the deterministic fake embedder (documented test stand-in). Chunk ids
+    are the pipeline's deterministic chunk_id; metadata carries the
+    provenance keys a retriever filters on."""
+    emb = embedding if embedding is not None else fake_embedding_col(F.col("text"))
+    rows = chunks.select(
+        F.col("chunk_id").alias("id"),
+        "text",
+        F.create_map(
+            F.lit("conv_id"), F.col("conv_id"),
+            F.lit("turn_idx"), F.col("turn_idx").cast("string"),
+            F.lit("chunk_index"), F.col("chunk_index").cast("string"),
+            F.lit("strategy"), F.col("chunking_strategy"),
+        ).alias("metadata"),
+        emb.alias("embedding"),
+    )
+    return write_store(rows, path, mode=mode)
+
+
 def export_jsonl(store: DataFrame, path: str) -> None:
     """Portable JSONL export (export_to_json, json_vector_store.py:478-507;
     line-oriented instead of one array so export stays distributed)."""

@@ -45,6 +45,8 @@ def main() -> None:
     p.add_argument("--extract-tools", action=argparse.BooleanOptionalAction, default=None)
     p.add_argument("--dedupe-chunks", default=None,
                    help="false | exact | near (corpus-wide chunk dedup)")
+    p.add_argument("--vector-store", default=None,
+                   help="also ingest chunks into a vector store at this path")
     p.add_argument("--strategy", default=None)
     p.add_argument("--max-tokens", type=int, default=None)
     p.add_argument("--overlap", type=int, default=None)
@@ -85,6 +87,14 @@ def main() -> None:
     summary = run_with_lineage(
         spark, df, args.output, args.run_id, cfg, resume=not args.no_resume
     )
+    if args.vector_store:
+        from ragstudio_spark.operators import vectorstore
+        from ragstudio_spark.pipeline.lineage import read_chunks
+
+        chunks = read_chunks(spark, args.output)
+        if chunks is not None:
+            summary["vector_store"] = vectorstore.ingest_chunks(
+                chunks, args.vector_store)
     print(json.dumps(summary))
     # reference exits 1 when files failed (batch.py:629-630)
     sys.exit(0 if summary["failed"] == 0 else 1)

@@ -71,6 +71,29 @@ class TestMutation:
         assert {r["id"] for r in left.collect()} == {"a", "c"}
 
 
+class TestPipelineIngest:
+    def test_chunks_to_store_lifecycle(self, spark, tmp_path):
+        """chunk table → vector store → search returns provenance-tagged
+        chunks (the reference lifecycle's final ingest step)."""
+        from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+        from ragstudio_spark.sources import transcripts as tsrc
+
+        out = run_pipeline(
+            tsrc.transcripts_df(spark, 80, seed=41, partitions=2),
+            PipelineConfig())
+        path = str(tmp_path / "vstore")
+        index = vs.ingest_chunks(out.chunks, path)
+        assert index["count"] == out.chunks.count() > 0
+        assert index["dim"] == 8
+
+        store = vs.read_store(spark, path)
+        probe = store.first()
+        hits = vs.search(store, list(probe["embedding"]), k=1).collect()
+        assert hits[0]["id"] == probe["id"]          # self is its own NN
+        assert set(hits[0]["metadata"]) == {
+            "conv_id", "turn_idx", "chunk_index", "strategy"}
+
+
 class TestSearch:
     def test_cosine_topk_with_scores(self, spark, store_df):
         out = vs.search(store_df, [1.0, 0.0, 0.0], k=2).collect()
