@@ -339,6 +339,64 @@ def _jaccard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _def("ngram_jaccard_top_pairs", (_jaccard_fn, _jaccard_sql("duckdb")))
 
+# -- 7b. winnowing fingerprint overlap (MOSS): k-gram rolling hashes →
+#        window minima → shared-fingerprint pairs. Local-overlap candidate
+#        generator; df-capped exactly like jaccard's shingle cap. Top-50 by
+#        (shared desc, ids asc) for a stable oracle surface.
+_WIN_K, _WIN_W, _WIN_DF_CAP, _WIN_MIN_SHARED = 12, 8, 10, 3
+
+
+def _winnow_duck_sql() -> str:
+    gram = "substring(md5(substring(text, i + 1, {k})), 1, 8)".format(k=_WIN_K)
+    window_min = (f"list_aggregate(list_transform(range(j, j + {_WIN_W}), "
+                  f"i -> {gram}), 'min')")
+    return f"""
+WITH fps AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(text) - {_WIN_K} + 1 >= {_WIN_W} THEN
+      list_distinct(list_transform(range(0, length(text) - {_WIN_K} + 1 - {_WIN_W} + 1),
+        j -> {window_min}))
+    ELSE [] END) AS fingerprint
+  FROM documents
+),
+capped AS (
+  SELECT doc_id, fingerprint FROM fps
+  WHERE fingerprint NOT IN (
+    SELECT fingerprint FROM fps GROUP BY fingerprint
+    HAVING count(*) > {_WIN_DF_CAP})
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fingerprints
+  FROM capped a JOIN capped b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {_WIN_MIN_SHARED}
+)
+SELECT doc_a, doc_b, shared_fingerprints FROM pairs
+ORDER BY shared_fingerprints DESC, doc_a ASC, doc_b ASC LIMIT 50
+"""
+
+
+def _winnow_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    pairs = dedupe.winnow_overlap_pairs(
+        spark.table("documents"), k=_WIN_K, w=_WIN_W,
+        min_shared=_WIN_MIN_SHARED, max_fingerprint_df=_WIN_DF_CAP)
+    return (pairs.select("doc_a", "doc_b",
+                         F.col("shared_fingerprints").cast("bigint")
+                         .alias("shared_fingerprints"))
+            .orderBy(F.desc("shared_fingerprints"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(50))
+
+
+_def("winnow_fingerprint_overlap", (_winnow_fn, _winnow_duck_sql()))
+
+
 # -- 8. SimHash (16-bit, md5-nibble bits, ±1 votes per distinct token)
 def _simhash_sql(engine: str) -> str:
     words = _words_expr("text", engine)

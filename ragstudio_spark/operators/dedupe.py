@@ -16,6 +16,9 @@ Large-scale training-data dedup toolkit over a text column:
   join (the ground truth LSH approximates).
 * ``duplicate_clusters`` / ``keep_canonical`` — candidate pairs → connected
   components (min-label propagation) → one surviving doc per cluster.
+* ``winnow_fingerprints`` / ``winnow_overlap_pairs`` — MOSS winnowing
+  (k-gram rolling hashes, window minima): LOCAL-overlap candidates that
+  whole-document signatures dilute.
 
 Everything is JVM-side column expressions (md5/regexp/array functions) —
 no Python in any of these paths. The SQL twins in entry_queries.py verify
@@ -233,6 +236,63 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     the 16-bit variant's 4-bit bands capped at 16 buckets/band and
     degenerated to an all-pairs join at corpus scale)."""
     return simhash64_near_pairs(df, text_col, id_col, max_hamming)
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 12,
+                        w: int = 8) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every character k-gram, slide a window of ``w``
+    consecutive hashes, keep each window's minimum — guaranteeing any
+    match of length ≥ k+w−1 shares a fingerprint, with ~2/(w+1) density.
+
+    Complements shingle-MinHash: winnowing finds LOCAL overlaps (a copied
+    paragraph inside an otherwise different document), where whole-document
+    signatures dilute. Hashes are md5-prefix strings — winnowing only needs
+    a total order, so lexicographic minima avoid any hex→int conversion and
+    stay engine-portable. All JVM array expressions: one row per selected
+    fingerprint after explode, ready for a groupBy-count or pair join.
+    Texts shorter than k+w−1 chars yield no fingerprints."""
+    n_grams = F.length(F.col(text_col)) - k + 1
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.substring(F.md5(
+            F.substring(F.col(text_col), (i + 1).cast("int"), k)), 1, 8),
+    )
+    minima = F.transform(
+        F.sequence(F.lit(0), n_grams - w),
+        lambda j: F.array_min(F.slice(grams, (j + 1).cast("int"), w)),
+    )
+    fps = F.when(n_grams >= w, F.array_distinct(minima)).otherwise(
+        F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), fps.alias("_fps"))
+        .select(id_col, F.explode("_fps").alias("fingerprint"))
+    )
+
+
+def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 12, w: int = 8,
+                         min_shared: int = 2,
+                         max_fingerprint_df: int | None = None) -> DataFrame:
+    """Document pairs ranked by shared winnowed fingerprints (local-overlap
+    candidates). ``max_fingerprint_df`` caps join fan-out exactly like
+    ``jaccard_pairs.max_shingle_df`` — boilerplate fingerprints in many
+    docs otherwise explode the self-join at corpus scale."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_fingerprint_df is not None:
+        hot = (fps.groupBy("fingerprint").agg(F.count("*").alias("fdf"))
+               .filter(F.col("fdf") > max_fingerprint_df).select("fingerprint"))
+        fps = fps.join(hot, on="fingerprint", how="left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -125,6 +125,42 @@ class TestDedupe:
         assert near[(0, 1)] == 0
 
 
+class TestWinnowing:
+    def test_guarantee_common_substring_shares_fingerprint(self, spark):
+        """Winnowing guarantee: any common substring of length >= k+w-1
+        (12+8-1=19) must produce >= 1 shared fingerprint."""
+        import hashlib
+
+        copied = "this exact copied sentence appears verbatim in both docs"
+        uniq = lambda s, n: " ".join(  # noqa: E731
+            hashlib.md5(f"{s}:{i}".encode()).hexdigest() for i in range(n))
+        docs = spark.createDataFrame(
+            [(0, uniq("a", 8) + " " + copied + " " + uniq("b", 8)),
+             (1, uniq("c", 8) + " " + copied + " " + uniq("d", 8)),
+             (2, uniq("e", 16))],
+            "doc_id int, text string")
+        pairs = {(r["doc_a"], r["doc_b"]): r["shared_fingerprints"]
+                 for r in dedupe.winnow_overlap_pairs(
+                     docs, min_shared=1).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    def test_short_text_yields_no_fingerprints(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "tiny"), (1, "x" * 18)], "doc_id int, text string")
+        assert dedupe.winnow_fingerprints(docs).count() == 0
+
+    def test_df_cap_drops_boilerplate_fingerprints(self, spark):
+        boiler = "shared boilerplate header line for every document here"
+        docs = spark.createDataFrame(
+            [(i, boiler) for i in range(20)], "doc_id int, text string")
+        uncapped = dedupe.winnow_overlap_pairs(docs, min_shared=1).count()
+        capped = dedupe.winnow_overlap_pairs(
+            docs, min_shared=1, max_fingerprint_df=5).count()
+        assert uncapped == 20 * 19 // 2
+        assert capped == 0
+
+
 class TestClusters:
     def test_transitive_components_and_canonical(self, spark):
         # chain 1-2-3 plus island 5-6: transitivity must link 1 to 3
