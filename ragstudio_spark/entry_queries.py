@@ -975,7 +975,24 @@ FROM (
 GROUP BY user_id
 """
 _SESSION_DUCK = _SESSION.replace("INTERVAL 30 MINUTE", "INTERVAL 30 MINUTES")
-_def("sessionize_events", _q(_SESSION, _SESSION_DUCK, ("events",)))
+
+
+def _sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import sessions
+
+    _register(spark, sf_dir, "events")
+    s = sessions.sessionize(spark.table("events"), gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("session_seq").cast("bigint").alias("n_sessions"),
+    )
+
+
+# Spark side runs the first-class operator (operators/sessions.py); the
+# DuckDB SQL twin pins the gap/boundary semantics value-for-value.
+_def("sessionize_events", (_sessionize_fn, _SESSION_DUCK))
 
 # -- 20. broadcast-dim join + top-k revenue (chunk→doc FK re-attach pattern)
 _TOPCUST = """
