@@ -27,7 +27,7 @@ the semantics against DuckDB value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 N_HASHES = 8
 N_BANDS = 2
@@ -250,24 +250,33 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     paragraph inside an otherwise different document), where whole-document
     signatures dilute. Hashes are md5-prefix strings — winnowing only needs
     a total order, so lexicographic minima avoid any hex→int conversion and
-    stay engine-portable. All JVM array expressions: one row per selected
-    fingerprint after explode, ready for a groupBy-count or pair join.
-    Texts shorter than k+w−1 chars yield no fingerprints."""
-    n_grams = F.length(F.col(text_col)) - k + 1
-    grams = F.transform(
-        F.sequence(F.lit(0), n_grams - 1),
-        lambda i: F.substring(F.md5(
-            F.substring(F.col(text_col), (i + 1).cast("int"), k)), 1, 8),
+    stay engine-portable. Texts shorter than k+w−1 chars yield no
+    fingerprints.
+
+    Shape: explode gram positions FIRST, hash each k-gram exactly once,
+    then a per-doc running window min (rowsBetween 0..w−1). The obvious
+    nested-lambda form (transform over windows slicing a grams array)
+    makes Catalyst inline and re-evaluate the whole gram array per window
+    position — O(n²) md5 calls per document, measured at minutes per
+    10 KB row (the module-docstring trap, again). This form is O(n) hashes
+    + one per-doc sort."""
+    n_grams = (F.length(F.col(text_col)) - k + 1).cast("int")
+    grams = (
+        df.filter(n_grams >= w)
+        .select(F.col(id_col), F.col(text_col), n_grams.alias("_n"),
+                F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("_i"))
+        .select(
+            id_col, "_n", "_i",
+            F.substring(F.md5(F.substring(F.col(text_col), F.col("_i") + 1, k)),
+                        1, 8).alias("_h"),
+        )
     )
-    minima = F.transform(
-        F.sequence(F.lit(0), n_grams - w),
-        lambda j: F.array_min(F.slice(grams, (j + 1).cast("int"), w)),
-    )
-    fps = F.when(n_grams >= w, F.array_distinct(minima)).otherwise(
-        F.array().cast("array<string>"))
+    win = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
     return (
-        df.select(F.col(id_col), fps.alias("_fps"))
-        .select(id_col, F.explode("_fps").alias("fingerprint"))
+        grams.withColumn("_wm", F.min("_h").over(win))
+        .filter(F.col("_i") <= F.col("_n") - w)
+        .select(F.col(id_col), F.col("_wm").alias("fingerprint"))
+        .distinct()
     )
 
 

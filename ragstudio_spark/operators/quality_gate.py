@@ -57,14 +57,20 @@ def with_chunks_gate(
     readable_flags = f"transform({chunks_col}, c -> {fold})"
     total = F.size(F.col(chunks_col))
     readable = F.expr(f"size(filter({readable_flags}, b -> b))")
-    ratio = F.when(total > 0, readable.cast("double") / total).otherwise(F.lit(0.0))
-    return (
-        df.withColumn("total_chunks_gate", total)
-        .withColumn("readable_chunks", readable)
-        .withColumn("readable_ratio", ratio)
-        .withColumn(
-            "gate_passed", (total > 0) & (F.col("readable_ratio") >= min_readable_ratio)
-        )
+    # downstream columns reference the MATERIALIZED readable_chunks column,
+    # never the `readable` expression object — embedding it again would
+    # re-evaluate the whole fold per reference (verified on the physical
+    # plan: expression-embedding doubled the aggregate() count)
+    df = df.withColumn("total_chunks_gate", total).withColumn(
+        "readable_chunks", readable)
+    ratio = F.when(
+        F.col("total_chunks_gate") > 0,
+        F.col("readable_chunks").cast("double") / F.col("total_chunks_gate"),
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("readable_ratio", ratio).withColumn(
+        "gate_passed",
+        (F.col("total_chunks_gate") > 0)
+        & (F.col("readable_ratio") >= min_readable_ratio),
     )
 
 

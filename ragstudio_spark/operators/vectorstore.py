@@ -29,8 +29,6 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from ragstudio_spark.operators.similarity import cosine
-
 FORMAT_VERSION = 1
 
 STORE_SCHEMA = ("id string, text string, metadata map<string,string>, "
@@ -81,7 +79,12 @@ def store_info(path: str) -> dict:
 
 
 def _latest(df: DataFrame) -> DataFrame:
-    w = Window.partitionBy("id").orderBy(F.desc("version"))
+    # content-hash tie-break: duplicate ids WITHIN one version (a batch
+    # that carried the same id twice) must still resolve deterministically,
+    # never by shuffle order
+    w = Window.partitionBy("id").orderBy(
+        F.desc("version"),
+        F.asc(F.md5(F.to_json(F.struct("text", "embedding")))))
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
 
@@ -89,12 +92,19 @@ def _latest(df: DataFrame) -> DataFrame:
 def upsert(store: DataFrame, new: DataFrame) -> DataFrame:
     """Id-keyed overwrite: rows in ``new`` replace same-id rows in
     ``store`` (Qdrant upsert semantics). Resolved with one version window
-    — append-friendly, no read-modify-write."""
+    — append-friendly, no read-modify-write. Fully lazy: the version bump
+    is a broadcast single-row aggregate inside the plan, not a driver
+    action, so building an upsert never scans the store at call time."""
     if "version" not in store.columns:
         store = store.withColumn("version", F.lit(0).cast("bigint"))
-    bump = store.agg(F.coalesce(F.max("version"), F.lit(0)).alias("m")).first()["m"]
-    new = new.withColumn("version", F.lit(int(bump) + 1).cast("bigint"))
-    return _latest(store.unionByName(new))
+    bump = store.agg(
+        (F.coalesce(F.max("version"), F.lit(0)) + 1).alias("_newv"))
+    new = (
+        new.crossJoin(F.broadcast(bump))
+        .withColumn("version", F.col("_newv").cast("bigint"))
+        .drop("_newv")
+    )
+    return _latest(store.unionByName(new.select(*store.columns)))
 
 
 def delete(store: DataFrame, ids: list[str]) -> DataFrame:
@@ -106,9 +116,21 @@ def delete(store: DataFrame, ids: list[str]) -> DataFrame:
 def search(store: DataFrame, query_embedding: list[float], k: int = 4) -> DataFrame:
     """Cosine top-k over the store (similarity_search_with_score,
     json_vector_store.py:225-277) — JVM fold, distributed partial top-k,
-    deterministic id tie-break. Returns (id, text, metadata, score, rank)."""
+    deterministic id tie-break. Returns (id, text, metadata, score, rank).
+
+    Norms get the reference's +1e-10 epsilon (json_vector_store.py:
+    279-284): embeddings are caller-supplied, and one zero-norm row would
+    otherwise kill the whole query under ANSI-mode division."""
     q = F.array(*[F.lit(float(x)).cast("float") for x in query_embedding])
-    scored = store.withColumn("score", cosine(F.col("embedding"), q))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+    e = F.col("embedding")
+    score = dot(e, q) / ((F.sqrt(dot(e, e)) + 1e-10) * (F.sqrt(dot(q, q)) + 1e-10))
+    scored = store.withColumn("score", score)
     top = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     return top.withColumn("rank", F.row_number().over(w)).select(

@@ -88,13 +88,19 @@ def main() -> None:
         spark, df, args.output, args.run_id, cfg, resume=not args.no_resume
     )
     if args.vector_store:
-        from ragstudio_spark.operators import vectorstore
-        from ragstudio_spark.pipeline.lineage import read_chunks
+        if summary["failed"] > 0:
+            # don't overwrite the store (and stamp a committed-looking
+            # index.json) from a failing run — the exit-1 retry contract
+            # would otherwise leave consumers reading partial data
+            summary["vector_store"] = {"skipped": "run had failures"}
+        else:
+            from ragstudio_spark.operators import vectorstore
+            from ragstudio_spark.pipeline.lineage import read_chunks
 
-        chunks = read_chunks(spark, args.output)
-        if chunks is not None:
-            summary["vector_store"] = vectorstore.ingest_chunks(
-                chunks, args.vector_store)
+            chunks = read_chunks(spark, args.output)
+            if chunks is not None:
+                summary["vector_store"] = vectorstore.ingest_chunks(
+                    chunks, args.vector_store)
     print(json.dumps(summary))
     # reference exits 1 when files failed (batch.py:629-630)
     sys.exit(0 if summary["failed"] == 0 else 1)
