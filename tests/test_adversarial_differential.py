@@ -1,0 +1,93 @@
+"""Adversarial differential test: hostile inputs through the Spark
+pipeline must chunk identically to the pure-Python kernel recomputation.
+
+The synthetic-corpus differential suite covers realistic payload flavors;
+this one feeds deterministic seeded garbage the corpus never produces —
+unicode whitespace, ligatures, lone surrogete-free emoji, NBSP runs,
+mixed newline conventions, pathological repetition, html fragments inside
+prose, 10k-char single words — the classes of input a 100 TB crawl
+actually contains.
+"""
+
+import random
+import re
+
+import pytest
+
+from ragstudio_spark.kernel import chunk as kchunk
+from ragstudio_spark.kernel import html_extract, quality, textops
+from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+
+_PIECES = [
+    "normal prose with words ",
+    "ﬁﬂ ligatures æ and œ mixed in ",
+    "emoji 🎉🔥 and accents éèêàçœÿ ",
+    "  nbsp runs here ",
+    "tabs\there\tand\there ",
+    "\r\nwindows\r\nnewlines\r\n",
+    "- Page 42 -\n",
+    "| a | b |\n-----\n",
+    "<p>html fragment</p> in plain text ",
+    "e\nm\nm\na\n",
+    "CamelCaseRunsTogetherWithoutSpaces ",
+    "ALLCAPSSHOUTING WORDS HERE ",
+    "123mixed9digit8words4 ",
+    "word " * 50,
+    "x" * 600 + " ",
+    "短い日本語のテキストです。",
+    " line sep para sep ",
+    "....... ===== _____ ",
+    "a b c d e f g h i j ",
+]
+
+
+def _nasty_text(seed: int) -> str:
+    rng = random.Random(seed)
+    n = rng.randrange(0, 12)
+    return "".join(rng.choice(_PIECES) for _ in range(n))
+
+
+def _kernel_expected(rows):
+    """Same recomputation as the corpus differential oracle."""
+    out = []
+    for conv_id, turn_idx, text in rows:
+        text = text or ""
+        if not text.strip():
+            continue
+        if re.search(r"(?is)<html|<body|<head|<article|<div[\s>]|<p[\s>]", text):
+            ctype, extracted = "html", html_extract.extract_main_content(text)
+        elif re.search(r"(?m)^#{1,6}\s+\S|^\|[^\n]*\|[^\n]*\|", text):
+            ctype, extracted = "markdown", text
+        elif re.search(
+            r"(?m)-\s*Page \d+\s*-|\w-\n\w|^[ \t]*[\|\-_=+][ \t\|\-_=+]*$"
+            r"|^\S{1,2}\n\S{1,2}\n\S{1,2}$", text):
+            ctype, extracted = "pdf", textops.preprocess_before_chunking(text, "pdf")
+        else:
+            ctype, extracted = "plain", text
+        chunks, _stats = kchunk.chunk_turn(
+            extracted, source=f"{conv_id}:{turn_idx}",
+            requested_strategy="recursive", max_tokens=400, overlap=50)
+        verdict = quality.check_chunks_quality(
+            [c["text"] for c in chunks], min_readable_ratio=0.9)
+        if not verdict["is_readable"]:
+            continue
+        for c in chunks:
+            out.append((conv_id, turn_idx, c["chunk_index"], c["text"],
+                        c["char_start"], c["char_end"]))
+    return sorted(out)
+
+
+class TestAdversarialDifferential:
+    @pytest.mark.parametrize("base_seed", [0, 1000])
+    def test_hostile_inputs_match_kernel(self, spark, base_seed):
+        rows = [(f"adv_{i:04d}", 0, _nasty_text(base_seed + i))
+                for i in range(120)]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+        got = sorted(
+            (r["conv_id"], r["turn_idx"], r["chunk_index"], r["text"],
+             r["char_start"], r["char_end"])
+            for r in run_pipeline(df, PipelineConfig()).chunks.collect())
+        exp = _kernel_expected(rows)
+        assert len(got) == len(exp)
+        assert got == exp
+        assert len(got) > 20  # a meaningful fraction survives the gate
