@@ -70,15 +70,27 @@ def main() -> None:
     # most workers cold and the first measured run pays fleet startup)
     run_pipeline(read()).chunks.count()
 
-    # headline: end-to-end extract+chunk over the transcript table
-    t0 = time.time()
-    n_chunks = run_pipeline(read(), PipelineConfig()).chunks.count()
-    pipeline_sec = time.time() - t0
+    # headline: end-to-end extract+chunk over the transcript table.
+    # min of 2 runs — the sandbox host's CPU steal fluctuates run to run
+    # (observed 1.6× between consecutive identical runs); the min is the
+    # stable engine number, same protocol as scale_bench.
+    def best_of(n, fn):
+        times = []
+        result = None
+        for _ in range(n):
+            t0 = time.time()
+            result = fn()
+            times.append(time.time() - t0)
+        return min(times), result
+
+    pipeline_sec, n_chunks = best_of(
+        2, lambda: run_pipeline(read(), PipelineConfig()).chunks.count())
     timings["pipeline_extract_chunk"] = round(pipeline_sec, 3)
 
     # adaptive-strategy variant
-    timed("pipeline_adaptive", lambda: run_pipeline(
-        read(), PipelineConfig(adaptive=True)).chunks.count())
+    adaptive_sec, _ = best_of(
+        2, lambda: run_pipeline(read(), PipelineConfig(adaptive=True)).chunks.count())
+    timings["pipeline_adaptive"] = round(adaptive_sec, 3)
 
     # operator battery on the SF tables
     qs = entry_queries.queries()
