@@ -28,7 +28,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    only = set(sys.argv[1:])
+    global SF_DIR
+    args = sys.argv[1:]
+    if "--sf" in args:  # e.g. --sf 0.1 → robustness run at 10× the gate
+        i = args.index("--sf")
+        SF_DIR = f"/root/testdata/sf{args[i + 1]}"
+        del args[i:i + 2]
+    only = set(args)
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
