@@ -777,6 +777,44 @@ FROM documents GROUP BY 1
 """
 _def("quality_gate", _q(_quality_sql("spark"), _quality_sql("duckdb"), ("documents",)))
 
+# -- 15b. quality feature vector (length / punctuation ratio / stopword
+#         ratio / mean word length) — the task-brief quality-scoring
+#         features as explicit columns. Ratios are single exact divisions
+#         of integer counts (engine-identical doubles).
+def _quality_features_sql(engine: str) -> str:
+    words = _words_expr("text", engine)
+    stop_body = "|".join(_LANG_STOPWORDS["en"] + _LANG_STOPWORDS["fr"])
+    if engine == "spark":
+        n_punct = "size(regexp_extract_all(text, '[.,;:!?]', 0))"
+        n_stop = f"size(regexp_extract_all(lower(text), '\\\\b(?:{stop_body})\\\\b', 0))"
+        n_words = f"size({words})"
+        sum_word_len = (f"aggregate({words}, 0L, (acc, w) -> acc + length(w))")
+    else:
+        n_punct = "len(regexp_extract_all(text, '[.,;:!?]'))"
+        n_stop = f"len(regexp_extract_all(lower(text), '\\b(?:{stop_body})\\b'))"
+        n_words = f"len({words})"
+        sum_word_len = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform({words}, w -> CAST(length(w) AS BIGINT))), "
+            f"(acc, v) -> acc + v)")
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
+       CAST({n_words} AS BIGINT) AS n_words,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST({n_punct} AS DOUBLE) / length(text) END AS punct_ratio,
+       CASE WHEN {n_words} = 0 THEN 0.0
+            ELSE CAST({n_stop} AS DOUBLE) / {n_words} END AS stopword_ratio,
+       CASE WHEN {n_words} = 0 THEN 0.0
+            ELSE CAST({sum_word_len} AS DOUBLE) / {n_words} END AS mean_word_len
+FROM documents
+"""
+
+
+_def("text_quality_features", _q(_quality_features_sql("spark"),
+                                 _quality_features_sql("duckdb"), ("documents",)))
+
+
 # -- 16. profile → adaptive strategy distribution (decorated corpus hits
 #        every reachable branch of the selector decision tree; the
 #        high_structure_score branch is unreachable from real text — any

@@ -59,3 +59,39 @@ class TestKernelTotality:
             chunks, _ = kchunk.chunk_turn(s, "f:0", max_tokens=8, overlap=2)
             for c in chunks:
                 assert c["char_end"] - c["char_start"] == c["char_length"]
+
+
+class TestAllOptionsOn:
+    def test_every_feature_enabled_simultaneously(self, spark, tmp_path):
+        """Config interaction: adaptive + language filter + near dedup +
+        tool mining + stage trace all at once, through lineage, must
+        produce a consistent committed run (features compose; none
+        clobbers another's columns)."""
+        import os
+
+        from ragstudio_spark.pipeline import lineage
+        from ragstudio_spark.pipeline.job import PipelineConfig
+        from ragstudio_spark.sources import transcripts as tsrc
+
+        cfg = PipelineConfig(adaptive=True, language_filter=("fr", "en"),
+                             dedupe_chunks="near", extract_tools=True,
+                             with_trace=True)
+        full = tsrc.transcripts_df(spark, 150, seed=87, partitions=3)
+        root = str(tmp_path / "allon")
+        summary = lineage.run_with_lineage(spark, full, root, "run_1", cfg)
+        assert summary["status"] == "completed"
+        assert summary["success"] > 0
+
+        chunks = lineage.read_chunks(spark, root)
+        assert "chunking_reason" in chunks.columns     # adaptive metadata
+        assert chunks.count() > 0
+        metrics = lineage.read_table(spark, root, "metrics")
+        assert "stage_trace" in metrics.columns        # trace present
+        langs = {r["language"] for r in
+                 metrics.filter("status = 'success'")
+                 .select("language").distinct().collect()}
+        assert langs <= {"fr", "en"}                   # filter applied
+        assert os.path.isdir(os.path.join(root, "runs", "run_1", "tool_calls"))
+        # near dedup: no surviving exact-duplicate chunk texts
+        pdf = chunks.select("text").toPandas()
+        assert not pdf.duplicated().any()
