@@ -10,6 +10,9 @@
 * ``kmeans_centroids`` — deterministic Lloyd iterations to TRAIN the IVF
   quantizer (scale mode: k×dim-cell partial aggregation; exact mode:
   order-fixed folds for the DuckDB oracle).
+* ``pq_train`` / ``pq_encode`` / ``pq_topk`` — product quantization:
+  per-subspace codebooks, m-byte codes, asymmetric-distance search via a
+  broadcast query→centroid table (the ANN memory story at 10⁹ vectors).
 * ``hyperplane_buckets`` — sign-bit sketch over fixed hyperplanes: the
   LSH-bucketed near-dup path (candidates only within a bucket).
 
@@ -171,6 +174,95 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 2,
             .select("cid", F.coalesce(F.col("n.c_vec"), F.col("o.c_vec")).alias("c_vec"))
         )
     return cents.select("cid", F.col("c_vec").alias(vec_col))
+
+
+def pq_train(vectors: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codebooks: split each vector into ``m``
+    contiguous sub-vectors and train a ``k``-centroid k-means per
+    subspace. Returns (subspace, cid, sub_vec).
+
+    PQ is the memory story of large-scale ANN: a d-dim float vector
+    (4d bytes) compresses to m codebook indices (m bytes at k ≤ 256),
+    so a 10⁹-vector index fits executor memory where raw floats cannot.
+    Training reuses kmeans_centroids — all its determinism guarantees
+    apply per subspace."""
+    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pq_train: empty vectors input")
+    d = dim_row["d"]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = None
+    for j in range(m):
+        sliced = vectors.select(
+            F.col(id_col), F.slice(vec_col, j * sub + 1, sub).alias(vec_col))
+        cb = kmeans_centroids(sliced, k=k, iters=iters, id_col=id_col,
+                              vec_col=vec_col).select(
+            F.lit(j).alias("subspace"), "cid",
+            F.col(vec_col).alias("sub_vec"))
+        books = cb if books is None else books.unionByName(cb)
+    return books
+
+
+def pq_encode(vectors: DataFrame, codebooks: DataFrame, m: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector as ``m`` codebook indices: (id, codes array<int>).
+    One broadcast of the (m×k)-row codebooks; assignment is the same
+    squared-L2 argmin as training (id tie-break → deterministic codes)."""
+    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    sub = dim_row["d"] // m
+    subs = vectors.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("subspace"),
+                     F.slice(vec_col, j * sub + 1, sub).alias("sv"))
+            for j in range(m)
+        ])).alias("s"),
+    ).select(id_col, "s.subspace", "s.sv")
+    scored = subs.join(F.broadcast(codebooks), on="subspace").withColumn(
+        "d2", _l2sq(F.col("sv"), F.col("sub_vec")))
+    w = Window.partitionBy(id_col, "subspace").orderBy(F.asc("d2"), F.asc("cid"))
+    best = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select(id_col, "subspace", "cid"))
+    return (
+        best.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("subspace", "cid"))).alias("sc"))
+        .select(id_col, F.transform("sc", lambda s: s["cid"]).alias("codes"))
+    )
+
+
+def pq_topk(codes: DataFrame, codebooks: DataFrame, query_vec: list[float],
+            k: int = 5, m: int = 4, id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: precompute the query's
+    distance to every codebook centroid (an m×k table, broadcast), then
+    each encoded vector's approximate distance is m array lookups — no
+    float vectors touched at scan time. Returns (neighbor_id, rank)."""
+    d = len(query_vec)
+    sub = d // m
+    q_sub = {j: [float(x) for x in query_vec[j * sub:(j + 1) * sub]]
+             for j in range(m)}
+    # distance table rows: (subspace, cid, qd)
+    def qcol(j):
+        return F.array(*[F.lit(x).cast("float") for x in q_sub[j]])
+    table = codebooks.withColumn(
+        "qd",
+        sum([F.when(F.col("subspace") == j,
+                    _l2sq(qcol(j), F.col("sub_vec"))).otherwise(0.0)
+             for j in range(m)], F.lit(0.0)),
+    ).select("subspace", "cid", "qd")
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "cid"))
+    dist = (
+        exploded.join(F.broadcast(table), on=["subspace", "cid"])
+        .groupBy("neighbor_id").agg(F.sum("qd").alias("adist"))
+    )
+    w = Window.orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (dist.orderBy(F.asc("adist"), F.asc("neighbor_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("neighbor_id", "rank"))
 
 
 def hyperplane_buckets(vectors: DataFrame, planes: DataFrame,

@@ -300,6 +300,41 @@ class TestSimilarity:
             eight, k=3, iters=2, exact=True).collect()))
         assert a == b
 
+    def test_pq_roundtrip_finds_true_neighbors(self, spark):
+        """PQ codes must rank the query's own cluster first: clustered data
+        in 8-dim, m=4 subspaces, codebooks trained on the corpus itself."""
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        centers = [[5.0, 0, 0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0, 0, 5.0]]
+        for i in range(40):
+            c = centers[i % 2]
+            rows.append((i, [x + rng.uniform(-0.2, 0.2) for x in c]))
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+        books = similarity.pq_train(vecs, m=4, k=4, iters=2)
+        assert books.count() == 4 * 4
+        codes = similarity.pq_encode(vecs, books, m=4)
+        assert codes.count() == 40
+        got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+        assert all(len(c) == 4 for c in got.values())
+
+        # asymmetric-distance search from each cluster center must return
+        # only members of that cluster (k-means may split a cluster across
+        # several near-identical centroids — codes differ, distances don't)
+        for c_idx, center in enumerate(centers):
+            top = similarity.pq_topk(codes, books, center, k=5, m=4)
+            ids = [r["neighbor_id"] for r in top.collect()]
+            assert len(ids) == 5
+            assert all(i % 2 == c_idx for i in ids), (c_idx, ids)
+
+    def test_pq_dim_validation(self, spark):
+        vecs = spark.createDataFrame([(0, [1.0, 2.0, 3.0])],
+                                     "vec_id int, embedding array<float>")
+        with pytest.raises(ValueError, match="not divisible"):
+            similarity.pq_train(vecs, m=2)
+
     def test_hyperplane_buckets_group_identical_vectors(self, spark, vectors):
         planes = vectors.filter("vec_id IN (1, 2, 3)").select(
             (F.col("vec_id") - 1).alias("plane"), "embedding"
