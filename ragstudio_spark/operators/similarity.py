@@ -206,13 +206,31 @@ def pq_train(vectors: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
     return books
 
 
+def _codebook_shape(codebooks: DataFrame, m: int) -> int:
+    """Validate codebooks against ``m`` and return the sub-vector width
+    (read from the small codebook table — never scans the vectors)."""
+    first = codebooks.select(F.size("sub_vec").alias("s")).first()
+    if first is None:
+        raise ValueError("empty codebooks")
+    n_sub = codebooks.select("subspace").distinct().count()
+    if n_sub != m:
+        raise ValueError(f"codebooks hold {n_sub} subspaces, caller passed m={m}")
+    return first["s"]
+
+
 def pq_encode(vectors: DataFrame, codebooks: DataFrame, m: int = 4,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Encode each vector as ``m`` codebook indices: (id, codes array<int>).
     One broadcast of the (m×k)-row codebooks; assignment is the same
-    squared-L2 argmin as training (id tie-break → deterministic codes)."""
-    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
-    sub = dim_row["d"] // m
+    squared-L2 argmin as training (id tie-break → deterministic codes).
+    A vector whose dimensionality doesn't match the codebooks fails the
+    task loudly (assert_true) instead of silently mis-encoding."""
+    sub = _codebook_shape(codebooks, m)
+    vectors = vectors.withColumn(
+        "_dimok",
+        F.assert_true(F.size(vec_col) == m * sub,
+                      F.lit(f"pq_encode: vector dim != m*sub = {m * sub}")),
+    ).drop("_dimok")
     subs = vectors.select(
         F.col(id_col),
         F.explode(F.array(*[
@@ -239,18 +257,20 @@ def pq_topk(codes: DataFrame, codebooks: DataFrame, query_vec: list[float],
     distance to every codebook centroid (an m×k table, broadcast), then
     each encoded vector's approximate distance is m array lookups — no
     float vectors touched at scan time. Returns (neighbor_id, rank)."""
-    d = len(query_vec)
-    sub = d // m
-    q_sub = {j: [float(x) for x in query_vec[j * sub:(j + 1) * sub]]
-             for j in range(m)}
-    # distance table rows: (subspace, cid, qd)
-    def qcol(j):
-        return F.array(*[F.lit(x).cast("float") for x in q_sub[j]])
+    sub = _codebook_shape(codebooks, m)
+    if len(query_vec) != m * sub:
+        raise ValueError(
+            f"pq_topk: query dim {len(query_vec)} != m*sub = {m * sub}")
+    # one literal array-of-subvectors indexed by subspace: each codebook
+    # row evaluates exactly ONE _l2sq (not m when-branches)
+    q_arr = F.array(*[
+        F.array(*[F.lit(float(x)).cast("float")
+                  for x in query_vec[j * sub:(j + 1) * sub]])
+        for j in range(m)
+    ])
     table = codebooks.withColumn(
         "qd",
-        sum([F.when(F.col("subspace") == j,
-                    _l2sq(qcol(j), F.col("sub_vec"))).otherwise(0.0)
-             for j in range(m)], F.lit(0.0)),
+        _l2sq(F.element_at(q_arr, F.col("subspace") + 1), F.col("sub_vec")),
     ).select("subspace", "cid", "qd")
     exploded = codes.select(
         F.col(id_col).alias("neighbor_id"),

@@ -30,11 +30,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     global SF_DIR
     args = sys.argv[1:]
-    if "--sf" in args:  # e.g. --sf 0.1 → robustness run at 10× the gate
-        i = args.index("--sf")
-        SF_DIR = f"/root/testdata/sf{args[i + 1]}"
-        del args[i:i + 2]
-    only = set(args)
+    names = []
+    i = 0
+    while i < len(args):  # --sf 0.1 or --sf=0.1 → run at another SF
+        a = args[i]
+        if a == "--sf":
+            if i + 1 >= len(args):
+                sys.exit("usage: check_oracle.py [--sf 0.1] [names...]")
+            SF_DIR = f"/root/testdata/sf{args[i + 1]}"
+            i += 2
+        elif a.startswith("--sf="):
+            SF_DIR = f"/root/testdata/sf{a.split('=', 1)[1]}"
+            i += 1
+        elif a.startswith("-"):
+            sys.exit(f"unknown flag {a!r}; usage: check_oracle.py [--sf 0.1] [names...]")
+        else:
+            names.append(a)
+            i += 1
+    only = set(names)
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -42,6 +55,9 @@ def main():
 
     qs = entry_queries.queries()
     oracles = entry_queries.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:  # a typo must not yield a vacuous green gate
+        sys.exit(f"unknown query names: {sorted(unknown)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
