@@ -62,7 +62,8 @@ def chunk_turn(
     overlap: int = 50,
     do_preprocess: bool = True,
     adaptive: bool = False,
-) -> tuple[list[dict], dict]:
+    with_base: bool = False,
+) -> tuple[list[dict], dict] | tuple[list[dict], dict, str]:
     """Chunk one turn's text; returns (chunk dicts, preprocess stats).
 
     ``source`` plays the role of the reference's ``document.source_path`` in
@@ -72,9 +73,14 @@ def chunk_turn(
     dispatch (parent_child → heading split, anything else → char window),
     mirroring chunk_document_adaptive; otherwise the LangChain-parity mapping
     applies.
+
+    ``with_base=True`` additionally returns the text the spans index into
+    (the preprocessed text), so callers can ship spans instead of chunk
+    strings and slice the text back engine-side (operators/fused.py).
     """
     if not text:
-        return [], {"extraction_fixes": 0, "page_numbers_removed": 0}
+        empty: tuple = ([], {"extraction_fixes": 0, "page_numbers_removed": 0})
+        return (*empty, "") if with_base else empty
 
     stats = {"extraction_fixes": 0, "page_numbers_removed": 0}
     text_to_chunk = text
@@ -88,7 +94,7 @@ def chunk_turn(
 
     chunk_texts = split_text(text_to_chunk, actual, max_tokens, overlap)
     if not chunk_texts:
-        return [], stats
+        return ([], stats, text_to_chunk) if with_base else ([], stats)
 
     chunks: list[dict] = []
     char_position = 0
@@ -122,7 +128,7 @@ def chunk_turn(
             }
         )
         char_position = char_end
-    return chunks, stats
+    return (chunks, stats, text_to_chunk) if with_base else (chunks, stats)
 
 
 def validate_chunks(chunk_texts: list[str]) -> list[str]:

@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ragstudio_spark.kernel import chunk as kchunk
 from ragstudio_spark.kernel import html_extract, langid
@@ -37,6 +37,9 @@ from ragstudio_spark.kernel import textops
 from ragstudio_spark.operators.chunker import CHUNK_STRUCT
 
 _CHUNK_FIELDS = [f.name for f in CHUNK_STRUCT.fields]
+#: wire format = public chunk fields + transport-only byte-span fields
+#: (dropped again by _materialize_chunk_text)
+_WIRE_FIELDS = [*_CHUNK_FIELDS, "b_start", "b_len"]
 
 FUSED_SCHEMA = (
     "conv_id string, turn_idx int, content_type string, "
@@ -44,12 +47,12 @@ FUSED_SCHEMA = (
     "language string, quality_score double, needs_repair boolean, "
     "repair_applied boolean, extracted_chars int, "
     "extraction_fixes int, page_numbers_removed int, error string, "
-    "chunking_reason string, "
+    "chunking_reason string, base_utf8 binary, "
     "chunks array<struct<"
     "chunk_index:int,chunk_id:string,text:string,char_start:int,char_end:int,"
     "char_length:int,token_count:int,sentence_count:int,total_chunks:int,"
     "chunking_strategy:string,requested_strategy:string,chunk_size:int,"
-    "chunk_overlap:int>>"
+    "chunk_overlap:int,b_start:int,b_len:int>>"
 )
 
 _ENGINES = {"html": "html_readability", "pdf": "pdf_cleaner",
@@ -78,6 +81,7 @@ def process_turns(
     on_error: str = "quarantine",
     adaptive: bool = False,
     with_trace: bool = False,
+    materialize_text: bool = True,
 ) -> DataFrame:
     """df must carry conv_id, turn_idx, text, content_type (+ ts when
     carry_ts, for event-time streaming). Returns the fused per-turn result
@@ -89,6 +93,15 @@ def process_turns(
       * "skip"       — emit the row with error set, no chunks (IGNORE)
       * "quarantine" — same as skip; downstream routes it to the errors
                        table with the reason (CONTINUE + FileResult.error)
+
+    ``materialize_text=False`` returns the raw wire form: chunk ``text`` is
+    NULL wherever it equals its byte-span slice of the ``base_utf8`` column
+    (kept in the output) — consumers slice it back themselves with
+    ``chunk_text_expr``/``sliced_chunk_text``. The pipeline uses this to
+    defer slicing to AFTER the quality gate and the explode, so the chunk
+    strings are copied exactly once; the default form rebuilds the public
+    chunk structs immediately (convenient, but Catalyst inlines the rebuild
+    into every downstream reference of ``chunks``).
     """
     if on_error not in ("quarantine", "skip", "fail_fast"):
         raise ValueError(f"on_error: {on_error}")
@@ -149,7 +162,7 @@ def process_turns(
             mark("strategy_selection", "profile_tree", t0)
 
         t0 = perf_counter() if with_trace else 0.0
-        chunks, stats = kchunk.chunk_turn(
+        chunks, stats, base = kchunk.chunk_turn(
             extracted,
             source=f"{conv_id}:{turn_idx}",
             requested_strategy=turn_strategy,
@@ -157,10 +170,61 @@ def process_turns(
             overlap=turn_overlap,
             do_preprocess=do_preprocess,
             adaptive=adaptive,
+            with_base=True,
         )
         mark("chunking", turn_strategy, t0)
+        # Spans-only Arrow transfer: every chunk ships text=NULL plus the
+        # UTF-8 BYTE span of its TRUE location in base, and is sliced back
+        # JVM-side as a binary substring (O(1) positioning + memcpy — a
+        # code-point substring would re-scan the string per chunk, measured
+        # slower than shipping the text). The contract char_start/char_end
+        # keep the kernel's find-from-position values (which point past the
+        # true start for ~1/3 of chunks — the overlap region makes the next
+        # chunk begin BEFORE the previous one's end, kernel/chunk.py:96-101)
+        # while b_start/b_len locate the verbatim bytes: chunk starts are
+        # non-decreasing, so one forward find() + incremental encode pass
+        # covers all chunks in O(len(base)). A chunk absent from base
+        # (never observed — splitters emit contiguous text) falls back to
+        # literal transfer.
+        rows = []
+        ascii_base = base.isascii()
+        anchor_c = anchor_b = 0  # char→byte anchor for the encode walk
+        search_from = 0
+        n_base = len(base)
+        startswith, find = base.startswith, base.find
+        for c in chunks:
+            s, e = c["char_start"], c["char_end"]
+            t = c["text"]
+            lt = len(t)
+            # startswith(t, s, e) is slice equality without the slice copy
+            if e - s == lt and e <= n_base and startswith(t, s, e):
+                p = s
+            else:
+                p = find(t, search_from)
+                if p == -1:
+                    p = find(t)
+            if p == -1:
+                wire_text, bs, bl = t, 0, 0
+            else:
+                wire_text = None
+                if ascii_base:
+                    bs, bl = p, lt
+                else:
+                    if p >= anchor_c:
+                        bs = anchor_b + len(base[anchor_c:p].encode("utf-8"))
+                    else:  # backwards jump (find-from-0 fallback): rare
+                        bs = len(base[:p].encode("utf-8"))
+                    bl = len(base[p:p + lt].encode("utf-8"))
+                    anchor_c, anchor_b = p, bs
+                search_from = p
+            rows.append((c["chunk_index"], c["chunk_id"], wire_text, s, e,
+                         c["char_length"], c["token_count"],
+                         c["sentence_count"], c["total_chunks"],
+                         c["chunking_strategy"], c["requested_strategy"],
+                         c["chunk_size"], c["chunk_overlap"], bs, bl))
         return (language, quality_score, needs_repair, repaired,
-                len(extracted), stats, chunks, reason, trace)
+                len(extracted), stats, rows, base if chunks else None,
+                reason, trace)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -168,7 +232,8 @@ def process_turns(
                 "conv_id", "turn_idx", "content_type", "extraction_engine",
                 "text_head", "language", "quality_score", "needs_repair",
                 "repair_applied", "extracted_chars", "extraction_fixes",
-                "page_numbers_removed", "error", "chunking_reason", "chunks",
+                "page_numbers_removed", "error", "chunking_reason",
+                "base_utf8", "chunks",
                 *(["stage_trace"] if with_trace else []))}
             for conv_id, turn_idx, text, ctype in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["content_type"]
@@ -176,8 +241,8 @@ def process_turns(
                 error = None
                 try:
                     (language, quality_score, needs_repair, repaired,
-                     n_extracted, stats, chunks, reason, trace) = process_one(
-                        conv_id, turn_idx, text, ctype)
+                     n_extracted, stats, chunks, base, reason,
+                     trace) = process_one(conv_id, turn_idx, text, ctype)
                 except Exception as exc:  # noqa: BLE001 — row-level fault barrier
                     if on_error == "fail_fast":
                         raise
@@ -185,7 +250,8 @@ def process_turns(
                     language, quality_score = None, 0.0
                     needs_repair, repaired, n_extracted = False, False, 0
                     stats = {"extraction_fixes": 0, "page_numbers_removed": 0}
-                    chunks, reason, trace = [], None, [] if with_trace else None
+                    chunks, base, reason = [], None, None
+                    trace = [] if with_trace else None
                 out["conv_id"].append(conv_id)
                 out["turn_idx"].append(turn_idx)
                 out["content_type"].append(ctype)
@@ -200,13 +266,58 @@ def process_turns(
                 out["page_numbers_removed"].append(stats["page_numbers_removed"])
                 out["error"].append(error)
                 out["chunking_reason"].append(reason)
-                out["chunks"].append(
-                    [tuple(c[k] for k in _CHUNK_FIELDS) for c in chunks]
-                )
+                out["base_utf8"].append(base.encode("utf-8") if base is not None else None)
+                out["chunks"].append(chunks)
                 if with_trace:
                     out["stage_trace"].append(trace)
             if carry_ts:
                 out["ts"] = list(pdf["ts"])
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=schema)
+    out = df.mapInPandas(run, schema=schema)
+    return _materialize_chunk_text(out) if materialize_text else out
+
+
+def chunk_text_expr(chunk: str = "c", base: str = "base_utf8") -> str:
+    """SQL expression (for use inside higher-order lambdas) recovering a
+    chunk's text from the wire form: literal text when shipped, else the
+    byte-span slice of ``base`` (a BINARY column — shipped as UTF-8 bytes
+    precisely so no per-element string→binary cast runs inside lambdas)."""
+    return (f"coalesce({chunk}.text, cast(substring({base}, "
+            f"{chunk}.b_start + 1, {chunk}.b_len) as string))")
+
+
+def sliced_chunk_text(chunk_col: str = "chunk",
+                      base_col: str = "base_utf8"):
+    """Column form of :func:`chunk_text_expr` for post-explode rows."""
+    c = F.col(chunk_col)
+    return F.coalesce(
+        c["text"],
+        F.substring(F.col(base_col),
+                    c["b_start"] + F.lit(1), c["b_len"]).cast("string"),
+    )
+
+
+def _materialize_chunk_text(df: DataFrame) -> DataFrame:
+    """Slice NULL chunk texts back out of base_utf8 JVM-side, then drop the
+    carrier column. One projection, no shuffle — the chunk strings never
+    cross the Python/Arrow boundary (except the rare slice-back-inequality
+    rows, which arrive literal)."""
+    base_bytes = F.col("base_utf8")
+
+    def rebuild(c):
+        cols = []
+        for name in _CHUNK_FIELDS:
+            if name == "text":
+                cols.append(F.coalesce(
+                    c["text"],
+                    F.substring(base_bytes, c["b_start"] + F.lit(1),
+                                c["b_len"]).cast("string"),
+                ).alias("text"))
+            else:
+                cols.append(c[name].alias(name))
+        return F.struct(*cols)
+
+    return df.withColumn(
+        "chunks", F.transform(F.col("chunks"), rebuild)
+    ).drop("base_utf8")

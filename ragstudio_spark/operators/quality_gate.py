@@ -39,6 +39,7 @@ def with_chunks_gate(
     chunks_col: str = "chunks",
     min_readable_ratio: float = 0.9,
     chunk_min_ratio: float = 0.3,
+    chunk_text: str = "c.text",
 ) -> DataFrame:
     """Per-turn gate over a chunk array column (array<struct> with a text
     field): readable_chunks / total_chunks ≥ min_readable_ratio. Adds
@@ -52,8 +53,12 @@ def with_chunks_gate(
     dialect note 5). The single-pass fold comes from
     ``sqlspec.readable_fold_expr`` so the formulas stay single-sourced
     with the staged operator and the DuckDB oracle (pinned by the
-    kernel↔JVM parity tests and the differential suite)."""
-    fold = sqlspec.readable_fold_expr("c.text", chunk_min_ratio)
+    kernel↔JVM parity tests and the differential suite).
+
+    ``chunk_text`` is the SQL expression for a chunk's text inside the
+    lambda (element variable ``c``) — the pipeline's spans-only wire form
+    passes a byte-span slice expression here (operators/fused.py)."""
+    fold = sqlspec.readable_fold_expr(chunk_text, chunk_min_ratio)
     readable_flags = f"transform({chunks_col}, c -> {fold})"
     total = F.size(F.col(chunks_col))
     readable = F.expr(f"size(filter({readable_flags}, b -> b))")

@@ -72,6 +72,9 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
 
     df = sniff.with_content_type(transcripts)
 
+    # wire form: spans-only chunks + base_utf8 (fused.py) — the gate folds
+    # over the slice expression and the chunk strings are copied exactly
+    # once, in the final post-explode projection below
     turns = fused.process_turns(
         df.select("conv_id", "turn_idx", "text", "content_type"),
         strategy=cfg.strategy,
@@ -83,6 +86,7 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
         on_error=cfg.on_error,
         adaptive=cfg.adaptive,
         with_trace=cfg.with_trace,
+        materialize_text=False,
     )
 
     if cfg.language_filter:
@@ -94,6 +98,7 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
         chunks_col="chunks",
         min_readable_ratio=cfg.min_readable_ratio,
         chunk_min_ratio=cfg.chunk_min_ratio,
+        chunk_text=fused.chunk_text_expr("c"),
     )
     turns = turns.withColumn(
         "status",
@@ -121,13 +126,20 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
 
     passing = turns.filter(F.col("status") == "success")
     meta = ["chunking_reason"] if cfg.adaptive else []
+    from ragstudio_spark.operators.chunker import CHUNK_STRUCT
+
+    chunk_cols = [
+        fused.sliced_chunk_text().alias("text") if f.name == "text"
+        else F.col(f"chunk.{f.name}")
+        for f in CHUNK_STRUCT.fields
+    ]
     chunks = passing.select(
         "conv_id", "turn_idx", "content_type", "extraction_engine",
-        "extraction_fixes", "page_numbers_removed", *meta,
+        "extraction_fixes", "page_numbers_removed", *meta, "base_utf8",
         F.explode("chunks").alias("chunk"),
     ).select(
         "conv_id", "turn_idx", "content_type", "extraction_engine",
-        "extraction_fixes", "page_numbers_removed", *meta, "chunk.*",
+        "extraction_fixes", "page_numbers_removed", *meta, *chunk_cols,
     )
 
     if cfg.dedupe_chunks in (True, "exact", "near"):

@@ -182,3 +182,68 @@ class TestAdaptive:
         )
         m = out.metrics.toPandas()
         assert set(m["language"].dropna().unique()) <= {"fr", "en"}
+
+
+class TestSpansOnlyWire:
+    """The spans-only Arrow wire form (operators/fused.py): chunk text
+    crosses the Python boundary as NULL + a UTF-8 byte span into base_utf8,
+    and the JVM binary-substring slice reconstructs it byte-identically —
+    including fr/de non-ASCII turns and the overlap-region find quirk."""
+
+    def test_wire_chunks_ship_null_text(self, spark, input_pdf):
+        from ragstudio_spark.operators import fused, sniff
+
+        raw = fused.process_turns(
+            sniff.with_content_type(input_pdf).select(
+                "conv_id", "turn_idx", "text", "content_type"),
+            materialize_text=False,
+        ).toPandas()
+        n_null = n_lit = 0
+        for _, r in raw.iterrows():
+            chunks = r["chunks"] if r["chunks"] is not None else []
+            for c in chunks:
+                if c["text"] is None:
+                    n_null += 1
+                else:
+                    n_lit += 1
+            if len(chunks):
+                assert r["base_utf8"] is not None
+        assert n_null > 500
+        # every splitter emits contiguous text, so literal fallback is never
+        # needed on this corpus — if this starts failing, transport got
+        # heavier, not wrong (correctness is pinned by the slice test below)
+        assert n_lit == 0
+
+    def test_materialized_text_matches_kernel(self, spark, input_pdf):
+        """Default (materialized) form: slices reconstruct the kernel's
+        chunk text exactly — the differential oracle re-checked on the
+        wire round trip, with explicit non-ASCII coverage."""
+        from ragstudio_spark.operators import fused, sniff
+
+        mat = fused.process_turns(
+            sniff.with_content_type(input_pdf).select(
+                "conv_id", "turn_idx", "text", "content_type"),
+        ).toPandas()
+        assert "base_utf8" not in mat.columns
+        src = tsrc.generate_pandas(N_TURNS, seed=SEED).set_index(
+            ["conv_id", "turn_idx"])
+        checked = non_ascii = 0
+        for _, r in mat.iterrows():
+            if r["chunks"] is None or r["error"]:
+                continue
+            text = src.loc[(r["conv_id"], r["turn_idx"])]["text"] or ""
+            if not text.strip():
+                continue
+            from ragstudio_spark.operators.fused import _extract_one
+            extracted = _extract_one(text, r["content_type"])
+            expected, _ = kchunk.chunk_turn(
+                extracted, source=f"{r['conv_id']}:{r['turn_idx']}")
+            got = list(r["chunks"])
+            assert len(got) == len(expected)
+            for g, e in zip(got, expected):
+                assert g["text"] == e["text"]
+                if not e["text"].isascii():
+                    non_ascii += 1
+                checked += 1
+        assert checked > 500
+        assert non_ascii > 50
