@@ -606,7 +606,7 @@ def _km_duck_sql() -> str:
             "(acc, m) -> list_transform(list_zip(acc, m), p -> p[1] + CAST(p[2] AS DOUBLE)))")
     parts = [f"""
 cent0 AS (
-  SELECT CAST(vec_id AS INT) AS cid,
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec
   FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
 )"""]
@@ -1140,6 +1140,9 @@ def _bm25_hybrid_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.hybrid_search(
         docs, vectors, list(_BM25_TERMS), query,
         config=retrieval.HybridConfig(k=10),
+        # exact full-corpus mode: this query IS the oracle ground truth
+        # (the operator's default is the bounded scale path)
+        candidate_limit=None,
     )
 
 

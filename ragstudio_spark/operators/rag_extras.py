@@ -3,8 +3,10 @@
 Ports the reference's RAG retrieval helpers to the DataFrame engine:
 
 * Query expansion — /root/reference/src/core/rag/query_expansion.py:31-298.
-  Strategies: MULTI_QUERY / LLM_GENERATED need an LLM and degrade to
-  ``[query]`` without one (exactly the reference's None-llm branch);
+  Strategies: MULTI_QUERY / LLM_GENERATED / HYBRID need an LLM — without
+  one the expander switches to SYNONYMS at init time (the reference's
+  __init__ fallback, query_expansion.py:119-127; the in-strategy
+  ``[query]`` branch is unreachable from a default construction).
   SYNONYMS uses the reference's literal synonym table with case-preserving
   first-occurrence replacement; HYBRID combines + dedups. ``expand`` keeps
   the reference's truncate → strategy → prepend-original → case-insensitive
@@ -66,13 +68,24 @@ class QueryExpansionConfig:
 
 class QueryExpander:
     """Reference QueryExpander (query_expansion.py:67-298). ``llm`` is an
-    optional callable ``prompt -> text``; without it the LLM strategies
-    return just the original query (the reference's None branch)."""
+    optional callable ``prompt -> text``; without it, an LLM-dependent
+    strategy (multi_query / llm_generated / hybrid) is switched to
+    ``synonyms`` at construction time — mirroring the reference's
+    init-time fallback (query_expansion.py:119-127), so default-config
+    expansion still produces synonym variants."""
 
     def __init__(self, config: QueryExpansionConfig | None = None,
                  llm: Callable[[str], str] | None = None):
         self.config = config or QueryExpansionConfig()
         self.llm = llm
+        if llm is None and self.config.strategy in (
+                "multi_query", "llm_generated", "hybrid"):
+            from dataclasses import replace
+
+            # reference mutates config.strategy in place; replace() keeps
+            # the same observable behavior without aliasing the caller's
+            # config object
+            self.config = replace(self.config, strategy="synonyms")
 
     def expand(self, query: str) -> list[str]:
         if not query or not query.strip():

@@ -52,10 +52,21 @@ def _dl_col(text: Column) -> Column:
     return F.size(F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != ""))
 
 
+def _term_pattern(term: str) -> str:
+    """Regex for one query term: regex metacharacters are escaped (so a
+    public-API term like ``c++`` or ``3.5`` counts literally instead of
+    throwing a pattern error), and word boundaries apply only when the term
+    is itself a word (``\\b`` next to a non-word char would never match)."""
+    import re as _re
+
+    esc = _re.escape(term)
+    return rf"\b{esc}\b" if _re.fullmatch(r"\w+", term) else esc
+
+
 def _tf_col(text: Column, term: str) -> Column:
     """Whole-word term frequency (case-insensitive)."""
     return F.size(F.regexp_extract_all(
-        F.lower(text), F.lit(rf"\b{term}\b"), F.lit(0)))
+        F.lower(text), F.lit(_term_pattern(term)), F.lit(0)))
 
 
 def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
@@ -148,10 +159,16 @@ def hybrid_search(docs: DataFrame, vectors: DataFrame, terms: list[str],
                   doc_id_col: str = "doc_id", vec_id_col: str = "vec_id",
                   vec_col: str = "embedding",
                   config: HybridConfig | None = None,
-                  candidate_limit: int | None = None) -> DataFrame:
+                  candidate_limit: int | None = 1000) -> DataFrame:
     """Full hybrid pipeline: BM25 over ``docs`` + cosine over ``vectors``
     against one ``query`` row, RRF-fused to (doc_id, rank). ``vectors``'
-    ids must align with ``docs``' ids (chunk embedding table)."""
+    ids must align with ``docs``' ids (chunk embedding table).
+
+    The default ``candidate_limit=1000`` is the scale path: each modality
+    ranks only its distributed partial top-1000 (TakeOrderedAndProject),
+    so no full corpus ever enters a single-partition window. Pass ``None``
+    only for exact full-corpus ground truth (the oracle gate) — that mode
+    ranks everything through one partition and must not run at scale."""
     cfg = config or HybridConfig()
     bm25 = _ranked(
         bm25_scores(docs, terms, text_col, doc_id_col, cfg.bm25_k1, cfg.bm25_b),

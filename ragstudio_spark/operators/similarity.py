@@ -125,10 +125,13 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 2,
       bit-identical to the DuckDB twin. Memory-bounded by cluster size —
       for the correctness gate only, never for a 100 TB run.
 
-    Empty clusters keep their previous centroid (deterministic)."""
+    Empty clusters keep their previous centroid (deterministic). Centroid
+    ids are the 0-based rank of the seed vector by id — never a cast of
+    the id value, which silently NULLed every cid for string ids."""
+    seed_w = Window.orderBy(F.asc(id_col))
     cents = (
         vectors.orderBy(F.asc(id_col)).limit(k)
-        .select(F.col(id_col).cast("int").alias("cid"),
+        .select((F.row_number().over(seed_w) - F.lit(1)).cast("int").alias("cid"),
                 F.col(vec_col).alias("c_vec"))
     )
     v = vectors.select(F.col(id_col), F.col(vec_col))
@@ -224,18 +227,21 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame, m: int = 4,
     One broadcast of the (m×k)-row codebooks; assignment is the same
     squared-L2 argmin as training (id tie-break → deterministic codes).
     A vector whose dimensionality doesn't match the codebooks fails the
-    task loudly (assert_true) instead of silently mis-encoding."""
+    task loudly instead of silently mis-encoding — the guard wraps the
+    sub-vector expression itself (a guard on a dropped column is pruned
+    by Catalyst and never runs)."""
     sub = _codebook_shape(codebooks, m)
-    vectors = vectors.withColumn(
-        "_dimok",
-        F.assert_true(F.size(vec_col) == m * sub,
-                      F.lit(f"pq_encode: vector dim != m*sub = {m * sub}")),
-    ).drop("_dimok")
+    dim_ok = F.size(F.col(vec_col)) == m * sub
+    err = F.raise_error(
+        F.concat(F.lit("pq_encode: vector dim "),
+                 F.size(F.col(vec_col)).cast("string"),
+                 F.lit(f" != m*sub = {m * sub}")))
     subs = vectors.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(F.lit(j).alias("subspace"),
-                     F.slice(vec_col, j * sub + 1, sub).alias("sv"))
+                     F.when(dim_ok, F.slice(vec_col, j * sub + 1, sub))
+                     .otherwise(err).alias("sv"))
             for j in range(m)
         ])).alias("s"),
     ).select(id_col, "s.subspace", "s.sv")

@@ -335,6 +335,34 @@ class TestSimilarity:
         with pytest.raises(ValueError, match="not divisible"):
             similarity.pq_train(vecs, m=2)
 
+    def test_pq_encode_rejects_mismatched_vector_dim(self, spark):
+        """Regression (ADVICE r2): the dim guard must live on a consumed
+        expression — a 3-dim vector against 4-dim codebooks must raise at
+        encode time, never silently mis-encode."""
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import SparkRuntimeException
+
+        train = spark.createDataFrame(
+            [(i, [float(i), float(i % 3), 1.0, 0.0]) for i in range(8)],
+            "vec_id int, embedding array<float>")
+        books = similarity.pq_train(train, m=2, k=2, iters=1)
+        bad = spark.createDataFrame([(99, [1.0, 2.0, 3.0])],
+                                    "vec_id int, embedding array<float>")
+        with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                           match="pq_encode"):
+            similarity.pq_encode(bad, books, m=2).collect()
+
+    def test_kmeans_string_ids_get_distinct_int_cids(self, spark):
+        """Regression (ADVICE r2): non-numeric ids must yield rank-based
+        centroid ids, not NULLs from a failed cast."""
+        rows = [(f"doc-{chr(97 + i)}", [float(i), float(i % 3)])
+                for i in range(12)]
+        vecs = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+        cents = similarity.kmeans_centroids(vecs, k=3, iters=2).collect()
+        cids = [r["cid"] for r in cents]
+        assert None not in cids
+        assert sorted(cids) == [0, 1, 2]
+
     def test_hyperplane_buckets_group_identical_vectors(self, spark, vectors):
         planes = vectors.filter("vec_id IN (1, 2, 3)").select(
             (F.col("vec_id") - 1).alias("plane"), "embedding"

@@ -81,3 +81,21 @@ class TestPlanShapes:
         assert "text" in scan_line and "conv_id" in scan_line
         assert "role" not in scan_line and "tool" not in scan_line
         assert "ts" not in scan_line.split("ReadSchema")[1]
+
+    def test_hybrid_default_is_bounded_partial_topk(self, spark):
+        """The DEFAULT hybrid_search path must never rank the full corpus
+        through a single-partition window: each modality's candidates go
+        through TakeOrderedAndProject before the (small) rank window."""
+        docs = spark.createDataFrame(
+            [(i, f"spark query text {i}") for i in range(60)],
+            "doc_id int, text string")
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 7), 1.0, 0.5]) for i in range(60)],
+            "vec_id int, embedding array<float>")
+        query = spark.createDataFrame(
+            [(0, [1.0, 1.0, 0.5])], "vec_id int, embedding array<float>")
+        out = retrieval.hybrid_search(
+            docs, vecs, ["spark"], query,
+            doc_id_col="doc_id", vec_id_col="vec_id")
+        plan = _plan(out)
+        assert "TakeOrderedAndProject" in plan

@@ -15,11 +15,31 @@ class TestQueryExpander:
         assert "define machine learning" in out
         assert len(out) <= 3
 
-    def test_llm_strategies_degrade_without_llm(self):
-        for strategy in ("multi_query", "llm_generated"):
+    def test_llm_strategies_fall_back_to_synonyms_without_llm(self):
+        """Reference __init__ switches LLM strategies to SYNONYMS when no
+        LLM is provided (query_expansion.py:119-127) — default-config
+        expansion must still produce synonym variants, never just [query]."""
+        for strategy in ("multi_query", "llm_generated", "hybrid"):
             exp = rag_extras.QueryExpander(
                 rag_extras.QueryExpansionConfig(strategy=strategy))
-            assert exp.expand("anything goes here") == ["anything goes here"]
+            assert exp.config.strategy == "synonyms"
+            out = exp.expand("What is machine learning?")
+            assert out[0] == "What is machine learning?"
+            assert any(q.startswith("define ") for q in out), out
+
+    def test_default_config_expands_synonyms_without_llm(self):
+        out = rag_extras.QueryExpander().expand("What is machine learning?")
+        assert len(out) > 1 and out[0] == "What is machine learning?"
+
+    def test_no_fallback_when_query_has_no_synonyms(self):
+        exp = rag_extras.QueryExpander(
+            rag_extras.QueryExpansionConfig(strategy="multi_query"))
+        assert exp.expand("anything goes here") == ["anything goes here"]
+
+    def test_caller_config_not_mutated(self):
+        cfg = rag_extras.QueryExpansionConfig(strategy="multi_query")
+        rag_extras.QueryExpander(cfg)
+        assert cfg.strategy == "multi_query"
 
     def test_llm_injection_and_parse(self):
         def fake_llm(_prompt):

@@ -77,3 +77,23 @@ class TestHybrid:
             retrieval.HybridConfig(vector_weight=1.5)
         with pytest.raises(ValueError):
             retrieval.HybridConfig(bm25_weight=-0.1)
+
+
+class TestTermEscaping:
+    def test_regex_metacharacter_terms_count_literally(self, spark):
+        """Regression (ADVICE r2): public-API terms like 'c++' or '3.5'
+        must neither throw a pattern error nor mis-count."""
+        from ragstudio_spark.operators import retrieval
+
+        docs = spark.createDataFrame(
+            [(1, "we write c++ here and c is separate"),
+             (2, "version 3.5 beats 3x5 and 345"),
+             (3, "plain words only")],
+            "doc_id int, text string")
+        out = {r["doc_id"]: r["bm25_score"]
+               for r in retrieval.bm25_scores(docs, ["c++"]).collect()}
+        assert out[1] > 0.0 and out[2] == 0.0 and out[3] == 0.0
+        out35 = {r["doc_id"]: r["bm25_score"]
+                 for r in retrieval.bm25_scores(docs, ["3.5"]).collect()}
+        # '.' escaped: '3x5' and '345' must NOT match
+        assert out35[2] > 0.0 and out35[1] == 0.0 and out35[3] == 0.0
