@@ -166,13 +166,28 @@ FROM events GROUP BY event_type
 """
 _def("status_counts", _q(_STATUS_SPARK, _STATUS_SPARK, ("events",)))
 
-# -- 4. exact dedup (md5 over full text; langchain_chunker.py:313-319)
-_DEDUP_EXACT = """
+# -- 4. exact dedup (md5 hash-groupBy; langchain_chunker.py:313-319). The
+#       key is the sorted distinct word set (a normalized-content hash):
+#       raw-text md5 is 0-vs-0 vacuous at sf0.01 (the synthetic corpus has
+#       near-dup seeds, no byte-identical docs), while the vocabulary
+#       fingerprint surfaces those seeds — same one-shuffle hash-groupBy
+#       shape, non-empty gate. Dialect note: Spark split() takes a regex,
+#       DuckDB string_split a literal — a single space means the same in
+#       both.
+def _dedup_exact_sql(engine: str) -> str:
+    if engine == "spark":
+        key = ("concat_ws(' ', array_sort(array_distinct("
+               "split(lower(trim(text)), ' '))))")
+    else:
+        key = ("array_to_string(list_sort(list_distinct("
+               "string_split(lower(trim(text)), ' '))), ' ')")
+    return f"""
 SELECT h AS text_hash, count(*) AS dup_count
-FROM (SELECT md5(text) AS h FROM documents) t
+FROM (SELECT md5({key}) AS h FROM documents) t
 GROUP BY h HAVING count(*) > 1
 """
-_def("dedup_exact", _q(_DEDUP_EXACT, _DEDUP_EXACT, ("documents",)))
+_def("dedup_exact", _q(_dedup_exact_sql("spark"), _dedup_exact_sql("duckdb"),
+                       ("documents",)))
 
 # -- 5. prefix-fingerprint dedup groups (document fingerprinting)
 def _fp_sql(engine: str) -> str:
@@ -668,6 +683,99 @@ def _km_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _def("ann_kmeans_ivf", (_km_fn, _km_duck_sql()))
+
+
+# -- 10c. product quantization end-to-end (train → encode → asymmetric-
+#         distance top-k; operators/similarity.py:179-285). Oracle
+#         discipline: exact-mode per-subspace k-means (order-fixed folds →
+#         bit-identical codebook doubles), m=2 so the per-neighbor distance
+#         is a single two-term double addition (bitwise commutative — no
+#         accumulation-order hazard), rank-only integer output.
+_PQ_M, _PQ_K, _PQ_SUB, _PQ_TOPK = 2, 4, 32, 10
+
+
+def _pq_duck_sql() -> str:
+    fold = ("list_reduce(list_prepend(list_transform(ms[1], x -> CAST(0.0 AS DOUBLE)), ms), "
+            "(acc, m) -> list_transform(list_zip(acc, m), p -> p[1] + CAST(p[2] AS DOUBLE)))")
+
+    def d2(a: str, b: str) -> str:
+        return ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(list_zip({a}, {b}), "
+                "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+                "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
+                "(acc, x) -> acc + x)")
+
+    parts = []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        sv = f"list_slice(embedding, {lo}, {hi})"
+        parts.append(f"""
+sub{j} AS (
+  SELECT vec_id, {sv} AS sv FROM embeddings
+),
+cent{j}_0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+         list_transform(sv, x -> CAST(x AS DOUBLE)) AS c_vec
+  FROM sub{j} ORDER BY vec_id LIMIT {_PQ_K}
+),
+assign{j}_0 AS (
+  SELECT vec_id, sv, cid FROM (
+    SELECT v.vec_id, v.sv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY ({d2('v.sv', 'c.c_vec')}) ASC, c.cid ASC) AS rn
+    FROM sub{j} v CROSS JOIN cent{j}_0 c) a
+  WHERE rn = 1
+),
+new{j}_0 AS (
+  SELECT cid, list_transform({fold}, s -> s / n) AS c_vec FROM (
+    SELECT cid, count(*) AS n, list(sv ORDER BY vec_id) AS ms
+    FROM assign{j}_0 GROUP BY cid) g
+),
+cent{j}_1 AS (
+  SELECT o.cid, COALESCE(n.c_vec, o.c_vec) AS c_vec
+  FROM cent{j}_0 o LEFT JOIN new{j}_0 n USING (cid)
+),
+code{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY ({d2('v.sv', 'c.c_vec')}) ASC, c.cid ASC) AS rn
+    FROM sub{j} v CROSS JOIN cent{j}_1 c) a
+  WHERE rn = 1
+),
+qd{j} AS (
+  SELECT c.cid, ({d2('q.sv', 'c.c_vec')}) AS qd
+  FROM cent{j}_1 c
+  CROSS JOIN (SELECT {sv} AS sv FROM embeddings WHERE vec_id = 0) q
+)""")
+    return f"""
+WITH {','.join(parts)},
+dist AS (
+  SELECT c0.vec_id AS neighbor_id, q0.qd + q1.qd AS adist
+  FROM code0 c0 JOIN code1 c1 USING (vec_id)
+  JOIN qd0 q0 ON q0.cid = c0.cid
+  JOIN qd1 q1 ON q1.cid = c1.cid
+)
+SELECT neighbor_id,
+       CAST(row_number() OVER (ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rank
+FROM dist ORDER BY adist ASC, neighbor_id ASC LIMIT {_PQ_TOPK}
+"""
+
+
+def _pq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import similarity
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    books = similarity.pq_train(vectors, m=_PQ_M, k=_PQ_K, iters=1, exact=True)
+    codes = similarity.pq_encode(vectors, books, m=_PQ_M)
+    qrow = vectors.filter("vec_id = 0").select("embedding").first()
+    return similarity.pq_topk(
+        codes, books, [float(x) for x in qrow["embedding"]],
+        k=_PQ_TOPK, m=_PQ_M)
+
+
+_def("ann_pq_topk", (_pq_fn, _pq_duck_sql()))
 
 
 # -- 11. embedding nearest-neighbor per vector (near-dup scan, rank-1 only)

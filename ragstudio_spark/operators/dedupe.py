@@ -93,14 +93,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError(f"n_bands={n_bands} must divide n_hashes={n_hashes}")
     sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
     per_band = n_hashes // n_bands
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * per_band + j}") for j in range(per_band)]
-        one = sigs.select(
-            F.col(id_col), F.lit(b).alias("band_idx"),
-            F.md5(F.concat(*cols)).alias("band_key"),
+    # ONE explode(array(struct(...))) per side, never a union of selects
+    # over the signature subplan: a union re-references the aggregate
+    # n_bands times and only optimizer goodwill (ReusedExchange) keeps the
+    # signatures from being recomputed per band — the explode shape makes
+    # one-signature-computation-per-doc structural (plan-asserted in
+    # tests/test_plan_shapes.py).
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat(*[F.col(f"h{b * per_band + j}")
+                             for j in range(per_band)])).alias("band_key"),
         )
-        bands = one if bands is None else bands.unionByName(one)
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
+    ).select(id_col, "bd.band_idx", "bd.band_key")
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -206,13 +215,19 @@ def simhash64_near_pairs(df: DataFrame, text_col: str = "text",
               .cast("int").alias("len_bucket")
         sh = sh.join(df.select(F.col(id_col), lb), on=id_col)
         carry.append("len_bucket")
-    bands = None
-    for i in range(SIMHASH_BANDS):
-        key = (F.concat_ws(":", F.col(f"s{i}"), F.col("len_bucket"))
-               if length_band else F.col(f"s{i}"))
-        one = sh.select(id_col, *carry, F.lit(i).alias("band"),
-                        key.alias("key"))
-        bands = one if bands is None else bands.unionByName(one)
+    # single explode — same rationale as minhash_lsh_pairs: the sketch
+    # aggregate is provably computed once per doc per join side
+    def _key(i: int):
+        return (F.concat_ws(":", F.col(f"s{i}"), F.col("len_bucket"))
+                if length_band else F.col(f"s{i}"))
+
+    band_structs = [
+        F.struct(F.lit(i).alias("band"), _key(i).alias("key"))
+        for i in range(SIMHASH_BANDS)
+    ]
+    bands = sh.select(
+        F.col(id_col), *carry, F.explode(F.array(*band_structs)).alias("bd")
+    ).select(id_col, *carry, "bd.band", "bd.key")
     a, b_ = bands.alias("a"), bands.alias("b")
     hamming = None
     for c in s_cols:

@@ -180,7 +180,8 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 2,
 
 
 def pq_train(vectors: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exact: bool = False) -> DataFrame:
     """Product-quantization codebooks: split each vector into ``m``
     contiguous sub-vectors and train a ``k``-centroid k-means per
     subspace. Returns (subspace, cid, sub_vec).
@@ -189,7 +190,8 @@ def pq_train(vectors: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
     (4d bytes) compresses to m codebook indices (m bytes at k ≤ 256),
     so a 10⁹-vector index fits executor memory where raw floats cannot.
     Training reuses kmeans_centroids — all its determinism guarantees
-    apply per subspace."""
+    (and its ``exact`` oracle mode: order-fixed member folds, bit-identical
+    centroid doubles across engines) apply per subspace."""
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
         raise ValueError("pq_train: empty vectors input")
@@ -202,7 +204,7 @@ def pq_train(vectors: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
         sliced = vectors.select(
             F.col(id_col), F.slice(vec_col, j * sub + 1, sub).alias(vec_col))
         cb = kmeans_centroids(sliced, k=k, iters=iters, id_col=id_col,
-                              vec_col=vec_col).select(
+                              vec_col=vec_col, exact=exact).select(
             F.lit(j).alias("subspace"), "cid",
             F.col(vec_col).alias("sub_vec"))
         books = cb if books is None else books.unionByName(cb)

@@ -99,3 +99,26 @@ class TestPlanShapes:
             doc_id_col="doc_id", vec_id_col="vec_id")
         plan = _plan(out)
         assert "TakeOrderedAndProject" in plan
+
+    def test_band_generation_computes_signatures_once(self, spark):
+        """Band fan-out is a single explode over the signature aggregate —
+        the number of aggregate operators in the plan must not grow with
+        n_bands (a union-of-selects shape re-references the agg per band
+        and relies on ReusedExchange to dedup it)."""
+        from ragstudio_spark.operators import dedupe
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon {i} zeta eta theta")
+             for i in range(30)],
+            "doc_id int, text string")
+
+        def n_aggs(df):
+            return _plan(df).count("HashAggregate")
+
+        two = dedupe.minhash_lsh_pairs(docs, n_hashes=8, n_bands=2)
+        four = dedupe.minhash_lsh_pairs(docs, n_hashes=8, n_bands=4)
+        assert n_aggs(two) == n_aggs(four)
+        sim = dedupe.simhash64_near_pairs(docs)
+        # 4 bands, 2 join sides: explode appears once per side
+        assert _plan(sim).count("Generate") <= 2 * _plan(
+            dedupe.simhash64(docs)).count("Generate") + 2
