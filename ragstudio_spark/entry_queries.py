@@ -1816,6 +1816,163 @@ FROM media GROUP BY media_type
 _def("multimodal_accounting", (_multimodal_fn, _multimodal_duck_sql()))
 
 
+# -- 32. feedback-loop analytics (reference FeedbackCollector,
+#        src/core/rag/feedback_loop.py:414-519 — operators/feedback.py).
+#        The feedback table is derived deterministically from `events`
+#        (same mapping in both engines): view→explicit_rating with a score
+#        from event_id%10 and a 1-5 rating from event_id%5, click→
+#        click_through with 3 shown docs keyed off props and clicks on
+#        even event_ids, error→flag, purchase→correction, signup→
+#        dwell_time. Rates are single int/int divisions; the average
+#        rating is double(exact-decimal-sum)/count.
+_FB_TYPE = ("CASE event_type WHEN 'view' THEN 'explicit_rating' "
+            "WHEN 'click' THEN 'click_through' WHEN 'error' THEN 'flag' "
+            "WHEN 'purchase' THEN 'correction' ELSE 'dwell_time' END")
+_FB_SCORE = ("CASE WHEN event_type = 'view' THEN "
+             "(CASE WHEN event_id % 10 < 5 THEN 'negative' "
+             "WHEN event_id % 10 < 9 THEN 'positive' ELSE 'neutral' END) "
+             "ELSE NULL END")
+_FB_RATING = ("CASE WHEN event_type = 'view' "
+              "THEN CAST(1 + event_id % 5 AS DOUBLE) ELSE NULL END")
+_FB_QUERY = "'q' || CAST(user_id % 20 AS STRING)"
+_FB_QUERY_DUCK = "'q' || CAST(user_id % 20 AS VARCHAR)"
+_FB_DOCK = "CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)"
+
+
+def _feedback_df(spark: SparkSession):
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    shown = F.expr(
+        f"transform(sequence(0, 2), i -> 'd' || CAST(({_FB_DOCK}) + i AS STRING))")
+    clicked = F.expr(
+        f"CASE WHEN event_id % 2 = 0 "
+        f"THEN array('d' || CAST({_FB_DOCK} AS STRING)) "
+        f"ELSE array() END")
+    return ev.select(
+        F.concat(F.lit("f"), F.col("event_id").cast("string")).alias("feedback_id"),
+        F.expr(_FB_QUERY).alias("query_id"),
+        F.expr(_FB_TYPE).alias("feedback_type"),
+        F.expr(_FB_SCORE).alias("score"),
+        F.expr(_FB_RATING).alias("numeric_rating"),
+        F.when(F.expr(_FB_TYPE) == "click_through", shown)
+        .otherwise(F.expr("array()")).alias("source_document_ids"),
+        F.when(F.expr(_FB_TYPE) == "click_through", clicked)
+        .otherwise(F.expr("array()")).alias("clicked_documents"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("user_id"),
+        F.col("ts"),
+    )
+
+
+_FB_DUCK_BASE = f"""
+feedback AS (
+  SELECT 'f' || CAST(event_id AS VARCHAR) AS feedback_id,
+         {_FB_QUERY_DUCK} AS query_id,
+         {_FB_TYPE} AS feedback_type,
+         {_FB_SCORE} AS score,
+         {_FB_RATING} AS numeric_rating,
+         event_id, props, ts
+  FROM events
+)"""
+
+
+def _fb_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import feedback
+
+    _register(spark, sf_dir, "events")
+    return feedback.feedback_statistics(_feedback_df(spark))
+
+
+def _fb_stats_duck_sql() -> str:
+    return f"""
+WITH {_FB_DUCK_BASE}
+SELECT CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN score = 'positive' THEN 1 ELSE 0 END) AS BIGINT) AS positive,
+       CAST(sum(CASE WHEN score = 'negative' THEN 1 ELSE 0 END) AS BIGINT) AS negative,
+       CAST(sum(CASE WHEN score = 'neutral' THEN 1 ELSE 0 END) AS BIGINT) AS neutral,
+       CAST(sum(CASE WHEN score = 'positive' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS positive_rate,
+       CAST(sum(CASE WHEN score = 'negative' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS negative_rate,
+       CAST(sum(CAST(numeric_rating AS DECIMAL(18,2))) AS DOUBLE)
+         / count(numeric_rating) AS avg_numeric_rating,
+       CAST(sum(CASE WHEN feedback_type = 'flag' THEN 1 ELSE 0 END) AS BIGINT) AS flags,
+       CAST(sum(CASE WHEN feedback_type = 'flag' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS flag_rate
+FROM feedback
+"""
+
+
+_def("feedback_statistics", (_fb_stats_fn, _fb_stats_duck_sql()))
+
+
+def _fb_problem_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import feedback
+
+    _register(spark, sf_dir, "events")
+    # rating rows only: diluting the groups with score-less click/flag rows
+    # keeps every rate ~0.1 and the gate would compare 0 rows to 0 rows
+    ratings = _feedback_df(spark).filter(
+        F.col("feedback_type") == "explicit_rating")
+    return feedback.problematic_queries(
+        ratings, min_negative_rate=0.5, min_samples=3)
+
+
+def _fb_problem_duck_sql() -> str:
+    return f"""
+WITH {_FB_DUCK_BASE},
+grouped AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS total_feedback,
+         CAST(sum(CASE WHEN score = 'negative' THEN 1 ELSE 0 END) AS BIGINT)
+           AS negative_count
+  FROM feedback WHERE feedback_type = 'explicit_rating' GROUP BY query_id
+)
+SELECT query_id, total_feedback, negative_count,
+       CAST(negative_count AS DOUBLE) / total_feedback AS negative_rate
+FROM grouped
+WHERE total_feedback >= 3
+  AND CAST(negative_count AS DOUBLE) / total_feedback >= 0.5
+ORDER BY negative_rate DESC, query_id ASC
+"""
+
+
+_def("feedback_problem_queries", (_fb_problem_fn, _fb_problem_duck_sql()))
+
+
+def _fb_ctr_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import feedback
+
+    _register(spark, sf_dir, "events")
+    return feedback.document_ctr(_feedback_df(spark), min_impressions=5)
+
+
+def _fb_ctr_duck_sql() -> str:
+    doc = f"'d' || CAST({_FB_DOCK} + i AS VARCHAR)"
+    return f"""
+WITH {_FB_DUCK_BASE},
+ct AS (SELECT * FROM feedback WHERE feedback_type = 'click_through'),
+shown AS (
+  SELECT {doc} AS doc_id FROM ct CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+),
+imp AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS impressions FROM shown GROUP BY doc_id
+),
+clk AS (
+  SELECT 'd' || CAST({_FB_DOCK} AS VARCHAR) AS doc_id,
+         CAST(count(*) AS BIGINT) AS clicks
+  FROM ct WHERE event_id % 2 = 0 GROUP BY 1
+)
+SELECT i.doc_id, i.impressions,
+       CAST(COALESCE(c.clicks, 0) AS BIGINT) AS clicks,
+       CAST(COALESCE(c.clicks, 0) AS DOUBLE) / i.impressions AS ctr
+FROM imp i LEFT JOIN clk c USING (doc_id)
+WHERE i.impressions >= 5
+"""
+
+
+_def("feedback_doc_ctr", (_fb_ctr_fn, _fb_ctr_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------
