@@ -22,22 +22,65 @@ from ragstudio_spark.operators import profiler
 # test (tests/test_operator_kernel_parity.py) pins them to each other
 ML_CLASSES = ("semantic", "sentence", "token")
 
+#: feature order of the classifier (bias first; the trainer's weight
+#: vectors use the same keys — operators/ml_trainer.py)
+ML_FEATURES = ("bias", "b_short", "b_mid", "b_long",
+               "has_headings", "has_tables", "has_lists", "depth")
+
+#: the published integer weights (reference auto-mode contract — see
+#: module docstring); ml_scores is generated from this table so the
+#: trainer's output is directly comparable
+ML_WEIGHTS: dict[str, dict[str, int]] = {
+    "semantic": {"b_long": 4, "has_headings": 3, "has_tables": 2,
+                 "has_lists": 1, "depth": 2},
+    "sentence": {"bias": 2, "b_mid": 3, "b_long": 1},
+    "token": {"bias": 1, "b_short": 4},
+}
+
+
+def ml_features(text: Column) -> dict[str, Column]:
+    """Integer feature columns (the structural-feature subset of the
+    reference's extract_structural_features,
+    /root/reference/src/workflows/ml/feature_engineering.py:51-109 —
+    token-length buckets, heading/table/list flags, hierarchy depth; the
+    embedding block needs a sentence-transformers model and is excluded
+    per SURVEY §7.2)."""
+    t = F.floor(F.length(text) / 4).cast("bigint")
+    return {
+        "bias": F.lit(1).cast("bigint"),
+        "b_short": F.when(t < 500, 1).otherwise(0).cast("bigint"),
+        "b_mid": F.when((t >= 500) & (t < 2000), 1).otherwise(0).cast("bigint"),
+        "b_long": F.when(t >= 2000, 1).otherwise(0).cast("bigint"),
+        "has_headings": F.when(profiler.has_headings(text), 1)
+        .otherwise(0).cast("bigint"),
+        "has_tables": F.when(profiler.has_tables(text), 1)
+        .otherwise(0).cast("bigint"),
+        "has_lists": F.when(profiler.has_lists(text), 1)
+        .otherwise(0).cast("bigint"),
+        "depth": profiler.hierarchy_depth(text).cast("bigint"),
+    }
+
+
+def scores_from_weights(text: Column,
+                        weights: dict[str, dict[str, int]]) -> dict[str, Column]:
+    """Integer logits w·x for an arbitrary weight table (skips zero terms
+    so the published-weight plan is identical to the hand-written one)."""
+    feats = ml_features(text)
+    out: dict[str, Column] = {}
+    for cls, w in weights.items():
+        expr = None
+        for name, wv in w.items():
+            if not wv:
+                continue
+            term = feats[name] if wv == 1 else wv * feats[name]
+            expr = term if expr is None else expr + term
+        out[cls] = (expr if expr is not None else F.lit(0)).cast("bigint")
+    return out
+
 
 def ml_scores(text: Column) -> dict[str, Column]:
     """Integer logit columns per class (same formulas as the kernel)."""
-    t = F.floor(F.length(text) / 4).cast("bigint")
-    b_short = F.when(t < 500, 1).otherwise(0)
-    b_mid = F.when((t >= 500) & (t < 2000), 1).otherwise(0)
-    b_long = F.when(t >= 2000, 1).otherwise(0)
-    h = F.when(profiler.has_headings(text), 1).otherwise(0)
-    tb = F.when(profiler.has_tables(text), 1).otherwise(0)
-    ls = F.when(profiler.has_lists(text), 1).otherwise(0)
-    d = profiler.hierarchy_depth(text).cast("bigint")
-    return {
-        "semantic": (3 * h + 2 * tb + 2 * d + 4 * b_long + ls).cast("bigint"),
-        "sentence": (2 + 3 * b_mid + b_long).cast("bigint"),
-        "token": (1 + 4 * b_short).cast("bigint"),
-    }
+    return scores_from_weights(text, ML_WEIGHTS)
 
 
 def with_ml_strategy(df: DataFrame, text_col: str = "text",
