@@ -43,11 +43,20 @@ def normalize_strategy(requested: str) -> str:
     return _STRATEGY_MAP.get(requested, "recursive")
 
 
-def split_text(text: str, strategy: str, max_tokens: int, overlap: int) -> list[str]:
-    """Dispatch to the splitter for an *actual* (already normalized) strategy."""
+def split_text(text: str, strategy: str, max_tokens: int, overlap: int,
+               tokenizer=None) -> list[str]:
+    """Dispatch to the splitter for an *actual* (already normalized)
+    strategy. A ``tokenizer`` (kernel.bpe.BPETokenizer) upgrades the token
+    strategy from the char-window fallback to true BPE token windows
+    (reference primary path, src/core/chunk/chunker.py:58-73)."""
     if strategy == "recursive":
         return splitter.recursive_split(text, max_tokens=max_tokens, overlap=overlap)
     if strategy == "token":
+        if tokenizer is not None:
+            from . import bpe
+
+            return bpe.bpe_split(text, max_tokens=max_tokens, overlap=overlap,
+                                 tokenizer=tokenizer)
         return splitter.window_split(text, max_tokens=max_tokens, overlap=overlap)
     if strategy == "parent_child":
         return splitter.parent_child_split(text, max_tokens=max_tokens, overlap=overlap)
@@ -63,6 +72,7 @@ def chunk_turn(
     do_preprocess: bool = True,
     adaptive: bool = False,
     with_base: bool = False,
+    tokenizer=None,
 ) -> tuple[list[dict], dict] | tuple[list[dict], dict, str]:
     """Chunk one turn's text; returns (chunk dicts, preprocess stats).
 
@@ -92,7 +102,8 @@ def chunk_turn(
     else:
         actual = normalize_strategy(requested_strategy)
 
-    chunk_texts = split_text(text_to_chunk, actual, max_tokens, overlap)
+    chunk_texts = split_text(text_to_chunk, actual, max_tokens, overlap,
+                             tokenizer=tokenizer)
     if not chunk_texts:
         return ([], stats, text_to_chunk) if with_base else ([], stats)
 

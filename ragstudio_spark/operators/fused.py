@@ -82,6 +82,7 @@ def process_turns(
     adaptive: bool = False,
     with_trace: bool = False,
     materialize_text: bool = True,
+    bpe_merges_path: str | None = None,
 ) -> DataFrame:
     """df must carry conv_id, turn_idx, text, content_type (+ ts when
     carry_ts, for event-time streaming). Returns the fused per-turn result
@@ -162,6 +163,13 @@ def process_turns(
             mark("strategy_selection", "profile_tree", t0)
 
         t0 = perf_counter() if with_trace else 0.0
+        if bpe_merges_path:
+            # lru-cached: one merges load per worker process, not per row
+            from ragstudio_spark.kernel.bpe import tokenizer_from
+
+            tokenizer = tokenizer_from(bpe_merges_path)
+        else:
+            tokenizer = None
         chunks, stats, base = kchunk.chunk_turn(
             extracted,
             source=f"{conv_id}:{turn_idx}",
@@ -171,6 +179,7 @@ def process_turns(
             do_preprocess=do_preprocess,
             adaptive=adaptive,
             with_base=True,
+            tokenizer=tokenizer,
         )
         mark("chunking", turn_strategy, t0)
         # Spans-only Arrow transfer: every chunk ships text=NULL plus the

@@ -46,6 +46,7 @@ class PipelineConfig:
     dedupe_chunks: bool | str = False  # False | True/"exact" | "near"
     extract_tools: bool = False      # mine tool-call JSON payloads table
     with_trace: bool = False         # per-turn stage duration/engine trace
+    bpe_merges_path: str | None = None  # merges.txt → true BPE token splits
 
 
 @dataclass
@@ -87,6 +88,7 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
         adaptive=cfg.adaptive,
         with_trace=cfg.with_trace,
         materialize_text=False,
+        bpe_merges_path=cfg.bpe_merges_path,
     )
 
     if cfg.language_filter:

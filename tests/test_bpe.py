@@ -1,0 +1,96 @@
+"""BPE token splitter (kernel/bpe.py) — the reference's primary token path
+(src/core/chunk/chunker.py:58-73) without tiktoken."""
+
+import pytest
+
+from ragstudio_spark.kernel import bpe
+
+
+class TestTokenizer:
+    def test_merges_apply_by_rank(self):
+        tok = bpe.BPETokenizer()
+        # embedded table: t+h -> th (rank 0), th+e -> the (rank 1)
+        assert tok._bpe("the") == ("the",)
+        assert tok._bpe("thx") == ("th", "x")
+        assert tok._bpe("zq") == ("z", "q")
+
+    def test_boundaries_cover_text_exactly(self):
+        tok = bpe.BPETokenizer()
+        for text in ("the thin antelope ingested another thing",
+                     "l'équipe française gère les données!",
+                     "a", "", "  spaced   out  ", "mixé: 汉字 and €uro"):
+            b = tok.token_boundaries(text)
+            assert b[0] == 0 and b[-1] == len(text)
+            assert b == sorted(b)
+            # token concatenation is the identity (lossless decode)
+            assert "".join(text[b[i]:b[i + 1]] for i in range(len(b) - 1)) == text
+
+    def test_tokens_never_cross_pretoken_boundaries(self):
+        tok = bpe.BPETokenizer()
+        b = tok.token_boundaries("the cat")
+        toks = ["the cat"[b[i]:b[i + 1]] for i in range(len(b) - 1)]
+        assert "the" in toks  # merged within the word
+        assert all(" c" == t or " " not in t or t.startswith(" ")
+                   for t in toks)
+
+    def test_load_merges_file(self, tmp_path):
+        p = tmp_path / "merges.txt"
+        p.write_text("#version: test\na b\nab c\n")
+        tok = bpe.load_merges(str(p))
+        assert tok._bpe("abc") == ("abc",)
+        assert tok._bpe("acb") == ("a", "c", "b")
+        bad = tmp_path / "bad.txt"
+        bad.write_text("a b c\n")
+        with pytest.raises(ValueError, match="bad merges line"):
+            bpe.load_merges(str(bad))
+
+
+class TestBpeSplit:
+    def test_window_and_step_match_reference_loop(self):
+        tok = bpe.BPETokenizer([])  # no merges: 1 token per char/pretoken
+        text = "abcdefgh"
+        b = tok.token_boundaries(text)
+        n = len(b) - 1
+        chunks = bpe.bpe_split(text, max_tokens=4, overlap=1, tokenizer=tok)
+        # reference: range(0, n_tokens, step=max_tokens-overlap)
+        step = 3
+        assert len(chunks) == len(range(0, n, step))
+        assert chunks[0] == text[b[0]:b[4]]
+        assert chunks[1] == text[b[3]:b[7]]
+
+    def test_chunks_are_substrings_with_token_overlap(self):
+        text = "the thin antelope ingested another thing entirely today. " * 30
+        chunks = bpe.bpe_split(text, max_tokens=20, overlap=5)
+        assert len(chunks) > 2
+        pos = 0
+        for c in chunks:
+            p = text.find(c, max(0, pos - len(c)))
+            assert p != -1, "chunk must be a verbatim substring"
+            pos = p + 1
+
+    def test_empty_input(self):
+        assert bpe.bpe_split("", 10, 2) == []
+
+
+class TestPipelineIntegration:
+    def test_pipeline_bpe_token_strategy(self, spark, tmp_path):
+        """token strategy + merges file: chunks differ from the char-window
+        fallback and remain verbatim substrings of the preprocessed text
+        (the spans-only wire transfer still applies)."""
+        from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+
+        merges = tmp_path / "merges.txt"
+        merges.write_text("\n".join(f"{a} {b}" for a, b in bpe.EMBEDDED_MERGES))
+        text = ("the antelope ingested another thing entirely. " * 120)
+        df = spark.createDataFrame(
+            [("c1", 0, text, None, None)],
+            "conv_id string, turn_idx int, text string, tool string, ts timestamp")
+        base_cfg = dict(strategy="token", min_readable_ratio=0.0)
+        fallback = run_pipeline(df, PipelineConfig(**base_cfg)).chunks.collect()
+        tokenized = run_pipeline(df, PipelineConfig(
+            **base_cfg, bpe_merges_path=str(merges))).chunks.collect()
+        assert len(tokenized) > 0
+        assert ([r["text"] for r in fallback]
+                != [r["text"] for r in tokenized])
+        for r in tokenized:
+            assert r["text"] in text
