@@ -64,8 +64,24 @@ def detect_document_type(text: str, source_name: str = "") -> str:
     return "document_court"
 
 
+# Literal prescans (the measured kernel technique — CLAUDE.md perf facts):
+# each `in` check is a memchr-cheap STRICT SUPERSET of its regex (the regex
+# can only match if the literal is present), so skipping the regex when the
+# literal is absent never changes a result. Same guards as the textops
+# kernel tier (1.77× there).
+
 def has_headings(text: str) -> bool:
-    return any(p.search(text) for p in _HEADING_ANY_RES)
+    if "#" in text and _HEADING_ANY_RES[0].search(text):
+        return True
+    if "." in text and _HEADING_ANY_RES[1].search(text):
+        return True
+    if _HEADING_ANY_RES[2].search(text):
+        return True
+    # ^\s*[IVX]+\.\s+ ⇒ the char before '.' is I, V or X
+    if (("I." in text or "V." in text or "X." in text)
+            and _HEADING_ANY_RES[3].search(text)):
+        return True
+    return False
 
 
 def has_tables(text: str) -> bool:
@@ -74,13 +90,20 @@ def has_tables(text: str) -> bool:
 
 
 def has_lists(text: str) -> bool:
-    return any(p.search(text) for p in _LIST_RES)
+    if (("-" in text or "*" in text or "•" in text)
+            and _LIST_RES[0].search(text)):
+        return True
+    if "." in text and (_LIST_RES[1].search(text) or _LIST_RES[2].search(text)):
+        return True
+    return False
 
 
 def hierarchy_depth(text: str) -> int:
     levels: set[int] = set()
-    levels.update(len(h) for h in _MD_HEADER_RE.findall(text))
-    levels.update(len(s.split(".")) for s in _NUM_SECTION_RE.findall(text))
+    if "#" in text:
+        levels.update(len(h) for h in _MD_HEADER_RE.findall(text))
+    if "." in text:
+        levels.update(len(s.split(".")) for s in _NUM_SECTION_RE.findall(text))
     return max(levels) if levels else 1
 
 
