@@ -51,14 +51,27 @@ def valid_word_condition(w: str, engine: str) -> str:
     else:
         raise ValueError(engine)
 
-    return (
+    # Fast path (prescan, same technique as the kernel's literal prescans):
+    # a word that is pure lowercase letters of length ≤ 15 trivially passes
+    # the digit-mix, case-chaos, length and ALL-CAPS rules (no digits, one
+    # case run, bounded, not upper), so only the vowel and consonant-run
+    # checks remain — 3 regex evaluations instead of 6 for the overwhelming
+    # majority of words. The slow chain is the proven-equivalent full rule
+    # set; both engines get the same shape so the oracle compares the same
+    # formula against itself.
+    lower_simple = "^[a-z" + LOWER_ACCENTS + "]{1,15}$"
+    fast = (
+        f"{matches(w, VOWEL_CLASS)} "
+        f"AND NOT {matches(w, CONSONANT_CLASS + '{6,}')}"
+    )
+    slow = (
         f"NOT ({matches(w, '[0-9]')} AND {matches(w, LETTER_CLASS)}) "
         f"AND NOT (length({w}) >= 4 AND {count_runs(w)} - 1 > 2) "
         f"AND length({w}) <= 15 "
         f"AND NOT ({matches(w, ALL_UPPER_RE)} AND length({w}) > 5) "
-        f"AND {matches(w, VOWEL_CLASS)} "
-        f"AND NOT {matches(w, CONSONANT_CLASS + '{6,}')}"
+        f"AND {fast}"
     )
+    return f"IF({matches(w, lower_simple)}, {fast}, {slow})"
 
 
 def readability_exprs(text_col: str, engine: str, min_ratio: float = 0.4) -> dict[str, str]:
