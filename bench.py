@@ -99,7 +99,9 @@ def main() -> None:
                  "window_chunks_sql", "pricing_summary", "sessionize_events",
                  # round-2 operators
                  "dedup_simhash64", "dedup_clusters", "hybrid_bm25_rrf",
-                 "strategy_distribution_ml", "tool_payload_extraction"):
+                 "strategy_distribution_ml", "tool_payload_extraction",
+                 # round-3 operators
+                 "ann_pq_topk", "embedding_near_dup", "feedback_doc_ctr"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

@@ -1427,6 +1427,57 @@ def _lsh_buckets_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _def("embedding_lsh_buckets", (_lsh_buckets_fn, _hyperplane_sql("duckdb")))
 
+
+# -- 24b. embedding-cosine near-dup pairs (operators/dedupe.py
+#         embedding_near_pairs): sign-LSH bucket join + exact cosine
+#         threshold on candidates only. The synthetic embeddings are
+#         near-orthogonal (max in-bucket cosine ≈ 0.46 at sf0.01), so the
+#         gate uses a low threshold to keep the shape non-vacuous; output
+#         is id pairs only (the threshold compare is bit-identical — both
+#         engines fold the dot products sequentially).
+_EMB_NEAR_THRESHOLD = 0.25
+
+
+def _emb_near_sql(engine: str) -> str:
+    dot_vp = _dot_duck("v.embedding", "p.embedding")
+    cos = _cosine(engine, "a2.embedding", "b2.embedding")
+    return f"""
+WITH bits AS (
+  SELECT v.vec_id, p.vec_id - 8 AS plane,
+         CASE WHEN ({dot_vp}) > 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings v JOIN embeddings p ON p.vec_id BETWEEN 8 AND 15
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(bit * CAST(pow(2, plane) AS BIGINT)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+), cand AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM buckets x JOIN buckets y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b
+FROM cand
+JOIN embeddings a2 ON a2.vec_id = id_a
+JOIN embeddings b2 ON b2.vec_id = id_b
+WHERE ({cos}) >= {_EMB_NEAR_THRESHOLD}
+"""
+
+
+def _emb_near_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    planes = vectors.filter("vec_id BETWEEN 8 AND 15").select(
+        (F.col("vec_id") - 8).alias("plane"), "embedding")
+    return dedupe.embedding_near_pairs(
+        vectors, planes, threshold=_EMB_NEAR_THRESHOLD)
+
+
+_def("embedding_near_dup", (_emb_near_fn, _emb_near_sql("duckdb")))
+
 # -- 25. chunk-table eval stats (eval.py:144-181 over the SQL window
 #        chunker's output — per-document chunk counts and span coverage)
 def _chunk_stats_sql(engine: str) -> str:

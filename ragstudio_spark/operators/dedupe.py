@@ -19,6 +19,9 @@ Large-scale training-data dedup toolkit over a text column:
 * ``winnow_fingerprints`` / ``winnow_overlap_pairs`` — MOSS winnowing
   (k-gram rolling hashes, window minima): LOCAL-overlap candidates that
   whole-document signatures dilute.
+* ``embedding_near_pairs`` — embedding-cosine near-dups: sign-LSH bucket
+  self-join (similarity.hyperplane_buckets) + exact cosine threshold on
+  the candidates only.
 
 Everything is JVM-side column expressions (md5/regexp/array functions) —
 no Python in any of these paths. The SQL twins in entry_queries.py verify
@@ -251,6 +254,36 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     the 16-bit variant's 4-bit bands capped at 16 buckets/band and
     degenerated to an all-pairs join at corpus scale)."""
     return simhash64_near_pairs(df, text_col, id_col, max_hamming)
+
+
+def embedding_near_pairs(vectors: DataFrame, planes: DataFrame,
+                         threshold: float = 0.9, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: vectors sharing a sign-LSH
+    bucket (one bit per hyperplane in ``planes``) are candidates; the
+    exact sequential-fold cosine runs ONLY on candidates and pairs at or
+    above ``threshold`` survive. Returns (id_a, id_b), id_a < id_b.
+
+    Scale shape: with p planes the self-join is sharded into 2^p buckets
+    (bounded occupancy — the same story as the simhash bands), and the
+    O(dim) cosine never touches non-colliding pairs. One plane set is one
+    LSH band: for higher recall run several independent plane sets and
+    union + distinct the outputs. Output carries no float column (the
+    oracle twin compares ids only; the threshold compare itself is
+    bit-identical across engines because both fold sequentially)."""
+    from ragstudio_spark.operators.similarity import cosine, hyperplane_buckets
+
+    buckets = hyperplane_buckets(vectors, planes, id_col, vec_col)
+    keyed = buckets.join(vectors.select(F.col(id_col), F.col(vec_col)), on=id_col)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .filter(cos >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+    )
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",

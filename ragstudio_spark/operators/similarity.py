@@ -208,7 +208,10 @@ def pq_train(vectors: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
             F.lit(j).alias("subspace"), "cid",
             F.col(vec_col).alias("sub_vec"))
         books = cb if books is None else books.unionByName(cb)
-    return books
+    # codebooks are a tiny (m×k rows) model artifact consumed by several
+    # downstream actions (shape checks, encode, search) — materialize ONCE
+    # so the iterative training lineage never re-executes per action
+    return books.localCheckpoint()
 
 
 def _codebook_shape(codebooks: DataFrame, m: int) -> int:

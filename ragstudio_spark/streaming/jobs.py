@@ -27,22 +27,34 @@ def transform_stream(stream_df: DataFrame, max_tokens: int = 400,
     returns the exploded chunks frame. Stateless row-local ops only — no
     watermark needed. Uses the fused single-Python-hop operator."""
     df = sniff.with_content_type(stream_df)
+    # same spans-only wire form + deferred slice as the batch pipeline
+    # (pipeline/job.py): the gate folds over the slice expression and chunk
+    # strings are materialized once, post-explode
     turns = fused.process_turns(
         df.select("conv_id", "turn_idx", "text", "content_type", "ts"),
         max_tokens=max_tokens,
         overlap=overlap,
         carry_ts=True,
+        materialize_text=False,
     )
-    turns = quality_gate.with_chunks_gate(turns, chunks_col="chunks")
+    turns = quality_gate.with_chunks_gate(
+        turns, chunks_col="chunks", chunk_text=fused.chunk_text_expr("c"))
     passing = turns.filter(
         F.col("gate_passed") & (F.col("content_type") != "empty")
     )
+    from ragstudio_spark.operators.chunker import CHUNK_STRUCT
+
+    chunk_cols = [
+        fused.sliced_chunk_text().alias("text") if f.name == "text"
+        else F.col(f"chunk.{f.name}")
+        for f in CHUNK_STRUCT.fields
+    ]
     return passing.select(
         "conv_id", "turn_idx", "ts", "content_type", "extraction_engine",
-        F.explode("chunks").alias("chunk"),
+        "base_utf8", F.explode("chunks").alias("chunk"),
     ).select(
         "conv_id", "turn_idx", "ts", "content_type", "extraction_engine",
-        "chunk.*",
+        *chunk_cols,
     )
 
 

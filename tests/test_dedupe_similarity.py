@@ -370,3 +370,43 @@ class TestSimilarity:
         buckets = {r["vec_id"]: r["bucket"]
                    for r in similarity.hyperplane_buckets(vectors, planes).collect()}
         assert buckets[0] == buckets[4]
+
+
+class TestEmbeddingNearDup:
+    def test_finds_planted_near_duplicates(self, spark):
+        """Planted near-identical vectors collide in every sign bucket and
+        pass the cosine threshold; orthogonal vectors never pair."""
+        from ragstudio_spark.operators import dedupe
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+            (3, [0.0, 0.98, 0.02, 0.0]),    # near-dup of 2
+            (4, [-1.0, 0.0, 0.0, 0.0]),     # opposite of 0
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        planes = spark.createDataFrame(
+            [(0, [1.0, 0.2, 0.0, 0.0]), (1, [0.2, 1.0, 0.0, 0.0]),
+             (2, [1.0, -1.0, 0.5, 0.0])],
+            "plane int, embedding array<float>")
+        got = {(r["id_a"], r["id_b"])
+               for r in dedupe.embedding_near_pairs(
+                   vecs, planes, threshold=0.95).collect()}
+        assert (0, 1) in got
+        assert (2, 3) in got
+        assert all(p not in got for p in [(0, 2), (0, 4), (1, 4)])
+
+    def test_threshold_filters_bucket_collisions(self, spark):
+        """Vectors in the same bucket but below the threshold are dropped —
+        the bucket is a candidate generator, not the decision."""
+        from ragstudio_spark.operators import dedupe
+
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 0.1]), (1, [1.0, 0.9])],  # same half-space, cos≈0.77
+            "vec_id int, embedding array<float>")
+        planes = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "plane int, embedding array<float>")
+        loose = dedupe.embedding_near_pairs(vecs, planes, threshold=0.5).count()
+        tight = dedupe.embedding_near_pairs(vecs, planes, threshold=0.99).count()
+        assert loose == 1 and tight == 0
