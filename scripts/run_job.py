@@ -53,6 +53,8 @@ def main() -> None:
     p.add_argument("--langs", default=None, help="comma list → language filter")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--min-readable-ratio", type=float, default=None)
+    p.add_argument("--bpe-merges", default=None,
+                   help="merges.txt path → true BPE token splitting")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -81,6 +83,7 @@ def main() -> None:
             "dedupe_chunks": args.dedupe_chunks,
             "language_filter": args.langs,
             "min_readable_ratio": args.min_readable_ratio,
+            "bpe_merges_path": args.bpe_merges,
         }.items() if v is not None
     }
     cfg = resolve_config(cli=cli_layer, yaml_path=args.config)
