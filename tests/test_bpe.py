@@ -94,3 +94,42 @@ class TestPipelineIntegration:
                 != [r["text"] for r in tokenized])
         for r in tokenized:
             assert r["text"] in text
+
+
+class TestBpeProperties:
+    def test_boundary_invariants_hold_on_arbitrary_text(self):
+        """Property: for ANY text, token boundaries are a strictly
+        increasing cover of [0, len] and splitting at them is lossless."""
+        from hypothesis import given, settings, strategies as st
+
+        tok = bpe.BPETokenizer()
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(max_size=300))
+        def check(text):
+            b = tok.token_boundaries(text)
+            assert b[0] == 0 and b[-1] == len(text)
+            assert all(b[i] < b[i + 1] for i in range(len(b) - 1))
+            assert "".join(text[b[i]:b[i + 1]]
+                           for i in range(len(b) - 1)) == text
+
+        check()
+
+    def test_split_windows_cover_text_for_any_params(self):
+        from hypothesis import given, settings, strategies as st
+
+        tok = bpe.BPETokenizer()
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.text(min_size=1, max_size=200),
+               st.integers(min_value=1, max_value=20),
+               st.integers(min_value=0, max_value=19))
+        def check(text, max_tokens, overlap):
+            chunks = bpe.bpe_split(text, max_tokens, overlap, tokenizer=tok)
+            # first chunk starts the text; every char is covered by the
+            # union of chunks (step <= max_tokens guarantees no gaps)
+            if overlap < max_tokens:
+                assert chunks and text.startswith(chunks[0])
+                assert sum(len(c) for c in chunks) >= len(text)
+
+        check()
