@@ -226,9 +226,10 @@ FROM banded a JOIN banded b
 """
 
 
-def _minhash_sql(engine: str) -> str:
+def _minhash_sql(engine: str, final_select: str | None = None) -> str:
     words = _words_expr("text", engine)
     sh = _shingles_expr("words", engine)
+    final_select = final_select or _PAIRS
     if engine == "spark":
         ex = f"""
 SELECT doc_id, shingle FROM
@@ -255,7 +256,7 @@ sigs AS (
   FROM ex GROUP BY doc_id
 ),
 banded AS ({band})
-{_PAIRS}
+{final_select}
 """
 def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragstudio_spark.operators import dedupe
@@ -267,6 +268,32 @@ def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark side runs the first-class operator (operators/dedupe.py); the
 # DuckDB SQL twin pins its semantics value-for-value.
 _def("dedup_minhash_lsh", (_minhash_fn, _minhash_sql("duckdb")))
+
+
+# -- 6b. cross-corpus near-dup candidates (benchmark decontamination /
+#        incremental dedup — operators/dedupe.cross_corpus_minhash_pairs):
+#        which even-doc_id docs share a MinHash band with any odd-doc_id
+#        doc. Signatures are per-doc, so the twin computes them over the
+#        whole table once and applies the split in the final join.
+_CROSS_PAIRS = """
+SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+"""
+
+
+def _decontam_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return dedupe.cross_corpus_minhash_pairs(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"))
+
+
+_def("decontaminate_cross_pairs",
+     (_decontam_fn, _minhash_sql("duckdb", final_select=_CROSS_PAIRS)))
 
 # -- 6b. near-dup cluster resolution: minhash candidate pairs → connected
 #        components (doc_id, cluster_id = min reachable id). Spark runs
@@ -2022,6 +2049,84 @@ WHERE i.impressions >= 5
 
 
 _def("feedback_doc_ctr", (_fb_ctr_fn, _fb_ctr_duck_sql()))
+
+
+# -- 33. deterministic stratified sampling (operators/sampling.py): keep a
+#        doc iff the first 8 md5 hex digits of its salted key, as a
+#        fraction of 16^8, fall below its language's rate. Membership is a
+#        pure function of the key — reproducible across runs, partitions
+#        and engines (this gate IS the cross-engine proof).
+_SAMPLE_RATES = {"fr": 0.5, "en": 0.25, "de": 0.1}
+
+
+def _sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import sampling
+
+    _register(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        spark.table("documents"), strata_col="lang", rates=_SAMPLE_RATES,
+        default_rate=0.0, key_cols=("doc_id",), salt="r3",
+    ).select("doc_id", "lang")
+
+
+def _sample_duck_sql() -> str:
+    frac = ("CAST(CAST('0x' || substr(md5(concat_ws('|', 'r3', "
+            "CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) AS DOUBLE) "
+            f"/ {float(16 ** 8)}")
+    rate = "CASE lang WHEN 'fr' THEN 0.5 WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.1 ELSE 0.0 END"
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ({frac}) < ({rate})
+"""
+
+
+_def("sample_stratified", (_sample_fn, _sample_duck_sql()))
+
+
+# -- 34. token-stream sequence packing (operators/packing.py): concat-and-
+#        slice document token counts into 2048-token training sequences,
+#        sharded by language, ordered by doc_id. Pure window arithmetic —
+#        everything integer.
+_PACK_BUDGET = 2048
+
+
+def _pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import packing
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars") / 4).cast("bigint").alias("token_count"))
+    packed = packing.pack_chunks(
+        docs, budget=_PACK_BUDGET, partition_col="lang",
+        order_cols=("doc_id",), token_col="token_count")
+    return packed.select("doc_id", "lang", "seq_index", "seq_token_offset")
+
+
+def _pack_duck_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(n_chars // 4 AS BIGINT) AS token_count
+  FROM documents
+), cum AS (
+  SELECT doc_id, lang,
+         CAST(COALESCE(sum(token_count) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM toks
+)
+SELECT doc_id, lang,
+       CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS seq_index,
+       CAST(cum_before - (cum_before // {_PACK_BUDGET}) * {_PACK_BUDGET} AS BIGINT)
+         AS seq_token_offset
+FROM cum
+"""
+
+
+_def("pack_sequences", (_pack_fn, _pack_duck_sql()))
 
 
 # --------------------------------------------------------------------------

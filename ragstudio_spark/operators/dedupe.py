@@ -92,27 +92,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     more candidates; fewer, wider bands → higher precision, fewer
     candidates. ``n_bands`` must divide ``n_hashes``. Cost tradeoffs at
     sf0.1 are tabulated in BASELINE.md (minhash parameter sweep)."""
-    if n_hashes % n_bands:
-        raise ValueError(f"n_bands={n_bands} must divide n_hashes={n_hashes}")
-    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
-    per_band = n_hashes // n_bands
-    # ONE explode(array(struct(...))) per side, never a union of selects
-    # over the signature subplan: a union re-references the aggregate
-    # n_bands times and only optimizer goodwill (ReusedExchange) keeps the
-    # signatures from being recomputed per band — the explode shape makes
-    # one-signature-computation-per-doc structural (plan-asserted in
-    # tests/test_plan_shapes.py).
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(F.concat(*[F.col(f"h{b * per_band + j}")
-                             for j in range(per_band)])).alias("band_key"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
-    ).select(id_col, "bd.band_idx", "bd.band_key")
+    bands = _minhash_bands(df, text_col, id_col, k, n_hashes, n_bands)
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -121,6 +101,70 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
+    )
+
+
+def _minhash_bands(df: DataFrame, text_col: str, id_col: str, k: int,
+                   n_hashes: int, n_bands: int) -> DataFrame:
+    """(id, band_idx, band_key) rows. ONE explode(array(struct(...))) per
+    caller, never a union of selects over the signature subplan: a union
+    re-references the aggregate n_bands times and only optimizer goodwill
+    (ReusedExchange) keeps the signatures from being recomputed per band —
+    the explode shape makes one-signature-computation-per-doc structural
+    (plan-asserted in tests/test_plan_shapes.py)."""
+    if n_hashes % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_hashes={n_hashes}")
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    per_band = n_hashes // n_bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat(*[F.col(f"h{b * per_band + j}")
+                             for j in range(per_band)])).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
+    ).select(id_col, "bd.band_idx", "bd.band_key")
+
+
+def cross_corpus_minhash_pairs(left: DataFrame, right: DataFrame,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               k: int = 3, n_hashes: int = N_HASHES,
+                               n_bands: int = N_BANDS) -> DataFrame:
+    """Near-duplicate candidates BETWEEN two corpora — the benchmark-
+    decontamination / incremental-dedup join: which ``left`` docs share a
+    MinHash band with any ``right`` doc (e.g. left = training corpus,
+    right = evaluation sets; or left = today's batch, right = the already-
+    committed index). Returns (left_id, right_id), distinct.
+
+    Scale shape: both sides band independently (one explode each); the
+    join is left-bands × right-bands on (band_idx, band_key) — NEVER the
+    O(N²) self-join, and when ``right`` is a small benchmark suite Spark
+    broadcasts its bands. An asymmetric corpus-vs-index run shuffles only
+    on band keys, so the committed index can stay partitioned by band."""
+    lb = _minhash_bands(left, text_col, id_col, k, n_hashes, n_bands).alias("l")
+    rb = _minhash_bands(right, text_col, id_col, k, n_hashes, n_bands).alias("r")
+    return (
+        lb.join(rb, (F.col("l.band_idx") == F.col("r.band_idx"))
+                & (F.col("l.band_key") == F.col("r.band_key")))
+        .select(F.col(f"l.{id_col}").alias("left_id"),
+                F.col(f"r.{id_col}").alias("right_id"))
+        .distinct()
+    )
+
+
+def exact_new_only(new: DataFrame, seen: DataFrame,
+                   text_col: str = "text") -> DataFrame:
+    """Incremental exact dedup: rows of ``new`` whose text hash is absent
+    from the ``seen`` corpus (anti-join on md5 — one shuffle on the hash,
+    or a broadcast when the new batch's hash set is small)."""
+    seen_h = seen.select(F.md5(F.col(text_col)).alias("_seen_h")).distinct()
+    return (
+        new.withColumn("_h", F.md5(F.col(text_col)))
+        .join(seen_h, F.col("_h") == F.col("_seen_h"), "left_anti")
+        .drop("_h")
     )
 
 

@@ -1,0 +1,88 @@
+"""Deterministic sampling for training-data curation.
+
+A 100 TB corpus is sampled constantly — subset experiments, per-language
+quotas, heldout splits. The operators here never use RNG state: every
+decision is a pure function of the row's key, so samples are reproducible
+across runs, partitionings, engines (the DuckDB oracle twins compare
+exact membership), and incremental re-runs (a row's fate never changes
+when the corpus around it grows — the property Bernoulli `df.sample`
+cannot give you).
+
+* ``hash_sample``     — keep a row iff the first 8 md5 hex digits of its
+  (salted) key, read as a fraction of 16^8, fall below ``rate``. One scan,
+  no shuffle, filter pushes down around it.
+* ``stratified_sample`` — per-stratum rates (e.g. lang quotas) with the
+  same hash rule; unlisted strata use ``default_rate``.
+* ``split``           — disjoint train/heldout assignment from the same
+  hash (a row is in exactly one split, stable forever).
+* ``hash_top_n``      — deterministic "uniform without replacement" n
+  rows: order by the key hash, take n (TakeOrderedAndProject — no full
+  sort shuffle).
+
+The 8-hex-digit prefix gives 2^32 buckets: rate resolution ~2.3e-10,
+far below any practical quota error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_DENOM = float(16 ** 8)  # 8 hex digits
+
+
+def _key_col(key_cols: list[str] | tuple, salt: str) -> Column:
+    parts = [F.lit(salt), *[F.col(c).cast("string") for c in key_cols]]
+    return F.concat_ws("|", *parts)
+
+
+def hash_fraction(key_cols, salt: str = "") -> Column:
+    """Uniform [0,1) fraction from the row key: first 8 md5 hex digits /
+    16^8. Same formula the DuckDB twins use."""
+    return F.conv(F.substring(F.md5(_key_col(key_cols, salt)), 1, 8), 16, 10) \
+        .cast("double") / F.lit(_DENOM)
+
+
+def hash_sample(df: DataFrame, rate: float, key_cols=("doc_id",),
+                salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli-style sample: row kept iff
+    hash_fraction < rate. Change ``salt`` for an independent re-draw."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1]: {rate}")
+    return df.filter(hash_fraction(list(key_cols), salt) < rate)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
+                      default_rate: float = 0.0, key_cols=("doc_id",),
+                      salt: str = "") -> DataFrame:
+    """Per-stratum deterministic rates (language quotas, source mixes).
+    ``rates`` maps stratum value → keep rate; everything else gets
+    ``default_rate``."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0,1]: {v}")
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(hash_fraction(list(key_cols), salt) < rate)
+
+
+def split(df: DataFrame, heldout_rate: float = 0.01, key_cols=("doc_id",),
+          salt: str = "split") -> DataFrame:
+    """Stable train/heldout assignment: adds ``split`` ∈ {train, heldout}.
+    Disjoint and exhaustive by construction; a row's split never changes
+    as the corpus grows (contamination-safe heldout)."""
+    frac = hash_fraction(list(key_cols), salt)
+    return df.withColumn(
+        "split",
+        F.when(frac < heldout_rate, F.lit("heldout")).otherwise(F.lit("train")))
+
+
+def hash_top_n(df: DataFrame, n: int, key_cols=("doc_id",),
+               salt: str = "") -> DataFrame:
+    """Exactly-n deterministic uniform subset: the n smallest key hashes.
+    Compiles to a distributed partial top-n (TakeOrderedAndProject), so no
+    full sort shuffle at corpus scale."""
+    h = F.md5(_key_col(list(key_cols), salt))
+    return (df.withColumn("_h", h)
+            .orderBy(F.asc("_h"), *[F.asc(c) for c in key_cols])
+            .limit(n).drop("_h"))

@@ -1,0 +1,140 @@
+"""Deterministic sampling, sequence packing, and cross-corpus dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ragstudio_spark.operators import dedupe, packing, sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"lang{i % 3}", 100 + (i * 37) % 900) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+
+class TestHashSampling:
+    def test_rate_is_approximately_honored(self, spark, docs):
+        kept = sampling.hash_sample(docs, 0.25).count()
+        assert 0.15 * 400 < kept < 0.35 * 400
+
+    def test_membership_is_deterministic_and_partition_independent(self, spark, docs):
+        a = {r["doc_id"] for r in sampling.hash_sample(docs.coalesce(1), 0.3).collect()}
+        b = {r["doc_id"] for r in sampling.hash_sample(docs.repartition(16), 0.3).collect()}
+        assert a == b
+
+    def test_membership_stable_under_corpus_growth(self, spark, docs):
+        """A row's fate never changes when other rows appear — the property
+        Bernoulli df.sample cannot give."""
+        small = docs.filter("doc_id < 100")
+        a = {r["doc_id"] for r in sampling.hash_sample(small, 0.3).collect()}
+        full = {r["doc_id"] for r in sampling.hash_sample(docs, 0.3).collect()}
+        assert a == {i for i in full if i < 100}
+
+    def test_salt_gives_independent_draw(self, spark, docs):
+        a = {r["doc_id"] for r in sampling.hash_sample(docs, 0.3, salt="x").collect()}
+        b = {r["doc_id"] for r in sampling.hash_sample(docs, 0.3, salt="y").collect()}
+        assert a != b
+
+    def test_nested_rates(self, spark, docs):
+        """With the same salt, a lower rate is a strict subset of a higher
+        one (the fraction is fixed per row)."""
+        lo = {r["doc_id"] for r in sampling.hash_sample(docs, 0.1).collect()}
+        hi = {r["doc_id"] for r in sampling.hash_sample(docs, 0.4).collect()}
+        assert lo <= hi
+
+    def test_invalid_rate(self, spark, docs):
+        with pytest.raises(ValueError):
+            sampling.hash_sample(docs, 1.5)
+
+
+class TestStratifiedAndSplit:
+    def test_per_stratum_rates(self, spark, docs):
+        out = sampling.stratified_sample(
+            docs, "lang", {"lang0": 1.0, "lang1": 0.0}, default_rate=0.5)
+        counts = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts["lang0"] == docs.filter("lang = 'lang0'").count()
+        assert "lang1" not in counts
+        assert 0 < counts.get("lang2", 0) < docs.filter("lang = 'lang2'").count()
+
+    def test_split_is_disjoint_exhaustive_and_stable(self, spark, docs):
+        out = sampling.split(docs, heldout_rate=0.1)
+        assert out.count() == 400
+        held = {r["doc_id"] for r in out.filter("split = 'heldout'").collect()}
+        assert 0 < len(held) < 400
+        # stable when the corpus grows
+        held_small = {r["doc_id"] for r in sampling.split(
+            docs.filter("doc_id < 100"), heldout_rate=0.1)
+            .filter("split = 'heldout'").collect()}
+        assert held_small == {i for i in held if i < 100}
+
+    def test_hash_top_n_exact_count_and_plan(self, spark, docs):
+        out = sampling.hash_top_n(docs, 17)
+        assert out.count() == 17
+        a = sorted(r["doc_id"] for r in sampling.hash_top_n(docs.coalesce(1), 17).collect())
+        b = sorted(r["doc_id"] for r in sampling.hash_top_n(docs.repartition(8), 17).collect())
+        assert a == b
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestPacking:
+    def test_sequences_respect_budget_semantics(self, spark):
+        rows = [("c1", i, 0, 100) for i in range(10)]  # 10 × 100 tokens
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, chunk_index int, token_count int")
+        packed = packing.pack_chunks(df, budget=250).collect()
+        by_turn = {r["turn_idx"]: r for r in packed}
+        # stream slicing: chunk starting at cum 200 belongs to seq 0
+        assert [by_turn[i]["seq_index"] for i in range(10)] == \
+            [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+        assert by_turn[0]["seq_token_offset"] == 0
+        assert by_turn[3]["seq_token_offset"] == 300 - 250
+        assert by_turn[2]["seq_token_offset"] == 200  # straddles, starts in seq 0
+
+    def test_partition_independence_and_shard_isolation(self, spark):
+        rows = [(f"c{i % 4}", i, 0, 50 + i) for i in range(80)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, chunk_index int, token_count int")
+        a = sorted(map(tuple, packing.pack_chunks(df.coalesce(1), 300).collect()))
+        b = sorted(map(tuple, packing.pack_chunks(df.repartition(8), 300).collect()))
+        assert a == b
+        stats = packing.sequence_stats(packing.pack_chunks(df, 300)).collect()
+        assert all(r["n_tokens"] > 0 for r in stats)
+        # token conservation: stats sum == input sum
+        assert sum(r["n_tokens"] for r in stats) == sum(50 + i for i in range(80))
+
+    def test_invalid_budget(self, spark):
+        df = spark.createDataFrame(
+            [("c", 0, 0, 10)],
+            "conv_id string, turn_idx int, chunk_index int, token_count int")
+        with pytest.raises(ValueError):
+            packing.pack_chunks(df, budget=0)
+
+
+class TestCrossCorpusDedup:
+    def test_planted_cross_dup_found(self, spark):
+        shared = ("the quick brown fox jumps over the lazy dog while the "
+                  "cat watches from the warm windowsill today")
+        left = spark.createDataFrame(
+            [(0, shared), (1, "entirely different words about query engines "
+                              "and shuffle partitioning strategies")],
+            "doc_id int, text string")
+        right = spark.createDataFrame(
+            [(100, shared.replace("today", "tonight")),
+             (101, "unrelated benchmark question about chemistry and "
+                   "thermodynamics of ideal gases")],
+            "doc_id int, text string")
+        got = {(r["left_id"], r["right_id"])
+               for r in dedupe.cross_corpus_minhash_pairs(left, right).collect()}
+        assert (0, 100) in got
+        assert (1, 101) not in got
+
+    def test_exact_new_only_filters_seen(self, spark):
+        seen = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "gamma delta")], "doc_id int, text string")
+        new = spark.createDataFrame(
+            [(10, "alpha beta"), (11, "fresh content"), (12, "gamma delta")],
+            "doc_id int, text string")
+        got = sorted(r["doc_id"] for r in dedupe.exact_new_only(new, seen).collect())
+        assert got == [11]
