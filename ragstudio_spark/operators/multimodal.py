@@ -117,6 +117,48 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, media_type string, width int, height int, "
+    "resized_payload binary"
+)
+
+
+def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
+                  fake_decode: bool = False) -> DataFrame:
+    """Distributed image resize (1 image row → 1 resized row). Real
+    decode+resample (PIL) is the stub — ``fake_decode=True`` emits a
+    deterministic payload of exactly ``ceil(target_w·target_h/16)`` bytes
+    derived from the source sha1, so batch shape, output sizing, and the
+    image-only filter are all real and tested. Non-image rows are dropped
+    (resize is an image op; videos go through frame_sample first)."""
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError(f"target dims must be positive: {target_w}x{target_h}")
+    out_bytes = (target_w * target_h + 15) // 16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "width": [],
+                   "height": [], "resized_payload": []}
+            for mid, mtype, mime, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["mime"], pdf["payload"]
+            ):
+                if mtype != "image":
+                    continue
+                data = bytes(payload) if payload is not None else b""
+                if not fake_decode:
+                    decode_media(data, mime)  # raises: real codec required
+                seed = hashlib.sha1(data + f":{target_w}x{target_h}".encode()).digest()
+                fake = (seed * (out_bytes // len(seed) + 1))[:out_bytes]
+                out["media_id"].append(mid)
+                out["media_type"].append(mtype)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["resized_payload"].append(fake)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for plumbing tests."""
     rows = []

@@ -130,6 +130,28 @@ class TestMultimodal:
 
 
 class TestSkew:
+    def test_resize_images_shape_and_determinism(self, spark):
+        from ragstudio_spark.operators import multimodal
+
+        media = multimodal.synthetic_media_df(spark, 24)
+        out = multimodal.resize_images(media, 64, 48, fake_decode=True)
+        rows = out.collect()
+        n_images = media.filter("media_type = 'image'").count()
+        assert len(rows) == n_images            # image-only, 1 -> 1
+        expected = (64 * 48 + 15) // 16
+        assert all(len(r["resized_payload"]) == expected for r in rows)
+        assert all((r["width"], r["height"]) == (64, 48) for r in rows)
+        again = {r["media_id"]: bytes(r["resized_payload"])
+                 for r in multimodal.resize_images(
+                     media.repartition(8), 64, 48, fake_decode=True).collect()}
+        assert {r["media_id"]: bytes(r["resized_payload"])
+                for r in rows} == again         # partition-independent
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="NotImplementedError|codecs"):
+            multimodal.resize_images(media, 64, 48).collect()
+        with _pytest.raises(ValueError):
+            multimodal.resize_images(media, 0, 48, fake_decode=True)
+
     def test_salted_agg_matches_plain(self, spark):
         from pyspark.sql import functions as F
         df = tsrc.transcripts_df(spark, 300, seed=43, partitions=4)
