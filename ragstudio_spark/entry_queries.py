@@ -2129,6 +2129,39 @@ FROM cum
 _def("pack_sequences", (_pack_fn, _pack_duck_sql()))
 
 
+# -- 35. ML strategy trainer end-to-end (rows-only: iterative training is
+#        not SQL-expressible — the driver records a rows-only check and
+#        the unit suite pins semantics). Labels come from the published
+#        model over documents; the trained weights must reproduce that
+#        labeling, so every row reports correct == n.
+def _trainer_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import ml_strategy, ml_trainer
+
+    _register(spark, sf_dir, "documents")
+    # the raw docs all land in one class — synthesize structural variety
+    # deterministically so training sees all three labels
+    base = spark.table("documents").select("doc_id", "text")
+    text = (
+        F.when(F.col("doc_id") % 3 == 1,
+               F.concat(F.lit("# Heading\n## Sub\n- item\n- item\n"),
+                        F.col("text"), F.lit(" "), F.col("text"),
+                        F.lit(" "), F.col("text"), F.lit(" "), F.col("text")))
+        .when(F.col("doc_id") % 3 == 2,
+              F.concat_ws(" ", *([F.col("text")] * 6)))
+        .otherwise(F.col("text"))
+    )
+    labeled = ml_strategy.with_ml_strategy(
+        base.select("doc_id", text.alias("text"))
+    ).select("text", F.col("ml_strategy").alias("label"))
+    weights, _epochs = ml_trainer.train_strategy_classifier(labeled, epochs=25)
+    return ml_trainer.evaluate(labeled, weights)
+
+
+_def("ml_trainer_eval", (_trainer_fn, None))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------
