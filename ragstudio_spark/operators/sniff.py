@@ -24,12 +24,23 @@ _PDF_RE = (
 
 
 def content_type(text: Column) -> Column:
-    """'html' | 'markdown' | 'pdf' | 'plain' | 'empty'."""
+    """'html' | 'markdown' | 'pdf' | 'plain' | 'empty'.
+
+    Each regex is gated by a contains() prescan that is a strict superset
+    of it (every HTML marker contains '<'; both markdown alternatives need
+    '#' or '|'; every PDF-artifact alternative needs '-', '|', '=', '_',
+    '+' or a newline), so plain prose skips the costly alternations with
+    provably identical decisions — the JVM twin of the kernel's
+    literal-prescan technique (When/And short-circuit in codegen)."""
+    html_like = text.contains("<")
+    md_like = text.contains("#") | text.contains("|")
+    pdf_like = (text.contains("-") | text.contains("|") | text.contains("=")
+                | text.contains("_") | text.contains("+") | text.contains("\n"))
     return (
         F.when(text.isNull() | (F.trim(text) == ""), F.lit("empty"))
-        .when(text.rlike(_HTML_RE), F.lit("html"))
-        .when(text.rlike(_MD_RE), F.lit("markdown"))
-        .when(text.rlike(_PDF_RE), F.lit("pdf"))
+        .when(html_like & text.rlike(_HTML_RE), F.lit("html"))
+        .when(md_like & text.rlike(_MD_RE), F.lit("markdown"))
+        .when(pdf_like & text.rlike(_PDF_RE), F.lit("pdf"))
         .otherwise(F.lit("plain"))
     )
 
