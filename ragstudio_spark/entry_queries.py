@@ -2129,6 +2129,109 @@ FROM cum
 _def("pack_sequences", (_pack_fn, _pack_duck_sql()))
 
 
+# -- 35b. mathematical-schema extraction (operators/schema_extract.py ↔
+#         reference schema_extractor.py). The synthetic corpus has no
+#         French math prose, so both engines append the same two fixed
+#         snippets to deterministic doc subsets (doc_id%5∈{0,1}) and the
+#         twin reimplements the extraction generically with DuckDB regexes
+#         (backslashes: Spark side passes patterns via F.lit — no SQL
+#         literal; DuckDB single-quoted literals keep backslashes raw).
+_MATH_SNIPPET_A = (" Soit le cercle de centre A et de rayon 7. Le triangle "
+                   "ABC et la droite (AB) coupent le segment [BC]. asymptote")
+_MATH_SNIPPET_B = (" Voir Figure 3 et le tableau. "
+                   "\\\\x = y + 2 longer equation\\\\ et la courbe C")
+
+
+def _schema_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import schema_extract
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    enriched = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(_MATH_SNIPPET_A)))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.col("text"), F.lit(_MATH_SNIPPET_B)))
+        .otherwise(F.col("text")).alias("text"))
+    return schema_extract.extract_math_schemas(enriched)
+
+
+def _schema_duck_sql() -> str:
+    from ragstudio_spark.operators.schema_extract import (
+        CIRCLE_RE, CURVE_RE, FIGURE_RE, LATEX_RE, LINE_RE, SEGMENT_RE,
+        TRIANGLE_RE,
+    )
+
+    def refs(inst: str) -> str:
+        return ("CAST(len(list_filter(string_split(text, chr(10)), "
+                f"ln -> contains(lower(ln), lower({inst})))) AS INT)")
+
+    def fam(pat: str, sid: str, stype: str, desc: str, conf: float,
+            inst: str) -> str:
+        return f"""
+SELECT doc_id, {sid} AS schema_id, '{stype}' AS schema_type,
+       {desc} AS description, CAST({conf} AS DOUBLE) AS confidence,
+       {refs(inst)} AS n_references
+FROM (SELECT doc_id, text, unnest(regexp_extract_all(text, '{pat}')) AS m
+      FROM enriched)"""
+
+    g = lambda i, pat=None: f"regexp_extract(m, '{pat}', {i})"  # noqa: E731
+    parts = [
+        fam(CIRCLE_RE,
+            f"'circle_' || {g(1, CIRCLE_RE)} || '_' || {g(2, CIRCLE_RE)}",
+            "geometric",
+            f"'Cercle de centre ' || {g(1, CIRCLE_RE)} || ' et de rayon ' || {g(2, CIRCLE_RE)}",
+            0.9, f"'cercle de centre ' || {g(1, CIRCLE_RE)}"),
+        fam(TRIANGLE_RE, f"'triangle_' || {g(1, TRIANGLE_RE)}", "geometric",
+            f"'Triangle ' || {g(1, TRIANGLE_RE)}", 0.8, "m"),
+        fam(LINE_RE, f"'line_' || {g(1, LINE_RE)}", "geometric",
+            f"'Droite (' || {g(1, LINE_RE)} || ')'", 0.7, "m"),
+        fam(SEGMENT_RE, f"'segment_' || {g(1, SEGMENT_RE)}", "geometric",
+            f"'Segment [' || {g(1, SEGMENT_RE)} || ']'", 0.7, "m"),
+        fam(CURVE_RE, f"'curve_' || {g(1, CURVE_RE)}", "graph",
+            f"'Courbe ' || {g(1, CURVE_RE)}", 0.8, "m"),
+        fam(FIGURE_RE, f"'figure_' || {g(1, FIGURE_RE)}", "figure",
+            "m", 0.8, "m"),
+        # LaTeX equations keep the raw match index even for filtered-out
+        # short equations
+        f"""
+SELECT doc_id, 'equation_' || CAST(i AS VARCHAR) AS schema_id,
+       'algebraic' AS schema_type, 'Équation: ' || m AS description,
+       CAST(0.9 AS DOUBLE) AS confidence, {refs('m')} AS n_references
+FROM (SELECT doc_id, text, unnest(regexp_extract_all(text, '{LATEX_RE}')) AS m,
+             unnest(range(1, len(regexp_extract_all(text, '{LATEX_RE}')) + 1)) AS i
+      FROM enriched)
+WHERE length(trim(regexp_extract(m, '{LATEX_RE}', 1))) > 5""",
+        f"""
+SELECT doc_id, 'asymptote' AS schema_id, 'graph' AS schema_type,
+       'Asymptote' AS description, CAST(0.7 AS DOUBLE) AS confidence,
+       {refs("'asymptote'")} AS n_references
+FROM enriched WHERE contains(text, 'asymptote')""",
+        f"""
+SELECT doc_id, 'table' AS schema_id, 'table' AS schema_type,
+       'Tableau de variation' AS description, CAST(0.6 AS DOUBLE) AS confidence,
+       {refs("'tableau'")} AS n_references
+FROM enriched WHERE contains(text, 'tableau')""",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH enriched AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '{_MATH_SNIPPET_A}'
+              WHEN doc_id % 5 = 1 THEN text || '{_MATH_SNIPPET_B}'
+              ELSE text END AS text
+  FROM documents
+)
+{union}
+"""
+
+
+_def("math_schema_extraction", (_schema_fn, _schema_duck_sql()))
+
+
 # -- 35. ML strategy trainer end-to-end (rows-only: iterative training is
 #        not SQL-expressible — the driver records a rows-only check and
 #        the unit suite pins semantics). Labels come from the published
