@@ -2129,6 +2129,68 @@ FROM cum
 _def("pack_sequences", (_pack_fn, _pack_duck_sql()))
 
 
+# -- 35a. vector store end-to-end (operators/vectorstore.py): build a
+#         store from the embeddings table, upsert reversed embeddings for
+#         ids v0..v9 (latest version wins), then epsilon-cosine search
+#         with vec 0's ORIGINAL embedding — the upserted rows must rank by
+#         their NEW vectors. Rank-only output.
+def _vstore_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import vectorstore
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    store = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("id"),
+        F.lit("").alias("text"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.col("embedding"),
+    )
+    newb = emb.filter("vec_id < 10").select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("id"),
+        F.lit("").alias("text"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    resolved = vectorstore.upsert(store, newb)
+    qrow = emb.filter("vec_id = 0").select("embedding").first()
+    return vectorstore.search(
+        resolved, [float(x) for x in qrow["embedding"]], k=10
+    ).select("id", "rank")
+
+
+def _vstore_duck_sql() -> str:
+    def dot(a: str, b: str) -> str:
+        return _dot_duck(a, b)
+
+    cos = (f"({dot('r.embedding', 'q.embedding')}) / "
+           f"((sqrt({dot('r.embedding', 'r.embedding')}) + 1e-10) * "
+           f"(sqrt({dot('q.embedding', 'q.embedding')}) + 1e-10))")
+    return f"""
+WITH store AS (
+  SELECT 'v' || CAST(vec_id AS VARCHAR) AS id, embedding, 0 AS version
+  FROM embeddings
+  UNION ALL
+  SELECT 'v' || CAST(vec_id AS VARCHAR) AS id, list_reverse(embedding), 1
+  FROM embeddings WHERE vec_id < 10
+), resolved AS (
+  SELECT id, embedding FROM (
+    SELECT id, embedding,
+           row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+    FROM store) t
+  WHERE rn = 1
+)
+SELECT id, CAST(row_number() OVER (ORDER BY ({cos}) DESC, r.id ASC) AS INT) AS rank
+FROM resolved r CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY ({cos}) DESC, r.id ASC
+LIMIT 10
+"""
+
+
+_def("vectorstore_upsert_search", (_vstore_fn, _vstore_duck_sql()))
+
+
 # -- 35b. mathematical-schema extraction (operators/schema_extract.py ↔
 #         reference schema_extractor.py). The synthetic corpus has no
 #         French math prose, so both engines append the same two fixed
