@@ -2129,6 +2129,63 @@ FROM cum
 _def("pack_sequences", (_pack_fn, _pack_duck_sql()))
 
 
+# -- 35c. PII redaction (operators/redact.py): the corpus has no PII, so
+#         both engines append the same snippets to deterministic doc
+#         subsets; the gate compares per-category counts AND the md5 of
+#         the redacted text (pins replacements byte-for-byte). Dialect:
+#         DuckDB regexp_replace needs the 'g' flag to match Spark's
+#         replace-all semantics.
+_PII_SNIPPET_A = (" contact jean.dupont+spam@example.org or call "
+                  "+33 6 12 34 56 78 now")
+_PII_SNIPPET_B = " card 4111111111111111 from host 192.168.0.1 today"
+
+
+def _redact_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import redact
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(_PII_SNIPPET_A)))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.col("text"), F.lit(_PII_SNIPPET_B)))
+        .otherwise(F.col("text")).alias("text"))
+    out = redact.with_redaction(docs)
+    return out.select(
+        "doc_id", "n_email", "n_card", "n_ipv4", "n_phone",
+        F.md5(F.col("redacted_text")).alias("redacted_hash"))
+
+
+def _redact_duck_sql() -> str:
+    from ragstudio_spark.operators.redact import REDACTIONS
+
+    staged = "text"
+    counts = []
+    for cat, pat, repl in REDACTIONS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({staged}, '{pat}')) AS INT) AS n_{cat}")
+        staged = f"regexp_replace({staged}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH enriched AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_PII_SNIPPET_A}'
+              WHEN doc_id % 7 = 1 THEN text || '{_PII_SNIPPET_B}'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {', '.join(counts)},
+       md5({staged}) AS redacted_hash
+FROM enriched
+"""
+
+
+_def("pii_redaction", (_redact_fn, _redact_duck_sql()))
+
+
 # -- 35a. vector store end-to-end (operators/vectorstore.py): build a
 #         store from the embeddings table, upsert reversed embeddings for
 #         ids v0..v9 (latest version wins), then epsilon-cosine search
