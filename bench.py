@@ -101,7 +101,10 @@ def main() -> None:
                  "dedup_simhash64", "dedup_clusters", "hybrid_bm25_rrf",
                  "strategy_distribution_ml", "tool_payload_extraction",
                  # round-3 operators
-                 "ann_pq_topk", "embedding_near_dup", "feedback_doc_ctr"):
+                 "ann_pq_topk", "embedding_near_dup", "feedback_doc_ctr",
+                 "sample_stratified", "pack_sequences",
+                 "math_schema_extraction", "pii_redaction",
+                 "decontaminate_cross_pairs", "vectorstore_upsert_search"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
