@@ -37,9 +37,6 @@ from ragstudio_spark.kernel import textops
 from ragstudio_spark.operators.chunker import CHUNK_STRUCT
 
 _CHUNK_FIELDS = [f.name for f in CHUNK_STRUCT.fields]
-#: wire format = public chunk fields + transport-only byte-span fields
-#: (dropped again by _materialize_chunk_text)
-_WIRE_FIELDS = [*_CHUNK_FIELDS, "b_start", "b_len"]
 
 FUSED_SCHEMA = (
     "conv_id string, turn_idx int, content_type string, "
@@ -305,6 +302,20 @@ def sliced_chunk_text(chunk_col: str = "chunk",
         F.substring(F.col(base_col),
                     c["b_start"] + F.lit(1), c["b_len"]).cast("string"),
     )
+
+
+def public_chunk_cols(chunk_col: str = "chunk",
+                      base_col: str = "base_utf8") -> list:
+    """Post-explode projection of the PUBLIC chunk fields from the wire
+    form (text sliced from base, transport-only b_* fields dropped). The
+    single source for every consumer of the wire format — batch
+    (pipeline/job.py) and streaming (streaming/jobs.py) must project
+    identically or their outputs silently diverge."""
+    return [
+        sliced_chunk_text(chunk_col, base_col).alias("text")
+        if f.name == "text" else F.col(f"{chunk_col}.{f.name}")
+        for f in CHUNK_STRUCT.fields
+    ]
 
 
 def _materialize_chunk_text(df: DataFrame) -> DataFrame:

@@ -49,15 +49,34 @@ def with_features(df: DataFrame, text_col: str = "text",
     return df.select("*", *[feats[n].alias(f"{prefix}{n}") for n in ML_FEATURES])
 
 
-def _predict(weights: dict[str, dict[str, int]], text_col: str):
+def _argmax(s: dict[str, "F.Column"]):
     """argmax column with ML_CLASSES tie order (same rule as inference)."""
-    s = scores_from_weights(F.col(text_col), weights)
     return (
         F.when((s["semantic"] >= s["sentence"]) & (s["semantic"] >= s["token"]),
                F.lit("semantic"))
         .when(s["sentence"] >= s["token"], F.lit("sentence"))
         .otherwise(F.lit("token"))
     )
+
+
+def _predict_from_features(weights: dict[str, dict[str, int]],
+                           prefix: str = "f_"):
+    """argmax over PRECOMPUTED feature columns — per-epoch scoring must
+    never re-run the profiler regexes over raw text (they were extracted
+    once by with_features and checkpointed)."""
+    s = {}
+    for cls in ML_CLASSES:
+        expr = F.lit(0).cast("bigint")
+        for name, wv in weights[cls].items():
+            if wv:
+                expr = expr + wv * F.col(f"{prefix}{name}")
+        s[cls] = expr
+    return _argmax(s)
+
+
+def _predict(weights: dict[str, dict[str, int]], text_col: str):
+    """argmax from raw text (evaluation entry point — one pass)."""
+    return _argmax(scores_from_weights(F.col(text_col), weights))
 
 
 def train_strategy_classifier(
@@ -72,17 +91,20 @@ def train_strategy_classifier(
 
     Each epoch triggers one Spark job (the misclassification aggregate);
     the input is localCheckpoint'ed once so upstream lineage — which may
-    include a Python hop — never re-executes per epoch."""
-    bad = df.filter(~F.col(label_col).isin(*ML_CLASSES)).limit(1).collect()
+    include a Python hop — never re-executes per epoch (label validation
+    reads the checkpointed frame for the same reason), and per-epoch
+    scoring runs over the precomputed feature columns, never re-profiling
+    the raw text."""
+    feats = with_features(df.select(text_col, label_col), text_col)
+    feats = feats.drop(text_col).localCheckpoint()
+    bad = feats.filter(~F.col(label_col).isin(*ML_CLASSES)).limit(1).collect()
     if bad:
         raise ValueError(f"unknown label: {bad[0][label_col]!r}")
-    feats = with_features(df.select(text_col, label_col), text_col)
-    feats = feats.localCheckpoint()
     weights = {c: {n: init[c].get(n, 0) if init else 0 for n in ML_FEATURES}
                for c in ML_CLASSES}
     f_cols = [f"f_{n}" for n in ML_FEATURES]
     for epoch in range(epochs):
-        pred = _predict(weights, text_col)
+        pred = _predict_from_features(weights)
         mis = feats.withColumn("_pred", pred).filter(
             F.col("_pred") != F.col(label_col))
         # each misclassified row contributes (+features) to its true class

@@ -38,9 +38,12 @@ def pack_chunks(df: DataFrame, budget: int,
          .rowsBetween(Window.unboundedPreceding, -1))
     cum_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)) \
         .cast("bigint")
-    seq = F.floor(cum_before / budget).cast("bigint")
     return (df.withColumn("_cum_before", cum_before)
-            .withColumn("seq_index", seq)
+            # integral `div`, never floor(double-/): bigint/int in Spark is
+            # a DOUBLE division and floor(double) can disagree with the
+            # DuckDB twin's exact `//` past 2^53 tokens per shard
+            .withColumn("seq_index",
+                        F.expr(f"_cum_before div {int(budget)}").cast("bigint"))
             .withColumn("seq_token_offset",
                         (F.col("_cum_before") - F.col("seq_index") * budget)
                         .cast("bigint"))

@@ -57,9 +57,15 @@ def with_chunks_gate(
 
     ``chunk_text`` is the SQL expression for a chunk's text inside the
     lambda (element variable ``c``) — the pipeline's spans-only wire form
-    passes a byte-span slice expression here (operators/fused.py)."""
-    fold = sqlspec.readable_fold_expr(chunk_text, chunk_min_ratio)
-    readable_flags = f"transform({chunks_col}, c -> {fold})"
+    passes a byte-span slice expression here (operators/fused.py). The
+    text expression is bound ONCE per chunk by an inner transform and the
+    fold references only the bound variable ``t``: the fold body mentions
+    its text three times (word extraction, null check, no-space length),
+    and inlining the slice there would copy every chunk's bytes 3× per
+    evaluation (Catalyst duplicates reused expressions — the known trap)."""
+    fold = sqlspec.readable_fold_expr("t", chunk_min_ratio)
+    readable_flags = (f"transform(transform({chunks_col}, c -> {chunk_text}),"
+                      f" t -> {fold})")
     total = F.size(F.col(chunks_col))
     readable = F.expr(f"size(filter({readable_flags}, b -> b))")
     # downstream columns reference the MATERIALIZED readable_chunks column,

@@ -56,18 +56,25 @@ def with_redaction(df: DataFrame, text_col: str = "text",
 
 def redaction_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus rollup: one row per category with total matches and the
-    count of affected documents — the audit table a curation run keeps."""
+    count of affected documents — the audit table a curation run keeps.
+    ONE aggregation pass (all categories as columns of a single agg, then
+    an explode to rows) — a per-category agg would rescan the corpus and
+    re-run the whole regex chain once per category."""
     redacted = with_redaction(df, text_col)
-    per_cat = [
-        redacted.agg(
+    aggs = []
+    for cat, _p, _r in REDACTIONS:
+        aggs.append(F.sum(f"n_{cat}").cast("bigint").alias(f"m_{cat}"))
+        aggs.append(F.sum(F.when(F.col(f"n_{cat}") > 0, 1).otherwise(0))
+                    .cast("bigint").alias(f"d_{cat}"))
+    row = redacted.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
             F.lit(cat).alias("category"),
-            F.sum(f"n_{cat}").cast("bigint").alias("n_matches"),
-            F.sum(F.when(F.col(f"n_{cat}") > 0, 1).otherwise(0))
-            .cast("bigint").alias("n_docs"),
+            F.coalesce(F.col(f"m_{cat}"), F.lit(0)).cast("bigint")
+            .alias("n_matches"),
+            F.coalesce(F.col(f"d_{cat}"), F.lit(0)).cast("bigint")
+            .alias("n_docs"),
         )
         for cat, _p, _r in REDACTIONS
-    ]
-    out = per_cat[0]
-    for frame in per_cat[1:]:
-        out = out.unionByName(frame)
-    return out
+    ])
+    return row.select(F.explode(structs).alias("r")).select("r.*")

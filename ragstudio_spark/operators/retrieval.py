@@ -53,14 +53,16 @@ def _dl_col(text: Column) -> Column:
 
 
 def _term_pattern(term: str) -> str:
-    """Regex for one query term: regex metacharacters are escaped (so a
-    public-API term like ``c++`` or ``3.5`` counts literally instead of
-    throwing a pattern error), and word boundaries apply only when the term
-    is itself a word (``\\b`` next to a non-word char would never match)."""
+    """Regex for one query term: the term is LOWERCASED (tf matching runs
+    against lowered text — an uppercase term would otherwise silently
+    score 0), regex metacharacters are escaped (so a public-API term like
+    ``c++`` or ``3.5`` counts literally instead of throwing a pattern
+    error), and word boundaries apply only when the term is itself a word
+    (``\\b`` next to a non-word char would never match)."""
     import re as _re
 
-    esc = _re.escape(term)
-    return rf"\b{esc}\b" if _re.fullmatch(r"\w+", term) else esc
+    esc = _re.escape(term.lower())
+    return rf"\b{esc}\b" if _re.fullmatch(r"\w+", term.lower()) else esc
 
 
 def _tf_col(text: Column, term: str) -> Column:
@@ -159,7 +161,8 @@ def hybrid_search(docs: DataFrame, vectors: DataFrame, terms: list[str],
                   doc_id_col: str = "doc_id", vec_id_col: str = "vec_id",
                   vec_col: str = "embedding",
                   config: HybridConfig | None = None,
-                  candidate_limit: int | None = 1000) -> DataFrame:
+                  candidate_limit: int | None = 1000,
+                  require_both: bool | None = None) -> DataFrame:
     """Full hybrid pipeline: BM25 over ``docs`` + cosine over ``vectors``
     against one ``query`` row, RRF-fused to (doc_id, rank). ``vectors``'
     ids must align with ``docs``' ids (chunk embedding table).
@@ -168,7 +171,18 @@ def hybrid_search(docs: DataFrame, vectors: DataFrame, terms: list[str],
     ranks only its distributed partial top-1000 (TakeOrderedAndProject),
     so no full corpus ever enters a single-partition window. Pass ``None``
     only for exact full-corpus ground truth (the oracle gate) — that mode
-    ranks everything through one partition and must not run at scale."""
+    ranks everything through one partition and must not run at scale.
+
+    ``require_both`` controls the fusion join and defaults per mode —
+    this is a SEMANTIC switch, not just a perf one: bounded mode
+    full-outer-joins the two top-C lists (a candidate in only one list
+    still scores on that modality — the EnsembleRetriever behavior,
+    and inner-joining truncated lists would wrongly drop candidates),
+    while full-corpus mode inner-joins (both rankings are total over
+    aligned ids, so the join is exact and matches the oracle twin). When
+    ids do NOT fully align across ``docs``/``vectors``, the two defaults
+    differ for the unmatched ids even without truncation — pass
+    ``require_both`` explicitly to pin one behavior."""
     cfg = config or HybridConfig()
     bm25 = _ranked(
         bm25_scores(docs, terms, text_col, doc_id_col, cfg.bm25_k1, cfg.bm25_b),
@@ -179,5 +193,6 @@ def hybrid_search(docs: DataFrame, vectors: DataFrame, terms: list[str],
         if vec_id_col != doc_id_col
         else cosine_scores(vectors, query, vec_id_col, vec_col),
         doc_id_col, "vec_score", "vec_rank", candidate_limit)
-    return rrf_fuse(bm25, vec, doc_id_col, cfg,
-                    require_both=candidate_limit is None)
+    if require_both is None:
+        require_both = candidate_limit is None
+    return rrf_fuse(bm25, vec, doc_id_col, cfg, require_both=require_both)

@@ -34,10 +34,6 @@ LATEX_RE = r"\\\\([^\\]+)\\\\"
 CURVE_RE = r"courbe ([A-Z])"
 FIGURE_RE = r"Figure (\d+)"
 
-_SCHEMA_STRUCT = ("schema_id string, schema_type string, "
-                  "description string, confidence double")
-
-
 def _n_refs(text: Column, instance: Column) -> Column:
     """Count of lines mentioning the instance, case-insensitive — the
     accounting form of the reference's _find_references context list

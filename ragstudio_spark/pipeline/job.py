@@ -128,13 +128,7 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
 
     passing = turns.filter(F.col("status") == "success")
     meta = ["chunking_reason"] if cfg.adaptive else []
-    from ragstudio_spark.operators.chunker import CHUNK_STRUCT
-
-    chunk_cols = [
-        fused.sliced_chunk_text().alias("text") if f.name == "text"
-        else F.col(f"chunk.{f.name}")
-        for f in CHUNK_STRUCT.fields
-    ]
+    chunk_cols = fused.public_chunk_cols()
     chunks = passing.select(
         "conv_id", "turn_idx", "content_type", "extraction_engine",
         "extraction_fixes", "page_numbers_removed", *meta, "base_utf8",

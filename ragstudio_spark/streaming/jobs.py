@@ -42,13 +42,7 @@ def transform_stream(stream_df: DataFrame, max_tokens: int = 400,
     passing = turns.filter(
         F.col("gate_passed") & (F.col("content_type") != "empty")
     )
-    from ragstudio_spark.operators.chunker import CHUNK_STRUCT
-
-    chunk_cols = [
-        fused.sliced_chunk_text().alias("text") if f.name == "text"
-        else F.col(f"chunk.{f.name}")
-        for f in CHUNK_STRUCT.fields
-    ]
+    chunk_cols = fused.public_chunk_cols()
     return passing.select(
         "conv_id", "turn_idx", "ts", "content_type", "extraction_engine",
         "base_utf8", F.explode("chunks").alias("chunk"),

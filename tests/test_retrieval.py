@@ -97,3 +97,15 @@ class TestTermEscaping:
                  for r in retrieval.bm25_scores(docs, ["3.5"]).collect()}
         # '.' escaped: '3x5' and '345' must NOT match
         assert out35[2] > 0.0 and out35[1] == 0.0 and out35[3] == 0.0
+
+    def test_uppercase_terms_score_case_insensitively(self, spark):
+        """Regression: tf matches against lowered text — an uppercase term
+        must score, not silently return 0 everywhere."""
+        from ragstudio_spark.operators import retrieval
+
+        docs = spark.createDataFrame(
+            [(1, "Spark rules the cluster"), (2, "nothing relevant")],
+            "doc_id int, text string")
+        out = {r["doc_id"]: r["bm25_score"]
+               for r in retrieval.bm25_scores(docs, ["Spark"]).collect()}
+        assert out[1] > 0.0 and out[2] == 0.0
