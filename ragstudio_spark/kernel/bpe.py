@@ -42,7 +42,8 @@ EMBEDDED_MERGES: tuple[tuple[str, str], ...] = (
     ("o", "n"), ("e", "n"), ("r", "e"), ("o", "u"), ("in", "g"),
     ("a", "t"), ("e", "s"), ("o", "r"), ("t", "i"), ("l", "e"),
     ("d", "e"), ("s", "t"), ("an", "d"), ("q", "u"), ("qu", "e"),
-    ("a", "i"), ("e", "u"), ("c", "h"), ("s", "i"), ("m", "ent"),
+    ("a", "i"), ("e", "u"), ("c", "h"), ("s", "i"), ("en", "t"),
+    ("m", "ent"),
 )
 
 

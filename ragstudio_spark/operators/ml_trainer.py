@@ -97,7 +97,11 @@ def train_strategy_classifier(
     the raw text."""
     feats = with_features(df.select(text_col, label_col), text_col)
     feats = feats.drop(text_col).localCheckpoint()
-    bad = feats.filter(~F.col(label_col).isin(*ML_CLASSES)).limit(1).collect()
+    # NULL must be rejected explicitly: ~isin(NULL) evaluates to NULL (not
+    # true), so a bare negated isin would let NULL labels slip through and
+    # silently shrink every epoch's update set
+    bad = feats.filter(F.col(label_col).isNull()
+                       | ~F.col(label_col).isin(*ML_CLASSES)).limit(1).collect()
     if bad:
         raise ValueError(f"unknown label: {bad[0][label_col]!r}")
     weights = {c: {n: init[c].get(n, 0) if init else 0 for n in ML_FEATURES}

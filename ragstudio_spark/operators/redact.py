@@ -14,6 +14,16 @@ mangle), card numbers (a 16-digit run parses as a phone otherwise), IPv4
 (dot-separated digits parse as a phone otherwise), then phones. The
 category list is data, not code — extend REDACTIONS for new categories
 and both the operator and the DuckDB oracle twin pick them up.
+
+The phone rule requires phone *intent*, not just digit density: either a
+literal international ``+`` prefix, or the NANP 3-3-4 grouping with word
+boundaries. Date strings (``2024-08-16``), page ranges (``pages 10-25``),
+spaced thousands (``1 234 567``) and ISBNs do NOT match (regression-tested
+in tests/test_redact.py). Residual false-positive surface, documented:
+a ``+``-prefixed digit run of >=6 digits redacts even when it is not a
+phone, and a bare 10-digit 3-3-4 run redacts (indistinguishable from a
+US number without context). Patterns must stay RE2-compatible (no
+lookaround) — the DuckDB oracle twin compiles the same strings.
 """
 
 from __future__ import annotations
@@ -25,7 +35,10 @@ REDACTIONS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("card", r"\b\d{13,19}\b", "<CARD>"),
     ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d{1,3}[ .-]?\(?\d{1,4}\)?([ .-]?\d{1,4}){2,4}", "<PHONE>"),
+    ("phone",
+     r"\+\d{1,3}[ .-]?\(?\d{1,4}\)?([ .-]?\d{2,4}){2,4}\b"
+     r"|\(?\b\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b",
+     "<PHONE>"),
 )
 
 

@@ -34,22 +34,28 @@ LATEX_RE = r"\\\\([^\\]+)\\\\"
 CURVE_RE = r"courbe ([A-Z])"
 FIGURE_RE = r"Figure (\d+)"
 
-def _n_refs(text: Column, instance: Column) -> Column:
+def _n_refs(lines_lower: Column, instance: Column) -> Column:
     """Count of lines mentioning the instance, case-insensitive — the
     accounting form of the reference's _find_references context list
-    (schema_extractor.py:279-292)."""
+    (schema_extractor.py:279-292).
+
+    ``lines_lower`` is the document's pre-lowered line array, split and
+    lowered ONCE per row by the caller — passing raw text here would make
+    every schema occurrence re-split and re-lower the whole document
+    (O(S × doc_len) per row; Catalyst inlines reused expressions, the
+    known trap from quality_gate.py). Lowering before splitting is
+    equivalent: no character lowercases to a newline."""
     inst = F.lower(instance)
-    return F.size(F.filter(
-        F.split(text, "\n"), lambda ln: F.contains(F.lower(ln), inst)))
+    return F.size(F.filter(lines_lower, lambda ln: F.contains(ln, inst)))
 
 
 def _schema(sid: Column, stype: str, desc: Column, conf: float,
-            text: Column, ref_inst: Column) -> Column:
+            lines_lower: Column, ref_inst: Column) -> Column:
     return F.struct(
         sid.alias("schema_id"), F.lit(stype).alias("schema_type"),
         desc.alias("description"),
         F.lit(conf).cast("double").alias("confidence"),
-        _n_refs(text, ref_inst).alias("n_references"),
+        _n_refs(lines_lower, ref_inst).alias("n_references"),
     )
 
 
@@ -65,8 +71,18 @@ def extract_math_schemas(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """(id, schema_id, schema_type, description, confidence,
     n_references) — one row per schema occurrence, reference order within
-    each family preserved by the match order of regexp_extract_all."""
+    each family preserved by the match order of regexp_extract_all.
+
+    The lowered line array is materialized as its own column BEFORE the
+    schema expressions are built: every schema struct's n_references
+    filters that array, and Catalyst's CollapseProject keeps a
+    multiply-referenced non-cheap projection un-inlined — so the document
+    is split+lowered exactly once per row instead of once per schema
+    occurrence (S full-text walks per doc otherwise)."""
+    df = df.withColumn("_lines_lower",
+                       F.split(F.lower(F.col(text_col)), "\n"))
     t = F.col(text_col)
+    L = F.col("_lines_lower")
 
     def g(m: Column, pat: str, idx: int) -> Column:
         return F.regexp_extract(m, pat, idx)
@@ -76,19 +92,19 @@ def extract_math_schemas(df: DataFrame, text_col: str = "text",
         "geometric",
         F.concat(F.lit("Cercle de centre "), g(m, CIRCLE_RE, 1),
                  F.lit(" et de rayon "), g(m, CIRCLE_RE, 2)),
-        0.9, t, F.concat(F.lit("cercle de centre "), g(m, CIRCLE_RE, 1))))
+        0.9, L, F.concat(F.lit("cercle de centre "), g(m, CIRCLE_RE, 1))))
     triangles = _per_match(t, TRIANGLE_RE, lambda m: _schema(
         F.concat(F.lit("triangle_"), g(m, TRIANGLE_RE, 1)), "geometric",
         F.concat(F.lit("Triangle "), g(m, TRIANGLE_RE, 1)),
-        0.8, t, m))
+        0.8, L, m))
     lines = _per_match(t, LINE_RE, lambda m: _schema(
         F.concat(F.lit("line_"), g(m, LINE_RE, 1)), "geometric",
         F.concat(F.lit("Droite ("), g(m, LINE_RE, 1), F.lit(")")),
-        0.7, t, m))
+        0.7, L, m))
     segments = _per_match(t, SEGMENT_RE, lambda m: _schema(
         F.concat(F.lit("segment_"), g(m, SEGMENT_RE, 1)), "geometric",
         F.concat(F.lit("Segment ["), g(m, SEGMENT_RE, 1), F.lit("]")),
-        0.7, t, m))
+        0.7, L, m))
     # LaTeX equations: 1-based match index in the id; len>5 filter AFTER
     # numbering? No — the reference enumerates raw matches and filters
     # inside the loop, so skipped equations still consume an index.
@@ -101,28 +117,28 @@ def extract_math_schemas(df: DataFrame, text_col: str = "text",
                 F.length(F.trim(F.regexp_extract(m, LATEX_RE, 1))) > 5,
                 _schema(F.concat(F.lit("equation_"), i.cast("string")),
                         "algebraic",
-                        F.concat(F.lit("Équation: "), m), 0.9, t, m)),
+                        F.concat(F.lit("Équation: "), m), 0.9, L, m)),
         ),
         lambda s: s.isNotNull())
     curves = _per_match(t, CURVE_RE, lambda m: _schema(
         F.concat(F.lit("curve_"), g(m, CURVE_RE, 1)), "graph",
         F.concat(F.lit("Courbe "), g(m, CURVE_RE, 1)),
-        0.8, t, m))
+        0.8, L, m))
     # if-any semantics (one row per doc when present): a 1-element array
     # filtered on the presence test — the filter yields a correctly-typed
     # empty array when absent
     asymptote = F.filter(
         F.array(_schema(F.lit("asymptote"), "graph", F.lit("Asymptote"),
-                        0.7, t, F.lit("asymptote"))),
+                        0.7, L, F.lit("asymptote"))),
         lambda _s: F.contains(t, F.lit("asymptote")))
     tableau = F.filter(
         F.array(_schema(F.lit("table"), "table",
-                        F.lit("Tableau de variation"), 0.6, t,
+                        F.lit("Tableau de variation"), 0.6, L,
                         F.lit("tableau"))),
         lambda _s: F.contains(t, F.lit("tableau")))
     figures = _per_match(t, FIGURE_RE, lambda m: _schema(
         F.concat(F.lit("figure_"), g(m, FIGURE_RE, 1)), "figure",
-        m, 0.8, t, m))
+        m, 0.8, L, m))
 
     all_schemas = F.concat(
         circles, triangles, lines, segments, latex, curves,

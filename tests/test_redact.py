@@ -27,6 +27,23 @@ class TestRedaction:
         assert row["n_email"] == 1
         assert row["n_phone"] == 0  # counted on post-email text
 
+    def test_phone_requires_intent_not_digit_density(self, spark):
+        """Dates, page ranges, spaced thousands, ISBNs stay untouched;
+        +-prefixed international and NANP 3-3-4 shapes still redact."""
+        df = spark.createDataFrame(
+            [(1, "released 2024-08-16 see pages 10-25 total 1 234 567"),
+             (2, "ISBN 978-3-16-148410-0 and version 2.10.3"),
+             (3, "call +33 6 12 34 56 78 or (415) 555-0132 or 415-555-0132")],
+            "doc_id int, text string")
+        out = {r["doc_id"]: r for r in redact.with_redaction(df).collect()}
+        assert out[1]["redacted_text"] == out[1]["text"]
+        assert out[1]["n_phone"] == 0
+        assert out[2]["redacted_text"] == out[2]["text"]
+        assert out[2]["n_phone"] == 0
+        assert out[3]["n_phone"] == 3
+        assert "<PHONE>" in out[3]["redacted_text"]
+        assert "415" not in out[3]["redacted_text"]
+
     def test_report_rollup(self, spark):
         df = spark.createDataFrame(
             [(1, "a@b.io and c@d.io"), (2, "a@b.io"), (3, "none")],
