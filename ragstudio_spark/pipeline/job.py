@@ -47,6 +47,7 @@ class PipelineConfig:
     extract_tools: bool = False      # mine tool-call JSON payloads table
     with_trace: bool = False         # per-turn stage duration/engine trace
     bpe_merges_path: str | None = None  # merges.txt → true BPE token splits
+    python_engine: str = "pandas"    # "pandas" | "arrow" Arrow-boundary impl
 
 
 @dataclass
@@ -89,6 +90,7 @@ def run_pipeline(transcripts: DataFrame, config: PipelineConfig | None = None) -
         with_trace=cfg.with_trace,
         materialize_text=False,
         bpe_merges_path=cfg.bpe_merges_path,
+        python_engine=cfg.python_engine,
     )
 
     if cfg.language_filter:

@@ -1,0 +1,73 @@
+"""mapInArrow variant of the fused hop (operators/fused.py) — must be
+row-identical to the mapInPandas path in every mode.
+
+Measured A/B at sf0.1/50k turns (interleaved min-of-4, warm fleet):
+pandas 3.56 s vs arrow 3.52 s on pipeline_extract_chunk — 1.01×, below
+the 1.15× adoption bar, so pandas stays the default and the arrow path
+is an option (BASELINE.md records the trial). The conclusion matters:
+the hop's overhead above kernel compute is worker scheduling + IPC, not
+the pandas conversion layer.
+"""
+
+from pyspark.sql import functions as F
+
+from ragstudio_spark.operators.fused import process_turns
+from ragstudio_spark.operators.sniff import with_content_type
+
+
+def _input(spark):
+    rows = [
+        ("c1", 0, "<html><body><nav>m</nav><p>"
+         + "Real paragraph content here. " * 40 + "</p></body></html>",
+         None, None),
+        ("c1", 1, "plain text turn with several sentences. " * 30, None, None),
+        ("c2", 0, "", None, None),
+        ("c2", 1, None, None, None),
+        ("c2", 2, "# Markdown\n\nSome **bold** content. " * 20, None, None),
+        ("c3", 0, "l i k e   t h i s  \x00 garbage " * 10, None, None),
+        ("c4", 0, "héllo wörld — des données accentuées. " * 25, None, None),
+    ]
+    return with_content_type(spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, text string, tool string, ts timestamp"))
+
+
+class TestArrowEngineEquality:
+    def test_rows_identical_across_engines_and_modes(self, spark):
+        df = _input(spark)
+        for kw in (dict(), dict(adaptive=True), dict(materialize_text=False),
+                   dict(carry_ts=True)):
+            a = process_turns(df, python_engine="pandas", **kw)
+            b = process_turns(df, python_engine="arrow", **kw)
+            assert a.schema == b.schema, kw
+            ra = sorted(map(repr, a.collect()))
+            rb = sorted(map(repr, b.collect()))
+            assert ra == rb, kw
+
+    def test_trace_mode_same_stages(self, spark):
+        df = _input(spark)
+        a = process_turns(df, python_engine="pandas", with_trace=True)
+        b = process_turns(df, python_engine="arrow", with_trace=True)
+        key = ["conv_id", "turn_idx"]
+        sa = [[(s["stage"], s["engine"]) for s in r["stage_trace"]]
+              for r in a.orderBy(*key).collect()]
+        sb = [[(s["stage"], s["engine"]) for s in r["stage_trace"]]
+              for r in b.orderBy(*key).collect()]
+        assert sa == sb
+        # durations differ run-to-run; everything else must not
+        drop = [F.col("stage_trace")]
+        assert (sorted(map(repr, a.drop(*drop).collect()))
+                == sorted(map(repr, b.drop(*drop).collect())))
+
+    def test_plan_uses_map_in_arrow_node(self, spark):
+        df = _input(spark)
+        plan = (process_turns(df, python_engine="arrow")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "MapInArrow" in plan
+        assert "MapInPandas" not in plan
+
+    def test_rejects_unknown_engine(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="python_engine"):
+            process_turns(_input(spark), python_engine="polars")
