@@ -2384,6 +2384,69 @@ def _trainer_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _def("ml_trainer_eval", (_trainer_fn, None))
 
 
+# -- 36. BPE trainer pair-count round (operators/bpe_trainer.py): the
+#        per-round aggregate that drives merge selection, oracle-gated.
+#        Dialect: the oracle pre-tokenizer is ASCII `[a-z]+` on lowered
+#        text (identical semantics in Java regex and RE2; the production
+#        pre-tokenizer PRETOKEN_JAVA uses (?U)\w, pinned against the
+#        Python kernel by tests instead). The Spark side routes through
+#        the real operator (char symbol arrays → pair_counts); the DuckDB
+#        twin re-derives pairs as 2-char substrings.
+def _bpe_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import bpe_trainer
+
+    _register(spark, sf_dir, "documents")
+    words = spark.table("documents").select(
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")),
+                                       F.lit("[a-z]+"), F.lit(0))).alias("w"))
+    vocab = (words.groupBy("w").agg(F.count("*").cast("bigint").alias("cnt"))
+             .select(F.filter(F.split("w", ""),
+                              lambda c: c != F.lit("")).alias("symbols"),
+                     "cnt"))
+    return (bpe_trainer.pair_counts(vocab)
+            .select(F.concat("a", "b").alias("pair"), "n")
+            .orderBy(F.desc("n"), F.asc("pair")).limit(20))
+
+
+_BPE_PAIRS_DUCK = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, i, 2))) AS pair
+  FROM words
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+"""
+
+_def("bpe_pair_counts", (_bpe_pairs_fn, _BPE_PAIRS_DUCK))
+
+
+# -- 36b. BPE trainer end-to-end (rows-only: iterative argmax-per-round
+#         training is not SQL-expressible; unit tests pin the exact merge
+#         sequence on a known corpus + partition independence). Returns
+#         the ordered merges trained from the documents corpus.
+def _bpe_train_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import bpe_trainer
+
+    _register(spark, sf_dir, "documents")
+    merges = bpe_trainer.train_from_corpus(
+        spark.table("documents"), n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string")
+
+
+_def("bpe_train_merges", (_bpe_train_fn, None))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------
