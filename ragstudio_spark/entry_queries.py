@@ -2447,6 +2447,65 @@ def _bpe_train_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _def("bpe_train_merges", (_bpe_train_fn, None))
 
 
+# -- 37. error-taxonomy rollup (operators/metrics.py error_taxonomy): the
+#        reference's volume-test errors_by_type classification
+#        (/root/reference/tests/volume_testing.py:543-560). The corpus has
+#        no failures, so both engines seed the same deterministic error
+#        strings on a doc_id-keyed subset; strings are chosen to cover
+#        every branch AND the ladder precedence ("ocr" outranks "pdf").
+_ERROR_SEEDS = (
+    "OCR failed: tesseract binary not found",
+    "PDF parsing error at page 3",
+    "ocr fallback on pdf page",          # precedence: OCR before PARSING
+    "OutOfMemoryError: java heap space",
+    "task timeout after 300s",
+    "unsupported encoding: latin-9",
+    "language detection failed",
+    "unexpected null payload",           # OTHER_ERROR
+)
+
+
+def _error_taxonomy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import metrics as m
+
+    _register(spark, sf_dir, "documents")
+    seeded = F.when(F.col("doc_id") % 5 == 0,
+                    F.element_at(F.array(*[F.lit(s) for s in _ERROR_SEEDS]),
+                                 (F.col("doc_id") % 8 + 1).cast("int")))
+    df = spark.table("documents").select(seeded.alias("error"))
+    return m.error_taxonomy(df).orderBy("category")
+
+
+def _error_taxonomy_duck_sql() -> str:
+    from ragstudio_spark.operators.metrics import ERROR_OTHER, ERROR_TAXONOMY
+
+    seeds = ", ".join("'" + s.replace("'", "''") + "'" for s in _ERROR_SEEDS)
+    ladder = " ".join(
+        "WHEN " + " OR ".join(f"contains(lower(error), '{n}')"
+                              for n in needles)
+        + f" THEN '{cat}'"
+        for cat, needles in ERROR_TAXONOMY)
+    return f"""
+WITH seeded AS (
+  SELECT CASE WHEN doc_id % 5 = 0
+              THEN ([{seeds}])[CAST(doc_id % 8 + 1 AS INT)]
+         END AS error
+  FROM documents
+)
+SELECT CASE {ladder} ELSE '{ERROR_OTHER}' END AS category,
+       CAST(COUNT(*) AS BIGINT) AS n_errors
+FROM seeded
+WHERE error IS NOT NULL
+GROUP BY 1
+ORDER BY category
+"""
+
+
+_def("error_taxonomy", (_error_taxonomy_fn, _error_taxonomy_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -70,6 +70,46 @@ def strategy_usage(chunks: DataFrame) -> DataFrame:
     )
 
 
+#: The reference's error categorization ladder, ORDER SIGNIFICANT
+#: (/root/reference/tests/volume_testing.py:547-560: an "ocr pdf" message
+#: is OCR_ERROR because the ocr branch tests first). Data, not code —
+#: the Spark classifier and the DuckDB oracle twin both derive from it.
+ERROR_TAXONOMY: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("OCR_ERROR", ("ocr", "tesseract")),
+    ("PARSING_ERROR", ("pdf", "parsing")),
+    ("RESOURCE_ERROR", ("memory", "timeout")),
+    ("LANGUAGE_ERROR", ("language", "encoding")),
+)
+ERROR_OTHER = "OTHER_ERROR"
+
+
+def classify_error(error: F.Column) -> F.Column:
+    """Category column for an error-message column (volume_testing.py
+    _categorize_error as a when() ladder — whole-stage codegen, literal
+    substring tests, no regex)."""
+    low = F.lower(error)
+    expr = F.lit(ERROR_OTHER)
+    for category, needles in reversed(ERROR_TAXONOMY):
+        cond = F.lit(False)
+        for needle in needles:
+            cond = cond | F.contains(low, F.lit(needle))
+        expr = F.when(cond, F.lit(category)).otherwise(expr)
+    return expr
+
+
+def error_taxonomy(metrics: DataFrame, error_col: str = "error") -> DataFrame:
+    """(category, n_errors) rollup over failed rows — the classified
+    errors_by_type aggregate the reference builds in its volume-test
+    summary (volume_testing.py:543-560). NULL errors (successful rows)
+    are excluded; one low-cardinality groupBy."""
+    return (
+        metrics.filter(F.col(error_col).isNotNull())
+        .select(classify_error(F.col(error_col)).alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").cast("bigint").alias("n_errors"))
+    )
+
+
 def run_counters(metrics: DataFrame) -> DataFrame:
     """One-row status pivot with success rate (PipelineStats analogue)."""
     agg = metrics.agg(

@@ -122,3 +122,38 @@ class TestToolCallsStream:
         }
         assert got == expected and len(got) > 0
         full.unpersist()
+
+
+class TestErrorTaxonomy:
+    def test_ladder_matches_reference_categorizer(self, spark):
+        """Each branch + the precedence rule of volume_testing.py
+        _categorize_error (ocr outranks pdf; first match wins)."""
+        from ragstudio_spark.operators import metrics as m
+
+        cases = [
+            ("OCR failed hard", "OCR_ERROR"),
+            ("Tesseract missing", "OCR_ERROR"),
+            ("pdf broke while parsing", "PARSING_ERROR"),
+            ("parsing layout fail", "PARSING_ERROR"),
+            ("ocr fallback on pdf page", "OCR_ERROR"),      # precedence
+            ("out of MEMORY", "RESOURCE_ERROR"),
+            ("timeout after 30s", "RESOURCE_ERROR"),
+            ("pdf memory blowup", "PARSING_ERROR"),          # pdf before memory
+            ("language not supported", "LANGUAGE_ERROR"),
+            ("bad encoding", "LANGUAGE_ERROR"),
+            ("mystery boom", "OTHER_ERROR"),
+        ]
+        df = spark.createDataFrame([(c,) for c, _e in cases], "error string")
+        got = [r["cat"] for r in df.select(
+            m.classify_error(F.col("error")).alias("cat")).collect()]
+        assert got == [e for _c, e in cases]
+
+    def test_rollup_counts_and_null_exclusion(self, spark):
+        from ragstudio_spark.operators import metrics as m
+
+        df = spark.createDataFrame(
+            [("ocr boom",), ("ocr again",), ("pdf fail",), (None,)],
+            "error string")
+        got = {r["category"]: r["n_errors"]
+               for r in m.error_taxonomy(df).collect()}
+        assert got == {"OCR_ERROR": 2, "PARSING_ERROR": 1}
