@@ -721,20 +721,23 @@ _def("ann_kmeans_ivf", (_km_fn, _km_duck_sql()))
 _PQ_M, _PQ_K, _PQ_SUB, _PQ_TOPK = 2, 4, 32, 10
 
 
-def _pq_duck_sql() -> str:
+def _pq_d2_duck(a: str, b: str) -> str:
+    return ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({a}, {b}), "
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+            "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
+            "(acc, x) -> acc + x)")
+
+
+def _pq_train_parts_duck(m: int, k: int, sub_w: int) -> list[str]:
+    """The exact-mode per-subspace k-means (iters=1) + final code CTEs —
+    shared by the PQ and IVF-PQ oracles (sub{j}/cent{j}_*/code{j})."""
     fold = ("list_reduce(list_prepend(list_transform(ms[1], x -> CAST(0.0 AS DOUBLE)), ms), "
             "(acc, m) -> list_transform(list_zip(acc, m), p -> p[1] + CAST(p[2] AS DOUBLE)))")
-
-    def d2(a: str, b: str) -> str:
-        return ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-                f"list_transform(list_zip({a}, {b}), "
-                "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
-                "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
-                "(acc, x) -> acc + x)")
-
+    d2 = _pq_d2_duck
     parts = []
-    for j in range(_PQ_M):
-        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+    for j in range(m):
+        lo, hi = j * sub_w + 1, (j + 1) * sub_w
         sv = f"list_slice(embedding, {lo}, {hi})"
         parts.append(f"""
 sub{j} AS (
@@ -743,7 +746,7 @@ sub{j} AS (
 cent{j}_0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
          list_transform(sv, x -> CAST(x AS DOUBLE)) AS c_vec
-  FROM sub{j} ORDER BY vec_id LIMIT {_PQ_K}
+  FROM sub{j} ORDER BY vec_id LIMIT {k}
 ),
 assign{j}_0 AS (
   SELECT vec_id, sv, cid FROM (
@@ -769,7 +772,17 @@ code{j} AS (
                               ORDER BY ({d2('v.sv', 'c.c_vec')}) ASC, c.cid ASC) AS rn
     FROM sub{j} v CROSS JOIN cent{j}_1 c) a
   WHERE rn = 1
-),
+)""")
+    return parts
+
+
+def _pq_duck_sql() -> str:
+    d2 = _pq_d2_duck
+    parts = _pq_train_parts_duck(_PQ_M, _PQ_K, _PQ_SUB)
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        sv = f"list_slice(embedding, {lo}, {hi})"
+        parts.append(f"""
 qd{j} AS (
   SELECT c.cid, ({d2('q.sv', 'c.c_vec')}) AS qd
   FROM cent{j}_1 c
@@ -803,6 +816,91 @@ def _pq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _def("ann_pq_topk", (_pq_fn, _pq_duck_sql()))
+
+
+# -- 10d. IVF-PQ composition (operators/similarity.py ivfpq_index/
+#         ivfpq_topk): the real 10⁹-vector architecture — route each query
+#         to nprobe coarse cells, asymmetric-distance PQ-scan only those
+#         cells' codes. Oracle discipline: fixed coarse centroids
+#         (vec_id < 8 — k-means training is already oracle-gated by
+#         ann_kmeans_ivf, so this row isolates the COMPOSITION), m=2
+#         (two-term adist addition, commutative-safe), exact-mode PQ
+#         training, rank-only output.
+_IVFPQ_NPROBE, _IVFPQ_TOPK, _IVFPQ_NQ = 2, 5, 4
+
+
+def _ivfpq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import similarity
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    coarse = vectors.filter("vec_id < 8").select(
+        F.col("vec_id").cast("int").alias("cid"), "embedding")
+    books = similarity.pq_train(vectors, m=_PQ_M, k=_PQ_K, iters=1, exact=True)
+    index = similarity.ivfpq_index(vectors, coarse, books, m=_PQ_M)
+    return similarity.ivfpq_topk(
+        index, coarse, books, vectors.filter(f"vec_id < {_IVFPQ_NQ}"),
+        k=_IVFPQ_TOPK, nprobe=_IVFPQ_NPROBE, m=_PQ_M)
+
+
+def _ivfpq_duck_sql() -> str:
+    d2 = _pq_d2_duck
+    cos_vc = _cosine("duckdb", "v.embedding", "c.embedding")
+    cos_qc = _cosine("duckdb", "q.embedding", "c.embedding")
+    parts = [f"""
+coarse AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding FROM embeddings WHERE vec_id < 8
+),
+cellassign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY ({cos_vc}) DESC, c.cid ASC) AS rn
+    FROM embeddings v CROSS JOIN coarse c) a
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY ({cos_qc}) DESC, c.cid ASC) AS rn
+    FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < {_IVFPQ_NQ}) p
+  WHERE rn <= {_IVFPQ_NPROBE}
+)"""]
+    parts += _pq_train_parts_duck(_PQ_M, _PQ_K, _PQ_SUB)
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        parts.append(f"""
+qd{j} AS (
+  SELECT q.vec_id AS query_id, c.cid,
+         ({d2('q.sv', 'c.c_vec')}) AS qd
+  FROM cent{j}_1 c
+  CROSS JOIN (SELECT vec_id, list_slice(embedding, {lo}, {hi}) AS sv
+              FROM embeddings WHERE vec_id < {_IVFPQ_NQ}) q
+)""")
+    return f"""
+WITH {','.join(parts)},
+dist AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, q0.qd + q1.qd AS adist
+  FROM probes p
+  JOIN cellassign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN code0 c0 ON c0.vec_id = a.vec_id
+  JOIN code1 c1 ON c1.vec_id = a.vec_id
+  JOIN qd0 q0 ON q0.query_id = p.query_id AND q0.cid = c0.cid
+  JOIN qd1 q1 ON q1.query_id = p.query_id AND q1.cid = c1.cid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM dist) r
+WHERE rank <= {_IVFPQ_TOPK}
+"""
+
+
+_def("ann_ivfpq_topk", (_ivfpq_fn, _ivfpq_duck_sql()))
 
 
 # -- 11. embedding nearest-neighbor per vector (near-dup scan, rank-1 only)

@@ -296,6 +296,81 @@ def pq_topk(codes: DataFrame, codebooks: DataFrame, query_vec: list[float],
             .select("neighbor_id", "rank"))
 
 
+def ivfpq_index(vectors: DataFrame, centroids: DataFrame,
+                codebooks: DataFrame, m: int = 4,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(id, cell, codes): the IVF-PQ index table — coarse cell assignment
+    (ivf_assign) joined with PQ codes (pq_encode). This is the artifact a
+    10⁹-vector deployment materializes once and partitions/buckets BY
+    CELL, so a search touches only the probed cells' partitions; raw
+    float vectors appear nowhere in it (m bytes + a cell id per vector).
+
+    Delta vs Faiss IVFPQ, documented: codes encode the RAW vector, not
+    the residual (v − centroid) — composition of the two oracle-gated
+    operators as-is; residual encoding is a recall refinement, not a
+    scale-shape change."""
+    assign = ivf_assign(vectors, centroids, id_col, vec_col).select(
+        id_col, F.col("cid").alias("cell"))
+    codes = pq_encode(vectors, codebooks, m, id_col, vec_col)
+    return assign.join(codes, on=id_col)
+
+
+def ivfpq_topk(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+               queries: DataFrame, k: int = 5, nprobe: int = 2, m: int = 4,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k through the composed IVF-PQ architecture: route
+    each query to its ``nprobe`` nearest cells (same cosine measure as
+    ivf_assign — probing must agree with assignment), then asymmetric-
+    distance PQ-scan ONLY those cells' codes. Returns (query_id,
+    neighbor_id, rank) — rank-only, ordered by (adist asc, id asc).
+
+    Scale shape: centroids and codebooks broadcast (tiny models); the
+    per-query distance table is |Q|·m·k rows (broadcastable for bounded
+    query sets); the scan reads nprobe/|cells| of the code table and
+    never touches a float vector. With the index bucketed by cell the
+    probe join is partition-pruned."""
+    sub = _codebook_shape(codebooks, m)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    # nprobe nearest cells per query (cosine desc, cid asc — determinism)
+    probed = q.crossJoin(
+        F.broadcast(centroids.select("cid", F.col(vec_col).alias("c_vec")))
+    ).withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w_cell = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (probed.withColumn("rn", F.row_number().over(w_cell))
+              .filter(F.col("rn") <= nprobe)
+              .select("query_id", F.col("cid").alias("cell")))
+    # per-query asymmetric distance table: query sub-vector → every
+    # codebook centroid (|Q|·m·k rows); same explode shape as pq_encode
+    q_subs = q.select(
+        "query_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("subspace"),
+                     F.slice("q_vec", j * sub + 1, sub).alias("q_sv"))
+            for j in range(m)
+        ])).alias("s"),
+    ).select("query_id", "s.subspace", "s.q_sv")
+    qd = (q_subs.join(F.broadcast(codebooks), on="subspace")
+          .withColumn("qd", _l2sq(F.col("q_sv"), F.col("sub_vec")))
+          .select("query_id", "subspace", "cid", "qd"))
+    # candidates = probed cells' codes only; adist = m table lookups
+    cand = (probes.join(index.withColumnRenamed(id_col, "neighbor_id"),
+                        on="cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    F.posexplode("codes").alias("subspace", "cid")))
+    dist = (cand.join(F.broadcast(qd), on=["query_id", "subspace", "cid"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("qd").alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc("neighbor_id"))
+    return (dist.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def hyperplane_buckets(vectors: DataFrame, planes: DataFrame,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        plane_id_col: str = "plane") -> DataFrame:
