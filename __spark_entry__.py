@@ -79,6 +79,38 @@ def _streaming_transform_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_index_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full ingest→query lifecycle as ONE composed flow
+    (`ragctl ingest` then retrieval — /root/reference/src/core/cli/
+    commands/ingest.py:26-115): extract+chunk pipeline → embed (the
+    documented deterministic fake embedder) → vector-store ingest →
+    hybrid BM25+RRF search over the persisted store. Rows-only: the
+    pipeline leg rides the pandas-UDF hop; every stage is individually
+    oracle-gated (pipeline via the differential suite, vectorstore via
+    vectorstore_upsert_search, hybrid via hybrid_bm25_rrf)."""
+    import os
+    import tempfile
+
+    from ragstudio_spark.operators import retrieval, vectorstore
+    from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+
+    out = run_pipeline(_documents_as_transcripts(spark, sf_dir),
+                       PipelineConfig())
+    path = os.path.join(tempfile.mkdtemp(prefix="idx_search_"), "store")
+    vectorstore.ingest_chunks(out.chunks, path)
+    store = vectorstore.read_store(spark, path)
+
+    terms = ["data", "processing", "system"]
+    query = spark.range(1).select(
+        vectorstore.fake_embedding_col(
+            F.lit(" ".join(terms))).alias("embedding"))
+    fused = retrieval.hybrid_search(
+        store.select("id", "text"),
+        store.select("id", "embedding"),
+        terms, query, doc_id_col="id", vec_id_col="id")
+    return fused.orderBy("rank").limit(10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extract+chunk pipeline over sf0.001 documents shaped
     as transcripts; returns the chunks DataFrame."""
@@ -92,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["pipeline_metrics"] = _pipeline_metrics          # rows-only
     qs["streaming_transform_chunks"] = _streaming_transform_chunks  # rows-only
     qs["pipeline_near_dedup_chunks"] = _pipeline_near_dedup_chunks  # rows-only
+    qs["pipeline_index_and_search"] = _pipeline_index_and_search    # rows-only
     return qs
 
 

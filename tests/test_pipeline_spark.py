@@ -247,3 +247,53 @@ class TestSpansOnlyWire:
                 checked += 1
         assert checked > 500
         assert non_ascii > 50
+
+
+class TestIndexAndSearchLifecycle:
+    def test_chunks_to_store_to_hybrid_results(self, spark, tmp_path):
+        """chunk → embed → vector-store ingest → hybrid retrieval as one
+        composed flow (the reference's ragctl ingest + query lifecycle,
+        src/core/cli/commands/ingest.py:26-115): results must be ranked
+        1..k, unique, and resolvable back to pipeline chunk ids."""
+        from pyspark.sql import functions as F
+
+        from ragstudio_spark.operators import retrieval, vectorstore
+
+        rows = [
+            ("c1", 0, "spark query engines shuffle data across the "
+                      "cluster while processing partitioned tables. " * 10,
+             None, None),
+            ("c1", 1, "the lazy cat naps on the warm windowsill in the "
+                      "afternoon sun without any hurry at all. " * 10,
+             None, None),
+            ("c2", 0, "distributed processing system design with data "
+                      "pipelines and system monitoring at scale. " * 10,
+             None, None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, text string, tool string,"
+            " ts timestamp")
+        out = run_pipeline(df, PipelineConfig())
+        store_path = str(tmp_path / "store")
+        info = vectorstore.ingest_chunks(out.chunks, store_path)
+        assert info["count"] == out.chunks.count()
+
+        store = vectorstore.read_store(spark, store_path)
+        terms = ["data", "processing", "system"]
+        query = spark.range(1).select(
+            vectorstore.fake_embedding_col(
+                F.lit(" ".join(terms))).alias("embedding"))
+        got = retrieval.hybrid_search(
+            store.select("id", "text"), store.select("id", "embedding"),
+            terms, query, doc_id_col="id", vec_id_col="id",
+        ).orderBy("rank").limit(5).collect()
+
+        assert len(got) > 0
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+        chunk_ids = {r["chunk_id"] for r in out.chunks.collect()}
+        assert all(r["id"] in chunk_ids for r in got)
+        # lexical leg must surface the term-bearing conversations first
+        top_texts = {r["id"]: True for r in got[:2]}
+        texts = {r["chunk_id"]: r["text"] for r in out.chunks.collect()}
+        assert any("processing" in texts[i] for i in top_texts)
