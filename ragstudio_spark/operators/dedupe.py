@@ -132,7 +132,8 @@ def _minhash_bands(df: DataFrame, text_col: str, id_col: str, k: int,
 def cross_corpus_minhash_pairs(left: DataFrame, right: DataFrame,
                                text_col: str = "text", id_col: str = "doc_id",
                                k: int = 3, n_hashes: int = N_HASHES,
-                               n_bands: int = N_BANDS) -> DataFrame:
+                               n_bands: int = N_BANDS,
+                               broadcast_side: str | None = None) -> DataFrame:
     """Near-duplicate candidates BETWEEN two corpora — the benchmark-
     decontamination / incremental-dedup join: which ``left`` docs share a
     MinHash band with any ``right`` doc (e.g. left = training corpus,
@@ -143,9 +144,22 @@ def cross_corpus_minhash_pairs(left: DataFrame, right: DataFrame,
     join is left-bands × right-bands on (band_idx, band_key) — NEVER the
     O(N²) self-join, and when ``right`` is a small benchmark suite Spark
     broadcasts its bands. An asymmetric corpus-vs-index run shuffles only
-    on band keys, so the committed index can stay partitioned by band."""
-    lb = _minhash_bands(left, text_col, id_col, k, n_hashes, n_bands).alias("l")
-    rb = _minhash_bands(right, text_col, id_col, k, n_hashes, n_bands).alias("r")
+    on band keys, so the committed index can stay partitioned by band.
+
+    ``broadcast_side`` ("left"/"right") pins the broadcast hint on that
+    side's BANDS when the caller knows the asymmetry statically — e.g.
+    the streaming incremental path, where the left side is one
+    micro-batch and the right side is the whole committed corpus (AQE
+    can't see the batch's size before planning the first join)."""
+    if broadcast_side not in (None, "left", "right"):
+        raise ValueError(f"broadcast_side: {broadcast_side}")
+    lb = _minhash_bands(left, text_col, id_col, k, n_hashes, n_bands)
+    rb = _minhash_bands(right, text_col, id_col, k, n_hashes, n_bands)
+    if broadcast_side == "left":
+        lb = F.broadcast(lb)
+    elif broadcast_side == "right":
+        rb = F.broadcast(rb)
+    lb, rb = lb.alias("l"), rb.alias("r")
     return (
         lb.join(rb, (F.col("l.band_idx") == F.col("r.band_idx"))
                 & (F.col("l.band_key") == F.col("r.band_key")))

@@ -157,6 +157,79 @@ def tool_calls_stream(
     return writer.start()
 
 
+DEDUP_DOC_SCHEMA = "doc_id bigint, text string"
+
+
+def incremental_near_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming incremental NEAR-dedup: each micro-batch of new documents
+    is MinHash-banded against the already-committed corpus (the
+    decontamination join shape, operators/dedupe.py
+    cross_corpus_minhash_pairs — small side = the batch, broadcast
+    pinned); rows with no near-dup in the committed corpus are APPENDED
+    to it, so later batches dedup against everything accepted so far.
+    Flagged (new_id, committed_id) candidate pairs append to
+    ``pairs_dir`` as the audit table.
+
+    Semantics, stated precisely: acceptance is *against the committed
+    corpus at batch time* — near-dups WITHIN one micro-batch both commit
+    (batch-internal dedup is the batch operators' job, run it on the
+    input if arrival batches can self-collide). This is the sequential
+    fold every growing-index dedup performs; the batch-equality test
+    pins it against the batch operator applied fold-wise.
+
+    Exactly-once: offsets are checkpointed, so a restarted query never
+    re-reads processed files; the foreachBatch parquet appends are
+    at-least-once under mid-batch crash retry (standard foreachBatch
+    caveat — the audit table may then hold duplicate pair rows; the
+    corpus append is guarded by the pre-append localCheckpoint ordering
+    below, and a re-run batch re-derives the same accepted set against
+    the same committed prefix)."""
+    from ragstudio_spark.operators import dedupe
+
+    stream = (
+        spark.readStream.schema(DEDUP_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        import os
+
+        sess = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()
+        if os.path.isdir(corpus_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus_dir)
+        ):
+            committed = sess.read.parquet(corpus_dir)
+        else:
+            committed = sess.createDataFrame([], DEDUP_DOC_SCHEMA)
+        pairs = dedupe.cross_corpus_minhash_pairs(
+            batch, committed, k=k, broadcast_side="left",
+        ).localCheckpoint()
+        accepted = batch.join(
+            pairs.select(F.col("left_id").alias("doc_id")).distinct(),
+            on="doc_id", how="left_anti",
+        ).localCheckpoint()
+        # both outputs are materialized ABOVE before any write below, so
+        # the corpus append never races its own scan within the batch
+        pairs.write.mode("append").parquet(pairs_dir)
+        accepted.write.mode("append").parquet(corpus_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_chunk_counts(
     stream_df: DataFrame,
     window: str = "1 minute",

@@ -1,0 +1,87 @@
+"""Streaming incremental near-dedup (streaming/jobs.py
+incremental_near_dedup_stream): micro-batches banded against the growing
+committed corpus via the decontamination join shape."""
+
+from ragstudio_spark.operators import dedupe
+from ragstudio_spark.streaming import jobs as stream_jobs
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun")
+OTHER = ("distributed query engines repartition shuffle data across many "
+         "executor nodes to balance skewed aggregation workloads evenly")
+THIRD = ("carefully curated training corpora require deduplication "
+         "fingerprinting and contamination checks before any model sees "
+         "a single token of text")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, stream_jobs.DEDUP_DOC_SCHEMA)
+
+
+class TestIncrementalNearDedupStream:
+    def test_restart_and_batch_equality(self, spark, tmp_path):
+        """Two triggers with a restart between them: (1) offsets are not
+        re-read after restart, (2) the committed corpus equals the batch
+        operator applied fold-wise (accept = no band match against the
+        committed prefix), (3) within-batch near-dups both commit (the
+        documented semantics)."""
+        inp = str(tmp_path / "in")
+        corpus = str(tmp_path / "corpus")
+        pairs = str(tmp_path / "pairs")
+        ckpt = str(tmp_path / "ckpt")
+
+        seed = [(0, BASE)]
+        _df(spark, seed).write.parquet(corpus)
+
+        b1 = [(10, BASE.replace("warm", "cold")),           # near-dup of 0
+              (11, OTHER)]                                  # novel
+        b2 = [(20, OTHER.replace("evenly", "fairly")),      # near-dup of 11
+              (21, THIRD)]                                  # novel
+        _df(spark, b1).write.parquet(inp)
+
+        q = stream_jobs.incremental_near_dedup_stream(
+            spark, inp, corpus, pairs, ckpt)
+        q.awaitTermination(120)
+        _df(spark, b2).write.mode("append").parquet(inp)
+        q = stream_jobs.incremental_near_dedup_stream(
+            spark, inp, corpus, pairs, ckpt)
+        q.awaitTermination(120)
+
+        got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+
+        # fold the batch operator by hand over the same arrival order
+        c0 = _df(spark, seed)
+        flag1 = {r["left_id"] for r in dedupe.cross_corpus_minhash_pairs(
+            _df(spark, b1), c0).collect()}
+        a1 = [r for r in b1 if r[0] not in flag1]
+        c1 = c0.unionByName(_df(spark, a1))
+        flag2 = {r["left_id"] for r in dedupe.cross_corpus_minhash_pairs(
+            _df(spark, b2), c1).collect()}
+        a2 = [r for r in b2 if r[0] not in flag2]
+        expected = {0} | {r[0] for r in a1} | {r[0] for r in a2}
+
+        assert got == expected
+        assert 10 not in got and 20 not in got      # near-dups rejected
+        assert {11, 21} <= got                       # novel docs committed
+        # no double-commit: restart did not reprocess batch 1's file
+        all_rows = spark.read.parquet(corpus).collect()
+        assert len(all_rows) == len(got)
+
+        # audit pairs name the committed near-dup sources
+        audit = {(r["left_id"], r["right_id"])
+                 for r in spark.read.parquet(pairs).collect()}
+        assert (10, 0) in audit and (20, 11) in audit
+
+    def test_within_batch_near_dups_both_commit(self, spark, tmp_path):
+        inp = str(tmp_path / "in")
+        corpus = str(tmp_path / "corpus")
+        pairs = str(tmp_path / "pairs")
+        ckpt = str(tmp_path / "ckpt")
+        _df(spark, [(0, THIRD)]).write.parquet(corpus)
+        batch = [(1, BASE), (2, BASE.replace("warm", "cold"))]
+        _df(spark, batch).write.parquet(inp)
+        q = stream_jobs.incremental_near_dedup_stream(
+            spark, inp, corpus, pairs, ckpt)
+        q.awaitTermination(120)
+        got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+        assert got == {0, 1, 2}  # both in-batch near-dups accepted
