@@ -142,7 +142,10 @@ def main() -> None:
                  "ann_pq_topk", "embedding_near_dup", "feedback_doc_ctr",
                  "sample_stratified", "pack_sequences",
                  "math_schema_extraction", "pii_redaction",
-                 "decontaminate_cross_pairs", "vectorstore_upsert_search"):
+                 "decontaminate_cross_pairs", "vectorstore_upsert_search",
+                 # round-4 operators
+                 "ann_ivfpq_topk", "bpe_pair_counts", "error_taxonomy",
+                 "curate_corpus"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

@@ -2604,6 +2604,94 @@ ORDER BY category
 _def("error_taxonomy", (_error_taxonomy_fn, _error_taxonomy_duck_sql()))
 
 
+# -- 38. composed corpus curation (operators/curation.py): exact dedup →
+#        PII redaction → token estimate → sequence packing as ONE flow,
+#        end-to-end oracle-gated. Both engines seed the same duplicates
+#        (docs with doc_id % 10 == 9 copy the text of doc_id - 9 — so the
+#        dedup stage is non-vacuous and the canonical keeps the lower id)
+#        and the same PII snippets as the pii_redaction entry.
+_CURATE_BUDGET = 1024
+
+
+def _curate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ragstudio_spark.operators import curation
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").alias("d")
+    donors = spark.table("documents").select(
+        F.col("doc_id").alias("_donor_id"), F.col("text").alias("_donor_text"))
+    seeded = (
+        docs.join(donors, F.col("d.doc_id") - 9 == F.col("_donor_id"), "left")
+        .select(
+            F.col("d.doc_id").alias("doc_id"), F.col("d.lang").alias("lang"),
+            F.when((F.col("d.doc_id") % 10 == 9) & F.col("_donor_text").isNotNull(),
+                   F.col("_donor_text"))
+            .when(F.col("d.doc_id") % 7 == 0,
+                  F.concat(F.col("d.text"), F.lit(_PII_SNIPPET_A)))
+            .when(F.col("d.doc_id") % 7 == 1,
+                  F.concat(F.col("d.text"), F.lit(_PII_SNIPPET_B)))
+            .otherwise(F.col("d.text")).alias("text"))
+    )
+    out = curation.curate_corpus(seeded, budget=_CURATE_BUDGET)
+    return out.select(
+        "doc_id", "lang", "n_email", "n_card", "n_ipv4", "n_phone",
+        F.md5("redacted_text").alias("redacted_hash"),
+        "token_count", "seq_index", "seq_token_offset")
+
+
+def _curate_duck_sql() -> str:
+    from ragstudio_spark.operators.curation import CHARS_PER_TOKEN
+    from ragstudio_spark.operators.redact import REDACTIONS
+
+    staged = "text"
+    counts = []
+    for cat, pat, repl in REDACTIONS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({staged}, '{pat}')) AS INT) AS n_{cat}")
+        staged = f"regexp_replace({staged}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH seeded AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN d.doc_id % 10 = 9 AND dn.text IS NOT NULL THEN dn.text
+              WHEN d.doc_id % 7 = 0 THEN d.text || '{_PII_SNIPPET_A}'
+              WHEN d.doc_id % 7 = 1 THEN d.text || '{_PII_SNIPPET_B}'
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents dn ON d.doc_id - 9 = dn.doc_id
+), canon AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id ASC) AS rn
+    FROM seeded) t
+  WHERE rn = 1
+), red AS (
+  SELECT doc_id, lang, {', '.join(counts)}, {staged} AS redacted_text
+  FROM canon
+), toks AS (
+  SELECT *, CAST(length(redacted_text) // {CHARS_PER_TOKEN} AS BIGINT)
+              AS token_count
+  FROM red
+), cum AS (
+  SELECT *, CAST(COALESCE(sum(token_count) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS cum_before
+  FROM toks
+)
+SELECT doc_id, lang, n_email, n_card, n_ipv4, n_phone,
+       md5(redacted_text) AS redacted_hash, token_count,
+       CAST(cum_before // {_CURATE_BUDGET} AS BIGINT) AS seq_index,
+       CAST(cum_before - (cum_before // {_CURATE_BUDGET}) * {_CURATE_BUDGET}
+            AS BIGINT) AS seq_token_offset
+FROM cum
+"""
+
+
+_def("curate_corpus", (_curate_fn, _curate_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------
