@@ -316,6 +316,22 @@ def ivfpq_index(vectors: DataFrame, centroids: DataFrame,
     return assign.join(codes, on=id_col)
 
 
+def write_ivfpq_index(index: DataFrame, path: str,
+                      mode: str = "overwrite") -> None:
+    """Persist the IVF-PQ index PARTITIONED BY CELL — the physical layout
+    the probe path depends on: ``ivfpq_topk``'s probes⋈index join on
+    ``cell`` then compiles to a scan with a DynamicPruningExpression, so
+    a search physically reads only the nprobe probed cells' files out of
+    the whole index (plan-asserted in tests/test_plan_shapes.py). This is
+    the parquet analogue of an Iceberg `PARTITIONED BY (cell)` index
+    table."""
+    index.write.partitionBy("cell").mode(mode).parquet(path)
+
+
+def read_ivfpq_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def ivfpq_topk(index: DataFrame, centroids: DataFrame, codebooks: DataFrame,
                queries: DataFrame, k: int = 5, nprobe: int = 2, m: int = 4,
                id_col: str = "vec_id",

@@ -122,3 +122,31 @@ class TestPlanShapes:
         # 4 bands, 2 join sides: explode appears once per side
         assert _plan(sim).count("Generate") <= 2 * _plan(
             dedupe.simhash64(docs)).count("Generate") + 2
+
+    def test_ivfpq_probe_join_dynamically_prunes_cell_partitions(
+            self, spark, tmp_path):
+        """The on-disk IVF-PQ index is partitioned by cell; the probe
+        join must compile to a scan with a DynamicPruningExpression so a
+        search physically reads only the nprobe probed cells' files —
+        the partition-pruned probe the 10⁹-vector layout depends on."""
+        import random
+
+        from ragstudio_spark.operators import similarity
+
+        rng = random.Random(13)
+        centers = [[6.0, 0, 0, 0], [0, 6.0, 0, 0],
+                   [0, 0, 6.0, 0], [0, 0, 0, 6.0]]
+        rows = [(i, [x + rng.uniform(-0.3, 0.3) for x in centers[i % 4]])
+                for i in range(32)]
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        cents = similarity.kmeans_centroids(vecs, k=4, iters=2)
+        books = similarity.pq_train(vecs, m=2, k=4, iters=1)
+        path = str(tmp_path / "ivfpq")
+        similarity.write_ivfpq_index(
+            similarity.ivfpq_index(vecs, cents, books, m=2), path)
+        disk = similarity.read_ivfpq_index(spark, path)
+        out = similarity.ivfpq_topk(disk, cents, books,
+                                    vecs.filter("vec_id < 2"),
+                                    k=3, nprobe=1, m=2)
+        assert out.count() > 0
+        assert "dynamicpruning" in _plan(out).lower()
