@@ -316,6 +316,99 @@ def ivfpq_index(vectors: DataFrame, centroids: DataFrame,
     return assign.join(codes, on=id_col)
 
 
+def _residual(vec: Column, cent: Column) -> Column:
+    """v − centroid, element-wise, double precision."""
+    return F.zip_with(vec, cent,
+                      lambda x, y: x.cast("double") - y.cast("double"))
+
+
+def ivfpq_train_residual(vectors: DataFrame, centroids: DataFrame,
+                         m: int = 4, k: int = 16, iters: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """PQ codebooks trained on RESIDUALS (v − cell centroid) — the Faiss
+    IVFPQ refinement: raw-vector codebooks must spread their k centroids
+    over the corpus's global extent, while residuals concentrate around
+    zero, so the same k bits resolve intra-cell detail instead of
+    re-encoding the coarse position the cell id already carries. Returns
+    codebooks in pq_train's (subspace, cid, sub_vec) shape."""
+    assign = ivf_assign(vectors, centroids, id_col, vec_col)
+    cents = centroids.select(F.col("cid"), F.col(vec_col).alias("_c_vec"))
+    res = (vectors.join(assign, on=id_col)
+           .join(F.broadcast(cents), on="cid")
+           .select(F.col(id_col),
+                   _residual(F.col(vec_col), F.col("_c_vec"))
+                   .alias(vec_col)))
+    return pq_train(res, m=m, k=k, iters=iters, id_col=id_col,
+                    vec_col=vec_col)
+
+
+def ivfpq_index_residual(vectors: DataFrame, centroids: DataFrame,
+                         codebooks: DataFrame, m: int = 4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(id, cell, codes) with codes over residuals — companion of
+    ivfpq_train_residual; same storage/pruning layout as ivfpq_index."""
+    assign = ivf_assign(vectors, centroids, id_col, vec_col)
+    cents = centroids.select(F.col("cid"), F.col(vec_col).alias("_c_vec"))
+    res = (vectors.join(assign, on=id_col)
+           .join(F.broadcast(cents), on="cid")
+           .select(F.col(id_col), F.col("cid").alias("cell"),
+                   _residual(F.col(vec_col), F.col("_c_vec"))
+                   .alias(vec_col)))
+    codes = pq_encode(res.drop("cell"), codebooks, m, id_col, vec_col)
+    return res.select(id_col, "cell").join(codes, on=id_col)
+
+
+def ivfpq_topk_residual(index: DataFrame, centroids: DataFrame,
+                        codebooks: DataFrame, queries: DataFrame,
+                        k: int = 5, nprobe: int = 2, m: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Search over residual codes: the query's distance table is computed
+    per PROBED CELL from the query's own residual against that cell's
+    centroid (q − c), so the table is |Q|·nprobe·m·k rows — still tiny,
+    still broadcast. Candidates join on (query, cell, subspace, cid)."""
+    sub = _codebook_shape(codebooks, m)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    cents_b = F.broadcast(
+        centroids.select("cid", F.col(vec_col).alias("c_vec")))
+    probed = q.crossJoin(cents_b).withColumn(
+        "sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w_cell = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (probed.withColumn("rn", F.row_number().over(w_cell))
+              .filter(F.col("rn") <= nprobe)
+              .select("query_id", F.col("cid").alias("cell"),
+                      _residual(F.col("q_vec"), F.col("c_vec"))
+                      .alias("q_res")))
+    q_subs = probes.select(
+        "query_id", "cell",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("subspace"),
+                     F.slice("q_res", j * sub + 1, sub).alias("q_sv"))
+            for j in range(m)
+        ])).alias("s"),
+    ).select("query_id", "cell", "s.subspace", "s.q_sv")
+    qd = (q_subs.join(F.broadcast(codebooks), on="subspace")
+          .withColumn("qd", _l2sq(F.col("q_sv"), F.col("sub_vec")))
+          .select("query_id", "cell", "subspace", "cid", "qd"))
+    cand = (probes.select("query_id", "cell")
+            .join(index.withColumnRenamed(id_col, "neighbor_id"), on="cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "cell", "neighbor_id",
+                    F.posexplode("codes").alias("subspace", "cid")))
+    dist = (cand.join(F.broadcast(qd),
+                      on=["query_id", "cell", "subspace", "cid"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("qd").alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc("neighbor_id"))
+    return (dist.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def write_ivfpq_index(index: DataFrame, path: str,
                       mode: str = "overwrite") -> None:
     """Persist the IVF-PQ index PARTITIONED BY CELL — the physical layout

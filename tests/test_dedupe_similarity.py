@@ -395,6 +395,44 @@ class TestSimilarity:
                 cell_of[r["neighbor_id"]])
         assert all(len(cells) == 1 for cells in probes.values())
 
+    def test_residual_ivfpq_beats_raw_encoding(self, spark):
+        """Faiss-style residual refinement: with clusters far from the
+        origin, raw-vector codebooks waste bits re-encoding the coarse
+        position while residual codebooks resolve intra-cell detail —
+        recall@5 vs brute force must be strictly higher (measured 0.65
+        vs 0.525 on this deterministic corpus)."""
+        import random
+
+        rng = random.Random(99)
+        centers = [[20.0, 0, 0, 0, 0, 0, 0, 0], [0, 20.0, 0, 0, 0, 0, 0, 0],
+                   [0, 0, 20.0, 0, 0, 0, 0, 0], [0, 0, 0, 20.0, 0, 0, 0, 0]]
+        rows = [(i, [x + rng.uniform(-1.5, 1.5) for x in centers[i % 4]])
+                for i in range(80)]
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        cents = similarity.kmeans_centroids(vecs, k=4, iters=3)
+        queries = vecs.filter("vec_id < 8")
+        exact = {(r["query_id"], r["neighbor_id"]) for r in
+                 similarity.brute_force_topk(vecs, queries, k=5).collect()}
+
+        books_raw = similarity.pq_train(vecs, m=4, k=4, iters=2)
+        raw = {(r["query_id"], r["neighbor_id"]) for r in
+               similarity.ivfpq_topk(
+                   similarity.ivfpq_index(vecs, cents, books_raw, m=4),
+                   cents, books_raw, queries, k=5, nprobe=1, m=4).collect()}
+
+        books_res = similarity.ivfpq_train_residual(vecs, cents, m=4, k=4,
+                                                    iters=2)
+        res = {(r["query_id"], r["neighbor_id"]) for r in
+               similarity.ivfpq_topk_residual(
+                   similarity.ivfpq_index_residual(vecs, cents, books_res,
+                                                   m=4),
+                   cents, books_res, queries, k=5, nprobe=1, m=4).collect()}
+
+        r_raw = len(raw & exact) / len(exact)
+        r_res = len(res & exact) / len(exact)
+        assert r_res > r_raw, (r_raw, r_res)
+        assert r_res >= 0.6 and r_raw >= 0.4
+
     def test_kmeans_string_ids_get_distinct_int_cids(self, spark):
         """Regression (ADVICE r2): non-numeric ids must yield rank-based
         centroid ids, not NULLs from a failed cast."""
