@@ -96,8 +96,14 @@ def _pipeline_index_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_pipeline(_documents_as_transcripts(spark, sf_dir),
                        PipelineConfig())
-    path = os.path.join(tempfile.mkdtemp(prefix="idx_search_"), "store")
-    vectorstore.ingest_chunks(out.chunks, path)
+    # deterministic per-SF path + overwrite, NOT mkdtemp: repeated
+    # invocations (min-of-2 bench, driver re-runs) must not accumulate
+    # abandoned stores in /tmp
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ragstudio_idx_search_{os.path.basename(os.path.normpath(sf_dir))}",
+        "store")
+    vectorstore.ingest_chunks(out.chunks, path, mode="overwrite")
     store = vectorstore.read_store(spark, path)
 
     terms = ["data", "processing", "system"]

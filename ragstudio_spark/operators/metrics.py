@@ -86,7 +86,10 @@ ERROR_OTHER = "OTHER_ERROR"
 def classify_error(error: F.Column) -> F.Column:
     """Category column for an error-message column (volume_testing.py
     _categorize_error as a when() ladder — whole-stage codegen, literal
-    substring tests, no regex)."""
+    substring tests, no regex). NULL input (a successful row) classifies
+    to NULL, never OTHER_ERROR — the bare ladder's otherwise() would
+    swallow NULLs, silently counting every success as a failure for any
+    caller that doesn't pre-filter."""
     low = F.lower(error)
     expr = F.lit(ERROR_OTHER)
     for category, needles in reversed(ERROR_TAXONOMY):
@@ -94,7 +97,7 @@ def classify_error(error: F.Column) -> F.Column:
         for needle in needles:
             cond = cond | F.contains(low, F.lit(needle))
         expr = F.when(cond, F.lit(category)).otherwise(expr)
-    return expr
+    return F.when(error.isNotNull(), expr)
 
 
 def error_taxonomy(metrics: DataFrame, error_col: str = "error") -> DataFrame:

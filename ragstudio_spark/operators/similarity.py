@@ -348,14 +348,21 @@ def ivfpq_index_residual(vectors: DataFrame, centroids: DataFrame,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """(id, cell, codes) with codes over residuals — companion of
-    ivfpq_train_residual; same storage/pruning layout as ivfpq_index."""
+    ivfpq_train_residual; same storage/pruning layout as ivfpq_index.
+
+    The residual frame feeds TWO consumers (the cell projection and
+    pq_encode) and Spark does not dedupe common subplans across a join —
+    without materialization the |V|×|C| cell assignment would execute
+    twice per index build. localCheckpoint is the single-job equivalent
+    of what a real 10⁹-vector build does anyway: persist the assignment/
+    residual table before encoding."""
     assign = ivf_assign(vectors, centroids, id_col, vec_col)
     cents = centroids.select(F.col("cid"), F.col(vec_col).alias("_c_vec"))
     res = (vectors.join(assign, on=id_col)
            .join(F.broadcast(cents), on="cid")
            .select(F.col(id_col), F.col("cid").alias("cell"),
                    _residual(F.col(vec_col), F.col("_c_vec"))
-                   .alias(vec_col)))
+                   .alias(vec_col))).localCheckpoint()
     codes = pq_encode(res.drop("cell"), codebooks, m, id_col, vec_col)
     return res.select(id_col, "cell").join(codes, on=id_col)
 

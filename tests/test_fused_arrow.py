@@ -16,16 +16,28 @@ from ragstudio_spark.operators.sniff import with_content_type
 
 
 def _input(spark):
+    # real timestamps on most rows (plus one NULL): the arrow engine's ts
+    # passthrough/cast branch must be exercised with concrete event-time
+    # instants, not just NULLs — a tz mis-cast would shift values silently
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1, 12, 30, 15)
+
+    def ts(i):
+        return t0 + timedelta(seconds=i)
+
     rows = [
         ("c1", 0, "<html><body><nav>m</nav><p>"
          + "Real paragraph content here. " * 40 + "</p></body></html>",
-         None, None),
-        ("c1", 1, "plain text turn with several sentences. " * 30, None, None),
-        ("c2", 0, "", None, None),
+         None, ts(0)),
+        ("c1", 1, "plain text turn with several sentences. " * 30,
+         None, ts(1)),
+        ("c2", 0, "", None, ts(2)),
         ("c2", 1, None, None, None),
-        ("c2", 2, "# Markdown\n\nSome **bold** content. " * 20, None, None),
-        ("c3", 0, "l i k e   t h i s  \x00 garbage " * 10, None, None),
-        ("c4", 0, "héllo wörld — des données accentuées. " * 25, None, None),
+        ("c2", 2, "# Markdown\n\nSome **bold** content. " * 20, None, ts(3)),
+        ("c3", 0, "l i k e   t h i s  \x00 garbage " * 10, None, ts(4)),
+        ("c4", 0, "héllo wörld — des données accentuées. " * 25,
+         None, ts(5)),
     ]
     return with_content_type(spark.createDataFrame(
         rows,

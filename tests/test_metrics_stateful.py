@@ -157,3 +157,9 @@ class TestErrorTaxonomy:
         got = {r["category"]: r["n_errors"]
                for r in m.error_taxonomy(df).collect()}
         assert got == {"OCR_ERROR": 2, "PARSING_ERROR": 1}
+        # classify_error itself maps NULL (success) to NULL, never
+        # OTHER_ERROR — callers without a pre-filter must not count
+        # successful rows as failures
+        cats = [r["c"] for r in df.select(
+            m.classify_error(F.col("error")).alias("c")).collect()]
+        assert cats.count(None) == 1
