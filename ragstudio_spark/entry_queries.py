@@ -2692,6 +2692,80 @@ FROM cum
 _def("curate_corpus", (_curate_fn, _curate_duck_sql()))
 
 
+# -- 39. exact n-gram eval-decontamination (operators/dedupe.py
+#        ngram_decontaminate): the GPT-3-style verbatim 13-gram collision
+#        check. The "benchmark" is the doc_id % 50 == 3 subset of the
+#        corpus itself, so every benchmark doc exactly contaminates its
+#        source (n_shared = its distinct 13-gram count) and the gate is
+#        non-vacuous on exact counts, not just row presence.
+_DECON_N = 13
+
+
+def _ngram_decon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    bench = docs.filter("doc_id % 50 = 3")
+    return dedupe.ngram_decontaminate(docs, bench, n=_DECON_N).orderBy(
+        "corpus_id", "benchmark_id")
+
+
+def _ngram_decon_duck_sql() -> str:
+    w = "w"
+    cat = " || ' ' || ".join(f"{w}[i+{j}]" for j in range(_DECON_N))
+    grams = (f"CASE WHEN len({w}) >= {_DECON_N} THEN "
+             f"list_transform(range(1, len({w}) - {_DECON_N - 2}), "
+             f"i -> {cat}) ELSE [] END")
+    words = _words_expr("text", "duckdb")
+    return f"""
+WITH wrds AS (
+  SELECT doc_id, {words} AS w FROM documents
+), cg AS (
+  SELECT doc_id AS corpus_id, unnest(list_distinct({grams})) AS gram
+  FROM wrds
+), bg AS (
+  SELECT doc_id AS benchmark_id, unnest(list_distinct({grams})) AS gram
+  FROM wrds WHERE doc_id % 50 = 3
+)
+SELECT corpus_id, benchmark_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM cg JOIN bg USING (gram)
+GROUP BY corpus_id, benchmark_id
+ORDER BY corpus_id, benchmark_id
+"""
+
+
+_def("decontaminate_ngram_overlap", (_ngram_decon_fn, _ngram_decon_duck_sql()))
+
+
+# -- 40. per-source quota cap (operators/sampling.py cap_per_key): at most
+#        n docs per source, kept rows = the n smallest salted hashes
+#        within the key — deterministic, reproducible, order-independent.
+def _cap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import sampling
+
+    _register(spark, sf_dir, "documents")
+    return sampling.cap_per_key(
+        spark.table("documents"), key_col="source", n=5,
+        order_cols=("doc_id",), salt="r4").select("doc_id", "source")
+
+
+_CAP_DUCK = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat_ws('|', 'r4', CAST(doc_id AS VARCHAR))) ASC,
+                    doc_id ASC) AS rn
+  FROM documents) t
+WHERE rn <= 5
+"""
+
+_def("sample_cap_per_source", (_cap_fn, _CAP_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -169,6 +169,34 @@ def cross_corpus_minhash_pairs(left: DataFrame, right: DataFrame,
     )
 
 
+def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 13,
+                        min_shared: int = 1) -> DataFrame:
+    """EXACT n-gram eval-decontamination — the GPT-3-style complement of
+    the MinHash candidate pass (cross_corpus_minhash_pairs): a training
+    doc is contaminated when it shares at least ``min_shared`` verbatim
+    n-word grams with a benchmark doc. Returns (corpus_id, benchmark_id,
+    n_shared) with exact shared-gram counts.
+
+    Shape: both sides explode to DISTINCT grams (duplicate grams inside
+    one doc must not inflate the count), join on the gram string, count
+    per pair. The benchmark side is tiny by construction (eval suites)
+    and broadcasts; the corpus side streams through one explode. n=13
+    follows the published convention; documents shorter than n words
+    have no grams and can never be flagged."""
+    cg = (corpus.select(F.col(id_col).alias("corpus_id"),
+                        F.explode(F.array_distinct(shingles_col(
+                            words_col(F.col(text_col)), n))).alias("gram")))
+    bg = (benchmark.select(F.col(id_col).alias("benchmark_id"),
+                           F.explode(F.array_distinct(shingles_col(
+                               words_col(F.col(text_col)), n))).alias("gram")))
+    return (cg.join(F.broadcast(bg), on="gram")
+            .groupBy("corpus_id", "benchmark_id")
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def exact_new_only(new: DataFrame, seen: DataFrame,
                    text_col: str = "text") -> DataFrame:
     """Incremental exact dedup: rows of ``new`` whose text hash is absent

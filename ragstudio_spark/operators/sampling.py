@@ -25,7 +25,7 @@ far below any practical quota error.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _DENOM = float(16 ** 8)  # 8 hex digits
 
@@ -86,3 +86,23 @@ def hash_top_n(df: DataFrame, n: int, key_cols=("doc_id",),
     return (df.withColumn("_h", h)
             .orderBy(F.asc("_h"), *[F.asc(c) for c in key_cols])
             .limit(n).drop("_h"))
+
+
+def cap_per_key(df: DataFrame, key_col: str, n: int,
+                order_cols=("doc_id",), salt: str = "") -> DataFrame:
+    """At most ``n`` rows per key — the per-source/per-domain quota every
+    mixture-controlled curation run applies (no single domain may
+    dominate the training mix). Kept rows are the n smallest salted
+    hashes within the key (deterministic, reproducible across runs and
+    partitionings, uncorrelated with any natural ordering of the data —
+    ``order_cols`` only breaks exact hash ties). One hash-partitioned
+    window on the key; skewed keys cost one tall partition, which is the
+    floor for an exact per-key quota — use hash_sample for a rate-based
+    cap when exactness isn't required."""
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    h = F.md5(_key_col(list(order_cols), salt))
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc(h), *[F.asc(c) for c in order_cols])
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n).drop("_rn"))

@@ -138,3 +138,71 @@ class TestCrossCorpusDedup:
             "doc_id int, text string")
         got = sorted(r["doc_id"] for r in dedupe.exact_new_only(new, seen).collect())
         assert got == [11]
+
+
+class TestCapPerKey:
+    def test_exact_quota_and_determinism(self, spark):
+        from ragstudio_spark.operators import sampling
+
+        rows = [(i, f"src{i % 3}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id int, source string")
+        kept = sampling.cap_per_key(df, "source", 4,
+                                    order_cols=("doc_id",), salt="t")
+        got = {r["source"]: [] for r in kept.collect()}
+        for r in kept.collect():
+            got[r["source"]].append(r["doc_id"])
+        assert all(len(v) == 4 for v in got.values())
+        # membership = pure hash of (salt, id): same kept set regardless
+        # of input order/partitioning
+        again = sampling.cap_per_key(df.orderBy(F.desc("doc_id"))
+                                     .repartition(7),
+                                     "source", 4, order_cols=("doc_id",),
+                                     salt="t")
+        assert ({(r["source"], r["doc_id"]) for r in again.collect()}
+                == {(s, d) for s, v in got.items() for d in v})
+
+    def test_small_keys_pass_through(self, spark):
+        from ragstudio_spark.operators import sampling
+
+        df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                                   "doc_id int, source string")
+        assert sampling.cap_per_key(df, "source", 10).count() == 3
+
+    def test_rejects_nonpositive_n(self, spark):
+        import pytest
+
+        from ragstudio_spark.operators import sampling
+
+        df = spark.createDataFrame([(1, "a")], "doc_id int, source string")
+        with pytest.raises(ValueError, match="positive"):
+            sampling.cap_per_key(df, "source", 0)
+
+
+class TestNgramDecontaminate:
+    def test_verbatim_overlap_flagged_with_exact_counts(self, spark):
+        from ragstudio_spark.operators import dedupe
+
+        bench_sent = ("alpha bravo charlie delta echo foxtrot golf hotel "
+                      "india juliett kilo lima mike")           # 13 words
+        corpus = spark.createDataFrame(
+            [(0, "prefix words here " + bench_sent + " and a suffix tail"),
+             (1, "totally unrelated content that shares nothing at all "
+                 "with any benchmark entry whatsoever in this corpus"),
+             (2, "short doc")],
+            "doc_id int, text string")
+        bench = spark.createDataFrame([(100, bench_sent)],
+                                      "doc_id int, text string")
+        got = {(r["corpus_id"], r["benchmark_id"]): r["n_shared"]
+               for r in dedupe.ngram_decontaminate(corpus, bench).collect()}
+        # the benchmark sentence is exactly one 13-gram; doc 0 contains it
+        assert got == {(0, 100): 1}
+
+    def test_repeated_gram_counts_once(self, spark):
+        from ragstudio_spark.operators import dedupe
+
+        sent = " ".join(f"w{i}" for i in range(13))
+        corpus = spark.createDataFrame(
+            [(0, sent + " filler " + sent)], "doc_id int, text string")
+        bench = spark.createDataFrame([(9, sent)], "doc_id int, text string")
+        got = dedupe.ngram_decontaminate(corpus, bench).collect()
+        assert len(got) == 1 and got[0]["n_shared"] == 1  # distinct grams
