@@ -2766,6 +2766,87 @@ WHERE rn <= 5
 _def("sample_cap_per_source", (_cap_fn, _CAP_DUCK))
 
 
+# -- 41. Gopher-style repetition signals (operators/quality_signals.py):
+#        duplicate-line and top-2-gram accounting as INTEGER numerators/
+#        denominators (the oracle discipline — no float fractions cross
+#        the gate). Duplicated lines are seeded on doc_id % 6 == 0 so
+#        the dup-line branch is non-vacuous.
+_REP_SEED = "\nrepeated line alpha\nrepeated line alpha"
+
+
+def _repsig_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import quality_signals
+
+    _register(spark, sf_dir, "documents")
+    seeded = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.col("text"), F.lit(_REP_SEED)))
+        .otherwise(F.col("text")).alias("text"))
+    return quality_signals.repetition_signals(seeded)
+
+
+def _repsig_duck_sql() -> str:
+    words = _words_expr("text", "duckdb")
+    grams2 = ("CASE WHEN len(w) >= 2 THEN "
+              "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) "
+              "ELSE [] END")
+    seed = _REP_SEED.replace("\n", "' || chr(10) || '")
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN text || '{seed}'
+              ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS total_chars, text
+  FROM seeded
+), lns AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, chr(10)), ln -> ln != ''))
+           AS line
+  FROM base
+), lg AS (
+  SELECT doc_id, line, COUNT(*) AS c FROM lns GROUP BY doc_id, line
+), ls AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS n_dup_lines,
+         CAST(SUM(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END)
+              AS BIGINT) AS dup_line_chars
+  FROM lg GROUP BY doc_id
+), wrds AS (
+  SELECT doc_id, {words} AS w FROM base
+), grams AS (
+  SELECT doc_id, unnest({grams2}) AS gram FROM wrds
+), gg AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+), tc AS (
+  SELECT doc_id, MAX(c) AS top_c FROM gg GROUP BY doc_id
+), top AS (
+  SELECT g.doc_id, CAST(MAX(g.c) AS BIGINT) AS top2_count,
+         MIN(g.gram) AS g2
+  FROM gg g JOIN tc ON g.doc_id = tc.doc_id AND g.c = tc.top_c
+  GROUP BY g.doc_id
+)
+SELECT b.doc_id, b.total_chars,
+       COALESCE(ls.n_lines, 0) AS n_lines,
+       COALESCE(ls.n_dup_lines, 0) AS n_dup_lines,
+       COALESCE(ls.dup_line_chars, 0) AS dup_line_chars,
+       COALESCE(top.top2_count, 0) AS top2_count,
+       COALESCE(CAST(top.top2_count * length(top.g2) AS BIGINT), 0)
+         AS top2_chars
+FROM base b
+LEFT JOIN ls ON b.doc_id = ls.doc_id
+LEFT JOIN top ON b.doc_id = top.doc_id
+"""
+
+
+_def("repetition_signals", (_repsig_fn, _repsig_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -1,0 +1,88 @@
+"""Repetition quality signals — the Gopher-style (Rae et al. 2021,
+public) document filters a web-scale curation run applies before
+training: heavily self-repeating documents (boilerplate, scraped
+navigation, degenerate generations) are detected by the fraction of
+content locked up in duplicate lines and in the single most frequent
+word 2-gram.
+
+Definitions (ours, stated exactly — the published paper gives the
+signal family, not a reference implementation):
+
+* lines        = non-empty segments of ``split(text, '\\n')``
+* a DUP line   = a line whose exact text occurs ≥ 2 times in the doc;
+  ``n_dup_lines`` counts ALL its occurrences, ``dup_line_chars`` sums
+  their character lengths
+* top 2-gram   = the most frequent lower-cased word 2-gram (ties →
+  lexicographically smallest); ``top2_count`` its occurrence count
+  (duplicates counted), ``top2_chars = top2_count × len(gram)``
+
+Outputs are INTEGER numerators/denominators, never floats — the
+engine's oracle discipline: callers derive fractions
+(``dup_line_chars / total_chars``) themselves; the DuckDB twin matches
+hash-exactly on the integers.
+
+Scale shape: two explode→groupBy families (lines, 2-grams), each one
+shuffle keyed by (doc_id, item) then a partial-aggregated per-doc
+rollup, joined back on doc_id. No windows over the corpus, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ragstudio_spark.operators.dedupe import shingles_col, words_col
+
+
+def _lines(text):
+    return F.filter(F.split(text, "\n"), lambda ln: ln != F.lit(""))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition accounting: (id, total_chars, n_lines,
+    n_dup_lines, dup_line_chars, top2_count, top2_chars). Documents with
+    no lines / fewer than 2 words get zero counts, not NULLs."""
+    base = df.select(F.col(id_col),
+                     F.length(F.col(text_col)).cast("bigint")
+                     .alias("total_chars"),
+                     F.col(text_col).alias("_t"))
+
+    line_groups = (
+        base.select(id_col, F.explode(_lines(F.col("_t"))).alias("line"))
+        .groupBy(id_col, "line").agg(F.count("*").alias("c"))
+    )
+    line_stats = line_groups.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("bigint").alias("n_dup_lines"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.length("line"))
+              .otherwise(0)).cast("bigint").alias("dup_line_chars"),
+    )
+
+    gram_groups = (
+        base.select(id_col, F.explode(
+            shingles_col(words_col(F.col("_t")), 2)).alias("gram"))
+        .groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    )
+    # argmax by (count desc, gram asc), portably: max count per doc,
+    # re-join, min(gram) among the tied winners — arg_max/max_by struct
+    # orderings differ across engines, plain max+min do not
+    top_c = gram_groups.groupBy(id_col).agg(F.max("c").alias("top_c"))
+    top = (gram_groups.join(top_c, on=id_col)
+           .filter(F.col("c") == F.col("top_c"))
+           .groupBy(id_col).agg(
+               F.max("c").cast("bigint").alias("top2_count"),
+               F.min("gram").alias("_g"))
+           .select(id_col, "top2_count",
+                   (F.col("top2_count") * F.length("_g")).cast("bigint")
+                   .alias("top2_chars")))
+
+    out = (base.select(id_col, "total_chars")
+           .join(line_stats, on=id_col, how="left")
+           .join(top, on=id_col, how="left"))
+    zero = F.lit(0).cast("bigint")
+    return out.select(
+        id_col, "total_chars",
+        *[F.coalesce(F.col(c), zero).alias(c)
+          for c in ("n_lines", "n_dup_lines", "dup_line_chars",
+                    "top2_count", "top2_chars")])

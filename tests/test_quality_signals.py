@@ -1,0 +1,54 @@
+"""Gopher-style repetition signals (operators/quality_signals.py)."""
+
+from ragstudio_spark.operators import quality_signals
+
+
+class TestRepetitionSignals:
+    def test_counts_on_constructed_docs(self, spark):
+        df = spark.createDataFrame(
+            [(0, "unique one\nunique two\nsame line\nsame line"),
+             (1, "spark spark spark spark"),
+             (2, ""),
+             (3, "one two three")],
+            "doc_id int, text string")
+        got = {r["doc_id"]: r for r in
+               quality_signals.repetition_signals(df).collect()}
+
+        r0 = got[0]
+        assert r0["n_lines"] == 4
+        assert r0["n_dup_lines"] == 2                 # both 'same line' rows
+        assert r0["dup_line_chars"] == 2 * len("same line")
+        # top 2-gram of doc 0: every 2-gram unique except 'line same'?
+        # words: unique one unique two same line same line →
+        # 'same line' occurs twice
+        assert r0["top2_count"] == 2
+        assert r0["top2_chars"] == 2 * len("same line")
+
+        r1 = got[1]
+        assert r1["n_lines"] == 1 and r1["n_dup_lines"] == 0
+        assert r1["top2_count"] == 3                  # 'spark spark' ×3
+        assert r1["top2_chars"] == 3 * len("spark spark")
+
+        r2 = got[2]                                   # empty doc → zeros
+        assert (r2["n_lines"], r2["n_dup_lines"], r2["top2_count"]) == (0, 0, 0)
+        assert r2["total_chars"] == 0
+
+        r3 = got[3]                                   # no repetition
+        assert r3["n_dup_lines"] == 0 and r3["top2_count"] == 1
+
+    def test_tie_break_is_smallest_gram(self, spark):
+        df = spark.createDataFrame(
+            [(0, "b b a a")],                          # 'b b','b a','a a' ×1
+            "doc_id int, text string")
+        r = quality_signals.repetition_signals(df).first()
+        assert r["top2_count"] == 1
+        assert r["top2_chars"] == len("a a")          # min gram among ties
+
+    def test_fraction_derivation(self, spark):
+        """Callers derive the Gopher fractions from the integer columns."""
+        text = "dup\ndup\n" + "fresh content line here"
+        df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+        r = quality_signals.repetition_signals(df).first()
+        dup_frac = r["dup_line_chars"] / r["total_chars"]
+        assert 0 < dup_frac < 1
+        assert r["n_dup_lines"] / r["n_lines"] == 2 / 3
