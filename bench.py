@@ -145,7 +145,8 @@ def main() -> None:
                  "decontaminate_cross_pairs", "vectorstore_upsert_search",
                  # round-4 operators
                  "ann_ivfpq_topk", "bpe_pair_counts", "error_taxonomy",
-                 "curate_corpus"):
+                 "curate_corpus", "decontaminate_ngram_overlap",
+                 "sample_cap_per_source", "repetition_signals"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

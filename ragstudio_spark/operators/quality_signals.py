@@ -86,3 +86,27 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         *[F.coalesce(F.col(c), zero).alias(c)
           for c in ("n_lines", "n_dup_lines", "dup_line_chars",
                     "top2_count", "top2_chars")])
+
+
+def repetition_filter(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_dup_line_frac: float = 0.3,
+                      max_top2_frac: float = 0.2) -> DataFrame:
+    """Rows of ``df`` whose repetition fractions clear the thresholds
+    (Gopher's filter step: drop documents with > max_dup_line_frac of
+    characters in duplicated lines, or > max_top2_frac of characters in
+    the single most frequent 2-gram). Comparisons are cross-multiplied
+    integers — no float division anywhere near a filter boundary, so the
+    kept set is exactly reproducible. One broadcast-able semi-join of
+    the signal table back onto the corpus."""
+    sig = repetition_signals(df, text_col, id_col)
+    # dup_line_chars / total_chars <= max  ⇔  dup_line_chars * DENOM <=
+    # max * DENOM * total_chars with integer scaling (6 decimal places)
+    scale = 1_000_000
+    keep = sig.filter(
+        (F.col("dup_line_chars") * scale
+         <= F.lit(int(max_dup_line_frac * scale)) * F.col("total_chars"))
+        & (F.col("top2_chars") * scale
+           <= F.lit(int(max_top2_frac * scale)) * F.col("total_chars"))
+    ).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")

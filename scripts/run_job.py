@@ -55,6 +55,10 @@ def main() -> None:
     p.add_argument("--min-readable-ratio", type=float, default=None)
     p.add_argument("--bpe-merges", default=None,
                    help="merges.txt path → true BPE token splitting")
+    p.add_argument("--python-engine", default=None,
+                   choices=("pandas", "arrow"),
+                   help="Arrow-boundary impl for the fused hop "
+                        "(measured-equal; pandas is the default)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -84,6 +88,7 @@ def main() -> None:
             "language_filter": args.langs,
             "min_readable_ratio": args.min_readable_ratio,
             "bpe_merges_path": args.bpe_merges,
+            "python_engine": args.python_engine,
         }.items() if v is not None
     }
     cfg = resolve_config(cli=cli_layer, yaml_path=args.config)

@@ -52,3 +52,23 @@ class TestRepetitionSignals:
         dup_frac = r["dup_line_chars"] / r["total_chars"]
         assert 0 < dup_frac < 1
         assert r["n_dup_lines"] / r["n_lines"] == 2 / 3
+
+
+class TestRepetitionFilter:
+    def test_drops_repetitive_docs_only(self, spark):
+        clean = ("a reasonably varied document with plenty of distinct "
+                 "words across several different lines\nand another line "
+                 "with even more unique content to balance things out")
+        spam = "buy now\nbuy now\nbuy now\nbuy now\nbuy now"
+        df = spark.createDataFrame(
+            [(0, clean), (1, spam), (2, "spark " * 50)],
+            "doc_id int, text string")
+        kept = {r["doc_id"] for r in
+                quality_signals.repetition_filter(df).collect()}
+        assert kept == {0}  # 1: dup lines; 2: one 2-gram is all the text
+
+    def test_empty_doc_passes(self, spark):
+        """Zero-char docs must not divide by zero or get dropped by the
+        repetition rules (length gates are a different filter)."""
+        df = spark.createDataFrame([(0, "")], "doc_id int, text string")
+        assert quality_signals.repetition_filter(df).count() == 1
