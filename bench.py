@@ -146,7 +146,8 @@ def main() -> None:
                  # round-4 operators
                  "ann_ivfpq_topk", "bpe_pair_counts", "error_taxonomy",
                  "curate_corpus", "decontaminate_ngram_overlap",
-                 "sample_cap_per_source", "repetition_signals"):
+                 "sample_cap_per_source", "repetition_signals",
+                 "sample_mixture"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

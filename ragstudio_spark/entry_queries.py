@@ -2847,6 +2847,46 @@ LEFT JOIN top ON b.doc_id = top.doc_id
 _def("repetition_signals", (_repsig_fn, _repsig_duck_sql()))
 
 
+# -- 42. domain-mixture sampling (operators/sampling.py mixture_sample):
+#        target-composition downsampling; rate arithmetic written with
+#        identical literals and operation order in both engines so the
+#        float comparison at the membership boundary is bit-identical
+#        (the same discipline as sample_stratified).
+_MIX_SHARES = {"fr": 0.5, "en": 0.4}
+_MIX_BUDGET = 200
+
+
+def _mix_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import sampling
+
+    _register(spark, sf_dir, "documents")
+    return sampling.mixture_sample(
+        spark.table("documents"), key_col="lang", shares=_MIX_SHARES,
+        budget=_MIX_BUDGET, key_cols=("doc_id",), salt="r4mix",
+    ).select("doc_id", "lang")
+
+
+def _mix_duck_sql() -> str:
+    frac = ("CAST(CAST('0x' || substr(md5(concat_ws('|', 'r4mix', "
+            "CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) AS DOUBLE) "
+            f"/ {float(16 ** 8)}")
+    case = ("CASE lang "
+            + " ".join(f"WHEN '{k}' THEN {float(s)}"
+                       for k, s in sorted(_MIX_SHARES.items()))
+            + " ELSE 0.0 END")
+    return f"""
+WITH cnt AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+)
+SELECT doc_id, lang
+FROM documents JOIN cnt USING (lang)
+WHERE ({frac}) < least(1.0, ({float(_MIX_BUDGET)} * ({case})) / n)
+"""
+
+
+_def("sample_mixture", (_mix_fn, _mix_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -106,3 +106,38 @@ def cap_per_key(df: DataFrame, key_col: str, n: int,
         F.asc(h), *[F.asc(c) for c in order_cols])
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n).drop("_rn"))
+
+
+def mixture_sample(df: DataFrame, key_col: str, shares: dict[str, float],
+                   budget: int, key_cols=("doc_id",),
+                   salt: str = "") -> DataFrame:
+    """Deterministic domain-mixture downsampling (the Pile/Dolma-style
+    mixing step): target a ``budget``-row corpus whose composition
+    follows ``shares`` (key → target fraction); each key is sampled at
+    ``rate = least(1, budget·share / n_key)`` by the same salted-hash
+    membership as hash_sample, so the result is reproducible across
+    runs, partitionings and corpus growth. Keys absent from ``shares``
+    (or with share 0) are dropped; a key smaller than its target keeps
+    everything (rate caps at 1 — shares are targets, not quotas).
+
+    Sizes are expected values, not exact counts (membership is per-row
+    independent); compose with cap_per_key when exactness matters.
+
+    Shape: one tiny per-key count aggregate broadcast back onto the
+    corpus, then a codegen'd filter — no windows, no collect. The rate
+    arithmetic is written to be bit-identical in the DuckDB oracle twin
+    (same literals, same operation order)."""
+    if not shares:
+        raise ValueError("shares must be non-empty")
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    counts = df.groupBy(key_col).agg(
+        F.count("*").cast("double").alias("_n"))
+    share = F.lit(0.0)
+    for k, s in sorted(shares.items()):
+        share = F.when(F.col(key_col) == k, F.lit(float(s))).otherwise(share)
+    rate = F.least(F.lit(1.0),
+                   (F.lit(float(budget)) * share) / F.col("_n"))
+    return (df.join(F.broadcast(counts), on=key_col)
+            .filter(hash_fraction(list(key_cols), salt) < rate)
+            .drop("_n"))

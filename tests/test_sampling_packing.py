@@ -206,3 +206,57 @@ class TestNgramDecontaminate:
         bench = spark.createDataFrame([(9, sent)], "doc_id int, text string")
         got = dedupe.ngram_decontaminate(corpus, bench).collect()
         assert len(got) == 1 and got[0]["n_shared"] == 1  # distinct grams
+
+
+class TestMixtureSample:
+    def test_composition_tracks_targets(self, spark):
+        from ragstudio_spark.operators import sampling
+
+        rows = ([(i, "en") for i in range(600)]
+                + [(1000 + i, "fr") for i in range(300)]
+                + [(2000 + i, "de") for i in range(100)])
+        df = spark.createDataFrame(rows, "doc_id int, lang string")
+        out = sampling.mixture_sample(df, "lang",
+                                      {"en": 0.5, "fr": 0.5},
+                                      budget=200, salt="m")
+        got = {r["lang"]: 0 for r in out.collect()}
+        for r in out.collect():
+            got[r["lang"]] += 1
+        assert "de" not in got                      # share 0 → dropped
+        # expected ~100 each; hash membership gives binomial spread
+        assert 70 <= got["en"] <= 130
+        assert 70 <= got["fr"] <= 130
+
+    def test_small_key_fully_kept_rate_caps_at_one(self, spark):
+        from ragstudio_spark.operators import sampling
+
+        rows = [(i, "en") for i in range(400)] + [(900 + i, "fr")
+                                                  for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id int, lang string")
+        out = sampling.mixture_sample(df, "lang",
+                                      {"en": 0.5, "fr": 0.5}, budget=200)
+        fr = [r for r in out.collect() if r["lang"] == "fr"]
+        assert len(fr) == 10                        # budget·share > n_fr
+
+    def test_deterministic_across_partitionings(self, spark):
+        from ragstudio_spark.operators import sampling
+
+        rows = [(i, "en" if i % 2 else "fr") for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id int, lang string")
+        kw = dict(key_col="lang", shares={"en": 0.6, "fr": 0.4},
+                  budget=100, salt="d")
+        a = {r["doc_id"] for r in sampling.mixture_sample(df, **kw).collect()}
+        b = {r["doc_id"] for r in sampling.mixture_sample(
+            df.repartition(9), **kw).collect()}
+        assert a == b and len(a) > 0
+
+    def test_rejects_bad_args(self, spark):
+        import pytest
+
+        from ragstudio_spark.operators import sampling
+
+        df = spark.createDataFrame([(1, "a")], "doc_id int, lang string")
+        with pytest.raises(ValueError, match="non-empty"):
+            sampling.mixture_sample(df, "lang", {}, budget=10)
+        with pytest.raises(ValueError, match="positive"):
+            sampling.mixture_sample(df, "lang", {"a": 1.0}, budget=0)
