@@ -2887,6 +2887,66 @@ WHERE ({frac}) < least(1.0, ({float(_MIX_BUDGET)} * ({case})) / n)
 _def("sample_mixture", (_mix_fn, _mix_duck_sql()))
 
 
+# -- 43. repeated-span mining (operators/dedupe.py repeated_spans): locate
+#        verbatim 20-word runs shared across documents, with positions.
+#        A 20-word boilerplate sentence is seeded onto doc_id % 9 == 2
+#        docs so the span table is non-vacuous with KNOWN positions; the
+#        corpus may contribute additional organic repeats (both engines
+#        must agree on those too).
+_SPAN_SEED = ("this document is provided as is without warranty of any "
+              "kind whatsoever by the publisher and may be redistributed "
+              "freely")  # exactly 20 words
+_SPAN_N = 20
+
+
+def _spans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    seeded = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 2,
+               F.concat(F.col("text"), F.lit(" " + _SPAN_SEED)))
+        .otherwise(F.col("text")).alias("text"))
+    return dedupe.repeated_spans(seeded, n=_SPAN_N).orderBy(
+        "doc_id", "word_pos", "gram_md5")
+
+
+def _spans_duck_sql() -> str:
+    words = _words_expr("text", "duckdb")
+    struct = (f"list_transform(range(1, len(w) - {_SPAN_N - 2}), "
+              f"i -> {{'p': i - 1, 'g': array_to_string("
+              f"list_slice(w, i, i + {_SPAN_N - 1}), ' ')}})")
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 2 THEN text || ' {_SPAN_SEED}'
+              ELSE text END AS text
+  FROM documents
+), wrds AS (
+  SELECT doc_id, {words} AS w FROM seeded
+), occ AS (
+  SELECT doc_id, s['p'] AS word_pos, md5(s['g']) AS gram_md5
+  FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= {_SPAN_N}
+                              THEN {struct} ELSE [] END) AS s
+        FROM wrds) t
+), dfreq AS (
+  SELECT gram_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM occ GROUP BY gram_md5
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000
+)
+SELECT occ.doc_id, CAST(occ.word_pos AS INT) AS word_pos,
+       occ.gram_md5, dfreq.n_docs
+FROM occ JOIN dfreq USING (gram_md5)
+ORDER BY doc_id, word_pos, gram_md5
+"""
+
+
+_def("repeated_span_mining", (_spans_fn, _spans_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -197,6 +197,44 @@ def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
             .filter(F.col("n_shared") >= min_shared))
 
 
+def repeated_spans(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 20,
+                   min_df: int = 2,
+                   max_df: int | None = 1000) -> DataFrame:
+    """Verbatim repeated-span mining — the span-LOCATING complement of the
+    doc-level near-dup passes (Lee et al.'s exact-substring dedup, public,
+    approximated at fixed n-word granularity): every position where an
+    n-word run occurs in ≥ ``min_df`` distinct documents, so curation can
+    CUT the repeated boilerplate instead of dropping whole documents.
+    Returns (id, word_pos [0-based], gram_md5, n_docs).
+
+    ``max_df`` caps pathological grams (site-wide boilerplate appearing in
+    millions of docs would otherwise fan the join out by its df) — same
+    rationale as jaccard_pairs' shingle cap; capped grams are *dropped
+    from the report*, which at curation time means "handle ubiquitous
+    boilerplate with a dedicated rule, not this table". One explode, one
+    (gram → df) aggregate, one hash-keyed join back to positions."""
+    w = words_col(F.col(text_col))
+    positioned = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.struct(
+                i.alias("p"),
+                F.array_join(F.slice(w, i + 1, n), " ").alias("g"))),
+    ).otherwise(F.array())
+    occ = (df.select(F.col(id_col), F.explode(positioned).alias("s"))
+           .select(id_col, F.col("s.p").alias("word_pos"),
+                   F.md5(F.col("s.g")).alias("gram_md5")))
+    dfreq = occ.groupBy("gram_md5").agg(
+        F.countDistinct(id_col).cast("bigint").alias("n_docs"))
+    dfreq = dfreq.filter(F.col("n_docs") >= min_df)
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("n_docs") <= max_df)
+    return occ.join(dfreq, on="gram_md5").select(
+        id_col, "word_pos", "gram_md5", "n_docs")
+
+
 def exact_new_only(new: DataFrame, seen: DataFrame,
                    text_col: str = "text") -> DataFrame:
     """Incremental exact dedup: rows of ``new`` whose text hash is absent

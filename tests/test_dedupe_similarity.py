@@ -491,3 +491,38 @@ class TestEmbeddingNearDup:
         loose = dedupe.embedding_near_pairs(vecs, planes, threshold=0.5).count()
         tight = dedupe.embedding_near_pairs(vecs, planes, threshold=0.99).count()
         assert loose == 1 and tight == 0
+
+
+class TestRepeatedSpans:
+    def test_locates_shared_span_with_positions(self, spark):
+        boiler = " ".join(f"b{i}" for i in range(5))       # 5-word run
+        docs = spark.createDataFrame(
+            [(0, "lead in words " + boiler + " trailing content here"),
+             (1, boiler + " then something entirely different follows"),
+             (2, "no shared material in this document at all today")],
+            "doc_id int, text string")
+        got = dedupe.repeated_spans(docs, n=5, min_df=2).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["word_pos"], r["n_docs"]))
+        # doc 0: boiler starts at word 3; doc 1: at word 0
+        assert (3, 2) in by_doc[0]
+        assert (0, 2) in by_doc[1]
+        assert 2 not in by_doc
+
+    def test_max_df_drops_ubiquitous_grams(self, spark):
+        run = " ".join(f"w{i}" for i in range(4))
+        docs = spark.createDataFrame(
+            [(i, run + f" unique tail {i}") for i in range(6)],
+            "doc_id int, text string")
+        all_rows = dedupe.repeated_spans(docs, n=4, min_df=2,
+                                         max_df=None).collect()
+        capped = dedupe.repeated_spans(docs, n=4, min_df=2,
+                                       max_df=3).collect()
+        assert len(all_rows) > 0 and len(capped) < len(all_rows)
+
+    def test_short_docs_contribute_nothing(self, spark):
+        docs = spark.createDataFrame([(0, "too short"), (1, "too short")],
+                                     "doc_id int, text string")
+        assert dedupe.repeated_spans(docs, n=5).count() == 0
