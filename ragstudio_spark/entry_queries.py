@@ -2947,6 +2947,77 @@ ORDER BY doc_id, word_pos, gram_md5
 _def("repeated_span_mining", (_spans_fn, _spans_duck_sql()))
 
 
+# -- 43b. span cutting (operators/dedupe.py cut_repeated_spans): the
+#         curation ACTION on the span report — every non-canonical
+#         occurrence's window removed from the word stream, one copy
+#         kept corpus-wide. Gate compares md5 of the rebuilt text
+#         (byte-exact). Struct MIN picks the canonical occurrence —
+#         lexicographic (doc_id, word_pos) in both engines.
+def _spans_cut_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    seeded = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 2,
+               F.concat(F.col("text"), F.lit(" " + _SPAN_SEED)))
+        .otherwise(F.col("text")).alias("text"))
+    spans = dedupe.repeated_spans(seeded, n=_SPAN_N)
+    out = dedupe.cut_repeated_spans(seeded, spans, n=_SPAN_N)
+    return out.select("doc_id", F.md5("text").alias("cut_hash"))
+
+
+def _spans_cut_duck_sql() -> str:
+    words = _words_expr("text", "duckdb")
+    struct = (f"list_transform(range(1, len(w) - {_SPAN_N - 2}), "
+              f"i -> {{'p': i - 1, 'g': array_to_string("
+              f"list_slice(w, i, i + {_SPAN_N - 1}), ' ')}})")
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 2 THEN text || ' {_SPAN_SEED}'
+              ELSE text END AS text
+  FROM documents
+), wrds AS (
+  SELECT doc_id, {words} AS w FROM seeded
+), occ AS (
+  SELECT doc_id, s['p'] AS word_pos, md5(s['g']) AS gram_md5
+  FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= {_SPAN_N}
+                              THEN {struct} ELSE [] END) AS s
+        FROM wrds) t
+), dfreq AS (
+  SELECT gram_md5 FROM occ GROUP BY gram_md5
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000
+), spans AS (
+  SELECT occ.* FROM occ JOIN dfreq USING (gram_md5)
+), canon AS (
+  SELECT gram_md5,
+         MIN(struct_pack(d := doc_id, p := word_pos)) AS c
+  FROM spans GROUP BY gram_md5
+), cuts AS (
+  SELECT s.doc_id, list(DISTINCT s.word_pos) AS cut_starts
+  FROM spans s JOIN canon USING (gram_md5)
+  WHERE NOT (s.doc_id = canon.c['d'] AND s.word_pos = canon.c['p'])
+  GROUP BY s.doc_id
+)
+SELECT w.doc_id,
+       md5(CASE WHEN cuts.cut_starts IS NULL
+                THEN COALESCE(array_to_string(w.w, ' '), '')
+                ELSE COALESCE(array_to_string(
+                  list_filter(w.w, (x, i) ->
+                    len(list_filter(cuts.cut_starts,
+                        s -> (i - 1) >= s AND (i - 1) < s + {_SPAN_N})) = 0),
+                  ' '), '')
+           END) AS cut_hash
+FROM wrds w LEFT JOIN cuts ON w.doc_id = cuts.doc_id
+"""
+
+
+_def("repeated_span_cut", (_spans_cut_fn, _spans_cut_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

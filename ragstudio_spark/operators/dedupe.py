@@ -235,6 +235,45 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
         id_col, "word_pos", "gram_md5", "n_docs")
 
 
+def cut_repeated_spans(df: DataFrame, spans: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 20) -> DataFrame:
+    """Remove repeated spans from the WORD STREAM, keeping one canonical
+    copy corpus-wide — the curation action on ``repeated_spans``' report:
+    for each flagged gram the canonical occurrence is the (lowest id,
+    lowest position) one; every other occurrence's n-word window is cut,
+    and overlapping cut windows merge naturally (a word survives only if
+    NO cut window covers it). Returns (id, text) with
+    whitespace-normalized rebuilt text (single spaces — the operator is
+    defined on the tokenized stream, like the spans themselves).
+
+    Shape: a per-gram min-struct aggregate (tiny — one row per flagged
+    gram), an anti-filtered join back to occurrences, a per-doc
+    collect_list of cut starts (bounded by the doc's flagged-span count),
+    then one JVM filter over the word array. No Python, no windows over
+    the corpus."""
+    canon = spans.groupBy("gram_md5").agg(
+        F.min(F.struct(F.col(id_col), F.col("word_pos"))).alias("c"))
+    cuts = (spans.join(canon, on="gram_md5")
+            .filter(~((F.col(id_col) == F.col(f"c.{id_col}"))
+                      & (F.col("word_pos") == F.col("c.word_pos"))))
+            .groupBy(id_col)
+            .agg(F.collect_set("word_pos").alias("_cut_starts")))
+    w = words_col(F.col(text_col))
+    kept = F.zip_with(
+        w, F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda word, i: F.when(
+            ~F.exists("_cut_starts",
+                      lambda s: (i >= s) & (i < s + n)), word))
+    return (df.join(cuts, on=id_col, how="left")
+            .select(
+                F.col(id_col),
+                F.when(F.col("_cut_starts").isNull(),
+                       F.array_join(w, " "))
+                .otherwise(F.array_join(F.filter(kept, F.isnotnull), " "))
+                .alias(text_col)))
+
+
 def exact_new_only(new: DataFrame, seen: DataFrame,
                    text_col: str = "text") -> DataFrame:
     """Incremental exact dedup: rows of ``new`` whose text hash is absent

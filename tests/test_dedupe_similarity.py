@@ -526,3 +526,30 @@ class TestRepeatedSpans:
         docs = spark.createDataFrame([(0, "too short"), (1, "too short")],
                                      "doc_id int, text string")
         assert dedupe.repeated_spans(docs, n=5).count() == 0
+
+
+class TestCutRepeatedSpans:
+    def test_keeps_one_canonical_copy(self, spark):
+        boiler = " ".join(f"b{i}" for i in range(5))
+        docs = spark.createDataFrame(
+            [(0, "intro words here " + boiler + " outro words"),
+             (1, boiler + " unique second doc content follows"),
+             (2, "unrelated clean document text entirely")],
+            "doc_id int, text string")
+        spans = dedupe.repeated_spans(docs, n=5, min_df=2)
+        cut = {r["doc_id"]: r["text"]
+               for r in dedupe.cut_repeated_spans(docs, spans, n=5).collect()}
+        # canonical = (doc 0, pos 3) → doc 0 keeps the boilerplate,
+        # doc 1 loses its occurrence, doc 2 untouched (modulo ws-normal)
+        assert boiler in cut[0]
+        assert boiler not in cut[1]
+        assert "unique second doc content follows" in cut[1]
+        assert cut[2] == "unrelated clean document text entirely"
+
+    def test_no_spans_is_identity_on_word_stream(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "plain  text   with   extra spaces")],
+            "doc_id int, text string")
+        spans = dedupe.repeated_spans(docs, n=5, min_df=2)
+        out = dedupe.cut_repeated_spans(docs, spans, n=5).first()
+        assert out["text"] == "plain text with extra spaces"
