@@ -147,7 +147,7 @@ def main() -> None:
                  "ann_ivfpq_topk", "bpe_pair_counts", "error_taxonomy",
                  "curate_corpus", "decontaminate_ngram_overlap",
                  "sample_cap_per_source", "repetition_signals",
-                 "sample_mixture", "repeated_span_mining"):
+                 "sample_mixture", "repeated_span_mining", "c4_clean"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

@@ -3018,6 +3018,76 @@ FROM wrds w LEFT JOIN cuts ON w.doc_id = cuts.doc_id
 _def("repeated_span_cut", (_spans_cut_fn, _spans_cut_duck_sql()))
 
 
+# -- 44. C4-style cleaning (operators/quality_signals.py c4_clean): the
+#        published line/page rules, byte-exact on the cleaned text.
+#        'lorem ipsum' / '{' page poisons are seeded deterministically.
+#        Dialect: last-char extraction is substring(s,-1,1) in Spark but
+#        right(s,1) in DuckDB (negative substr start is Postgres-empty).
+def _c4_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import quality_signals
+
+    _register(spark, sf_dir, "documents")
+    seeded = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 5,
+               F.concat(F.col("text"), F.lit(" Lorem Ipsum dolor.")))
+        .when(F.col("doc_id") % 17 == 4,
+              F.concat(F.col("text"), F.lit(" {json: artifact}")))
+        .otherwise(F.col("text")).alias("text"))
+    out = quality_signals.c4_clean(seeded)
+    return out.select("doc_id", F.md5("clean_text").alias("clean_hash"),
+                      "n_kept", "n_dropped", "n_sentences", "c4_keep")
+
+
+def _c4_duck_sql() -> str:
+    from ragstudio_spark.operators.quality_signals import (
+        C4_MIN_LINE_WORDS, C4_MIN_SENTENCES, C4_TERMINALS,
+    )
+
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in C4_TERMINALS)
+    line_ok = (
+        f"right(trim(ln), 1) IN ({terms}) "
+        f"AND len(list_filter(regexp_split_to_array(trim(ln), '\\s+'), "
+        f"w -> w != '')) >= {C4_MIN_LINE_WORDS} "
+        f"AND NOT contains(lower(ln), 'javascript')")
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 5 THEN text || ' Lorem Ipsum dolor.'
+              WHEN doc_id % 17 = 4 THEN text || ' {{json: artifact}}'
+              ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), ln -> ln != '') AS lines
+  FROM seeded
+), cleaned AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, ln -> {line_ok}) AS kept
+  FROM base
+), shaped AS (
+  SELECT doc_id, text,
+         COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+         CAST(len(kept) AS BIGINT) AS n_kept,
+         CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped
+  FROM cleaned
+)
+SELECT doc_id, md5(clean_text) AS clean_hash, n_kept, n_dropped,
+       CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT)
+         AS n_sentences,
+       (NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')
+        AND len(regexp_extract_all(clean_text, '[.!?]'))
+            >= {C4_MIN_SENTENCES}) AS c4_keep
+FROM shaped
+"""
+
+
+_def("c4_clean", (_c4_fn, _c4_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

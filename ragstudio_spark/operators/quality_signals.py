@@ -110,3 +110,60 @@ def repetition_filter(df: DataFrame, text_col: str = "text",
            <= F.lit(int(max_top2_frac * scale)) * F.col("total_chars"))
     ).select(id_col)
     return df.join(keep, on=id_col, how="left_semi")
+
+
+#: C4 (Raffel et al. 2020, public) cleaning constants
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_clean(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """C4-style cleaning — the published line/page rules as one codegen'd
+    projection (no shuffle, no Python):
+
+    * line kept iff it ends in terminal punctuation (. ! ? \"), has >=
+      C4_MIN_LINE_WORDS whitespace words, and does not mention
+      'javascript' (case-insensitive);
+    * page kept (``c4_keep``) iff the RAW text contains neither
+      'lorem ipsum' (case-insensitive) nor '{', and the CLEANED text has
+      >= C4_MIN_SENTENCES sentences.
+
+    Delta vs the reference pipeline, stated: C4 counts sentences with a
+    sentence splitter; here ``n_sentences`` counts terminal-punctuation
+    marks in the cleaned text — same signal, no tokenizer dependency.
+    Returns (id, clean_text, n_kept, n_dropped, n_sentences, c4_keep);
+    the caller filters on ``c4_keep`` (rows are annotated, not removed —
+    curation keeps the audit trail)."""
+    t = F.col(text_col)
+    lines = _lines(t)
+
+    def line_ok(ln):
+        trimmed = F.trim(ln)
+        last = F.substring(trimmed, -1, 1)
+        n_words = F.size(F.filter(F.split(trimmed, r"\s+"),
+                                  lambda w: w != F.lit("")))
+        return (last.isin(*C4_TERMINALS)
+                & (n_words >= C4_MIN_LINE_WORDS)
+                & ~F.contains(F.lower(ln), F.lit("javascript")))
+
+    kept = F.filter(lines, line_ok)
+    df = df.withColumn("_kept", kept)
+    clean = F.array_join(F.col("_kept"), "\n")
+    df = (df.withColumn("clean_text", clean)
+          .withColumn("n_kept",
+                      F.size(F.col("_kept")).cast("bigint"))
+          .withColumn("n_dropped",
+                      (F.size(lines) - F.size(F.col("_kept")))
+                      .cast("bigint"))
+          .withColumn("n_sentences",
+                      F.size(F.regexp_extract_all(
+                          F.col("clean_text"), F.lit(r"[.!?]"),
+                          F.lit(0))).cast("bigint")))
+    keep = (~F.contains(F.lower(t), F.lit("lorem ipsum"))
+            & ~F.contains(t, F.lit("{"))
+            & (F.col("n_sentences") >= C4_MIN_SENTENCES))
+    return (df.withColumn("c4_keep", keep)
+            .select(id_col, "clean_text", "n_kept", "n_dropped",
+                    "n_sentences", "c4_keep"))

@@ -72,3 +72,32 @@ class TestRepetitionFilter:
         repetition rules (length gates are a different filter)."""
         df = spark.createDataFrame([(0, "")], "doc_id int, text string")
         assert quality_signals.repetition_filter(df).count() == 1
+
+
+class TestC4Clean:
+    def test_line_rules(self, spark):
+        text = ("A proper sentence with enough words.\n"
+                "too short.\n"                      # < 3 words
+                "no terminal punctuation here\n"
+                "This line mentions javascript sadly.\n"
+                'A quoted ending counts here too"\n'
+                "Final good line stays right here!")
+        df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+        r = quality_signals.c4_clean(df).first()
+        kept = r["clean_text"].split("\n")
+        assert kept == ["A proper sentence with enough words.",
+                        'A quoted ending counts here too"',
+                        "Final good line stays right here!"]
+        assert r["n_kept"] == 3 and r["n_dropped"] == 3
+
+    def test_page_rules(self, spark):
+        good = "One good sentence here. " * 6
+        df = spark.createDataFrame(
+            [(0, good),
+             (1, good + " lorem ipsum"),
+             (2, good + " with a { brace"),
+             (3, "Only two sentences. Just these two!")],
+            "doc_id int, text string")
+        got = {r["doc_id"]: r["c4_keep"]
+               for r in quality_signals.c4_clean(df).collect()}
+        assert got == {0: True, 1: False, 2: False, 3: False}
