@@ -2996,11 +2996,18 @@ WITH seeded AS (
   SELECT gram_md5,
          MIN(struct_pack(d := doc_id, p := word_pos)) AS c
   FROM spans GROUP BY gram_md5
-), cuts AS (
-  SELECT s.doc_id, list(DISTINCT s.word_pos) AS cut_starts
+), tagged AS (
+  SELECT s.doc_id, s.word_pos,
+         (s.doc_id = canon.c['d'] AND s.word_pos = canon.c['p']) AS is_canon
   FROM spans s JOIN canon USING (gram_md5)
-  WHERE NOT (s.doc_id = canon.c['d'] AND s.word_pos = canon.c['p'])
-  GROUP BY s.doc_id
+), cuts AS (
+  SELECT doc_id,
+         list(DISTINCT word_pos) FILTER (WHERE NOT is_canon) AS cut_starts,
+         COALESCE(list(DISTINCT word_pos) FILTER (WHERE is_canon), [])
+           AS keep_starts
+  FROM tagged
+  GROUP BY doc_id
+  HAVING COUNT(*) FILTER (WHERE NOT is_canon) > 0
 )
 SELECT w.doc_id,
        md5(CASE WHEN cuts.cut_starts IS NULL
@@ -3008,7 +3015,9 @@ SELECT w.doc_id,
                 ELSE COALESCE(array_to_string(
                   list_filter(w.w, (x, i) ->
                     len(list_filter(cuts.cut_starts,
-                        s -> (i - 1) >= s AND (i - 1) < s + {_SPAN_N})) = 0),
+                        s -> (i - 1) >= s AND (i - 1) < s + {_SPAN_N})) = 0
+                    OR len(list_filter(cuts.keep_starts,
+                        s -> (i - 1) >= s AND (i - 1) < s + {_SPAN_N})) > 0),
                   ' '), '')
            END) AS cut_hash
 FROM wrds w LEFT JOIN cuts ON w.doc_id = cuts.doc_id

@@ -247,24 +247,36 @@ def cut_repeated_spans(df: DataFrame, spans: DataFrame,
     whitespace-normalized rebuilt text (single spaces — the operator is
     defined on the tokenized stream, like the spans themselves).
 
+    Canonical windows are PROTECTED: a word inside some gram's canonical
+    window survives even when a different gram's cut window overlaps it —
+    without the protection, gram A's only kept copy could be destroyed by
+    gram B's cut landing on the same words (review-found scenario,
+    regression-tested), silently erasing a span from the whole corpus.
+
     Shape: a per-gram min-struct aggregate (tiny — one row per flagged
-    gram), an anti-filtered join back to occurrences, a per-doc
-    collect_list of cut starts (bounded by the doc's flagged-span count),
-    then one JVM filter over the word array. No Python, no windows over
-    the corpus."""
+    gram), a canonical/non-canonical split joined back per doc (two
+    bounded collect_sets), then one JVM filter over the word array. No
+    Python, no windows over the corpus."""
     canon = spans.groupBy("gram_md5").agg(
         F.min(F.struct(F.col(id_col), F.col("word_pos"))).alias("c"))
-    cuts = (spans.join(canon, on="gram_md5")
-            .filter(~((F.col(id_col) == F.col(f"c.{id_col}"))
-                      & (F.col("word_pos") == F.col("c.word_pos"))))
-            .groupBy(id_col)
-            .agg(F.collect_set("word_pos").alias("_cut_starts")))
+    tagged = spans.join(canon, on="gram_md5").withColumn(
+        "_is_canon",
+        (F.col(id_col) == F.col(f"c.{id_col}"))
+        & (F.col("word_pos") == F.col("c.word_pos")))
+    cuts = tagged.groupBy(id_col).agg(
+        F.collect_set(F.when(~F.col("_is_canon"), F.col("word_pos")))
+        .alias("_cut_starts"),
+        F.collect_set(F.when(F.col("_is_canon"), F.col("word_pos")))
+        .alias("_keep_starts"),
+    ).filter(F.size("_cut_starts") > 0)
     w = words_col(F.col(text_col))
     kept = F.zip_with(
         w, F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0))),
         lambda word, i: F.when(
             ~F.exists("_cut_starts",
-                      lambda s: (i >= s) & (i < s + n)), word))
+                      lambda s: (i >= s) & (i < s + n))
+            | F.exists("_keep_starts",
+                       lambda s: (i >= s) & (i < s + n)), word))
     return (df.join(cuts, on=id_col, how="left")
             .select(
                 F.col(id_col),

@@ -43,8 +43,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     n_dup_lines, dup_line_chars, top2_count, top2_chars). Documents with
     no lines / fewer than 2 words get zero counts, not NULLs."""
     base = df.select(F.col(id_col),
-                     F.length(F.col(text_col)).cast("bigint")
-                     .alias("total_chars"),
+                     F.coalesce(F.length(F.col(text_col)), F.lit(0))
+                     .cast("bigint").alias("total_chars"),
                      F.col(text_col).alias("_t"))
 
     line_groups = (
@@ -101,13 +101,15 @@ def repetition_filter(df: DataFrame, text_col: str = "text",
     the signal table back onto the corpus."""
     sig = repetition_signals(df, text_col, id_col)
     # dup_line_chars / total_chars <= max  ⇔  dup_line_chars * DENOM <=
-    # max * DENOM * total_chars with integer scaling (6 decimal places)
+    # max * DENOM * total_chars with integer scaling (6 decimal places;
+    # round(), never int() — truncation would shift the documented <=
+    # boundary down by an ulp of the scale for thresholds like 0.00397)
     scale = 1_000_000
     keep = sig.filter(
         (F.col("dup_line_chars") * scale
-         <= F.lit(int(max_dup_line_frac * scale)) * F.col("total_chars"))
+         <= F.lit(round(max_dup_line_frac * scale)) * F.col("total_chars"))
         & (F.col("top2_chars") * scale
-           <= F.lit(int(max_top2_frac * scale)) * F.col("total_chars"))
+           <= F.lit(round(max_top2_frac * scale)) * F.col("total_chars"))
     ).select(id_col)
     return df.join(keep, on=id_col, how="left_semi")
 
@@ -137,7 +139,6 @@ def c4_clean(df: DataFrame, text_col: str = "text",
     the caller filters on ``c4_keep`` (rows are annotated, not removed —
     curation keeps the audit trail)."""
     t = F.col(text_col)
-    lines = _lines(t)
 
     def line_ok(ln):
         trimmed = F.trim(ln)
@@ -148,14 +149,17 @@ def c4_clean(df: DataFrame, text_col: str = "text",
                 & (n_words >= C4_MIN_LINE_WORDS)
                 & ~F.contains(F.lower(ln), F.lit("javascript")))
 
-    kept = F.filter(lines, line_ok)
-    df = df.withColumn("_kept", kept)
+    # materialize the line array ONCE: it feeds both the kept filter and
+    # n_dropped, and a re-referenced split+filter expression re-executes
+    # per reference (the quality-gate lesson, CLAUDE.md perf facts)
+    df = df.withColumn("_lines", _lines(t))
+    df = df.withColumn("_kept", F.filter(F.col("_lines"), line_ok))
     clean = F.array_join(F.col("_kept"), "\n")
     df = (df.withColumn("clean_text", clean)
           .withColumn("n_kept",
                       F.size(F.col("_kept")).cast("bigint"))
           .withColumn("n_dropped",
-                      (F.size(lines) - F.size(F.col("_kept")))
+                      (F.size(F.col("_lines")) - F.size(F.col("_kept")))
                       .cast("bigint"))
           .withColumn("n_sentences",
                       F.size(F.regexp_extract_all(

@@ -553,3 +553,56 @@ class TestCutRepeatedSpans:
         spans = dedupe.repeated_spans(docs, n=5, min_df=2)
         out = dedupe.cut_repeated_spans(docs, spans, n=5).first()
         assert out["text"] == "plain text with extra spaces"
+
+    def test_canonical_copy_survives_overlapping_cut(self, spark):
+        """Review-found scenario: gram A's canonical copy sits inside
+        gram B's cut window in the same doc — the canonical window must
+        be protected or A's text would survive nowhere."""
+        A = " ".join(f"a{i}" for i in range(4))
+        B = " ".join(f"b{i}" for i in range(4))
+        pre = " ".join(f"p{i}" for i in range(3))
+        docs = spark.createDataFrame(
+            # doc 0: B(canonical pos 0) ... B again at pos 7 followed by
+            # A at pos 11 (inside nothing) — make B's second occurrence's
+            # window [7, 11) ADJACENT-overlap A? Construct overlap:
+            # doc 0: pre + B + A  (B canonical in doc 0? B also in doc 2
+            # at pos 0 → canonical (0, 3)); A canonical (0, 7).
+            [(0, pre + " " + B + " " + A),
+             (1, "z0 z1 z2 z3 z4 " + A),     # A non-canonical → cut
+             (2, B + " q0 q1 q2 q3 q4")],    # B non-canonical → cut
+            "doc_id int, text string")
+        spans = dedupe.repeated_spans(docs, n=4, min_df=2)
+        cut = {r["doc_id"]: r["text"]
+               for r in dedupe.cut_repeated_spans(docs, spans, n=4).collect()}
+        # canonical copies (both in doc 0) survive; dup occurrences cut
+        assert A in cut[0] and B in cut[0]
+        assert A not in cut[1]
+        assert B not in cut[2]
+
+    def test_canonical_protection_beats_foreign_cut_window(self, spark):
+        """Direct overlap: in doc 0, gram B occurs at pos 0 (canonical)
+        and gram A's canonical occurrence starts at pos 2, while B's
+        second doc-0 occurrence at pos 6 is cut — its window [6,10) and
+        A's window [2,6) are disjoint here, so force the overlap case:
+        B cut window [4,8) overlapping A canonical [2,6)."""
+        # words: b0 b1 b2 b3 | a0 a1 a2 a3 with A starting at 2 means
+        # shared words; build explicitly:
+        #   doc 0: w: c0 c1 a0 a1 a2 a3 c2 c3  (A canonical at pos 2)
+        #   doc 0 second gram B = "a2 a3 c2 c3" (pos 4) also in doc 2
+        #   doc 2: B at pos 0 → canonical for B is (0, 4)! → doc 2 cut
+        # flip: make B canonical in doc 0 impossible; instead give B an
+        # earlier doc: doc -? ids are ints; use doc 0 = B-holder with
+        # LOWER id so B canonical = (0,4); A in doc 0 at 2 canonical;
+        # B's doc-2 copy cut; A's doc-1 copy cut; doc 0 intact.
+        text0 = "c0 c1 a0 a1 a2 a3 c2 c3"
+        docs = spark.createDataFrame(
+            [(0, text0),
+             (1, "z0 z1 z2 a0 a1 a2 a3"),        # A dup → cut
+             (2, "a2 a3 c2 c3 q0 q1 q2")],       # B dup → cut
+            "doc_id int, text string")
+        spans = dedupe.repeated_spans(docs, n=4, min_df=2)
+        cut = {r["doc_id"]: r["text"]
+               for r in dedupe.cut_repeated_spans(docs, spans, n=4).collect()}
+        assert cut[0] == text0                    # both canonicals intact
+        assert "a0 a1 a2 a3" not in cut[1]
+        assert "a2 a3 c2 c3" not in cut[2]

@@ -101,3 +101,31 @@ class TestC4Clean:
         got = {r["doc_id"]: r["c4_keep"]
                for r in quality_signals.c4_clean(df).collect()}
         assert got == {0: True, 1: False, 2: False, 3: False}
+
+
+class TestReviewRegressions:
+    def test_null_text_passes_filter(self, spark):
+        """NULL text must behave like empty text (zero counts), not get
+        silently dropped by a NULL keep-predicate."""
+        long_clean = " ".join(f"word{i}" for i in range(60))
+        df = spark.createDataFrame([(0, None), (1, long_clean)],
+                                   "doc_id int, text string")
+        sig = {r["doc_id"]: r
+               for r in quality_signals.repetition_signals(df).collect()}
+        assert sig[0]["total_chars"] == 0
+        kept = {r["doc_id"]
+                for r in quality_signals.repetition_filter(df).collect()}
+        assert kept == {0, 1}
+
+    def test_threshold_boundary_uses_round_not_truncation(self, spark):
+        """A doc whose fraction EQUALS the threshold must be kept:
+        int(0.00397e6)=3969 would shift the <= boundary and drop it."""
+        la, lb = "x" * 99, "y" * 50
+        filler = "u" * (100000 - (3 * 99 + 2 * 50) - 5)
+        text = "\n".join([la, la, la, lb, lb, filler])
+        df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+        r = quality_signals.repetition_signals(df).first()
+        assert (r["dup_line_chars"], r["total_chars"]) == (397, 100000)
+        kept = quality_signals.repetition_filter(
+            df, max_dup_line_frac=0.00397, max_top2_frac=1.0).count()
+        assert kept == 1
