@@ -147,7 +147,8 @@ def main() -> None:
                  "ann_ivfpq_topk", "bpe_pair_counts", "error_taxonomy",
                  "curate_corpus", "decontaminate_ngram_overlap",
                  "sample_cap_per_source", "repetition_signals",
-                 "sample_mixture", "repeated_span_mining", "c4_clean"):
+                 "sample_mixture", "repeated_span_mining", "c4_clean",
+                 "sft_pairs"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

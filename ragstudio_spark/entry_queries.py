@@ -3097,6 +3097,62 @@ FROM shaped
 _def("c4_clean", (_c4_fn, _c4_duck_sql()))
 
 
+# -- 45. SFT pair mining (operators/sft.py): documents shaped into
+#        transcripts (source = conversation, contiguous per-conv turn
+#        index via row_number, role cycling user/assistant/tool), then
+#        consecutive user→assistant pairs extracted. Hashes pin prompt/
+#        response bytes; contiguity means a tool turn between them
+#        disqualifies the pair in BOTH engines identically.
+def _sft_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ragstudio_spark.operators import sft
+
+    _register(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    turns = spark.table("documents").select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            ((F.row_number().over(w) - 1) % 3 + 1).cast("int")).alias("role"),
+        "text")
+    pairs = sft.sft_pairs(turns)
+    return pairs.select(
+        "conv_id", "turn_idx",
+        F.md5("prompt").alias("prompt_hash"),
+        F.md5("response").alias("response_hash"),
+        "prompt_chars", "response_chars")
+
+
+_SFT_DUCK = """
+WITH turns AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER w - 1 AS INT) AS turn_idx,
+         (['user', 'assistant', 'tool'])[CAST((row_number() OVER w - 1) % 3
+                                              + 1 AS INT)] AS role,
+         text
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC)
+), cand AS (
+  SELECT conv_id, turn_idx, role, text AS prompt,
+         lead(role) OVER w2 AS nrole,
+         lead(text) OVER w2 AS response,
+         lead(turn_idx) OVER w2 AS nidx
+  FROM turns
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx ASC)
+)
+SELECT conv_id, turn_idx, md5(prompt) AS prompt_hash,
+       md5(response) AS response_hash,
+       CAST(COALESCE(length(prompt), 0) AS BIGINT) AS prompt_chars,
+       CAST(COALESCE(length(response), 0) AS BIGINT) AS response_chars
+FROM cand
+WHERE role = 'user' AND nrole = 'assistant' AND nidx = turn_idx + 1
+"""
+
+_def("sft_pairs", (_sft_fn, _SFT_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -1,0 +1,55 @@
+"""SFT pair mining — turning conversation transcripts into supervised
+fine-tuning examples, the step between this engine's transcript tables
+and a trainer's (prompt, response) dataset.
+
+``sft_pairs`` extracts consecutive user→assistant turn pairs per
+conversation: the prompt is the user turn, the response is the
+assistant turn that DIRECTLY follows it (``turn_idx + 1`` — a tool turn
+or a gap between them disqualifies the pair, because the assistant text
+would then be answering tool output the example doesn't carry).
+
+Scale shape: one per-conversation window (lead over turn order) — the
+same partitioning the pipeline already buckets by, so on a conv_id-
+bucketed table this is shuffle-free. No global windows, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sft_pairs(df: DataFrame, conv_col: str = "conv_id",
+              idx_col: str = "turn_idx", role_col: str = "role",
+              text_col: str = "text", user_role: str = "user",
+              assistant_role: str = "assistant") -> DataFrame:
+    """(conv_id, turn_idx, prompt, response, prompt_chars,
+    response_chars) — one row per mined pair; ``turn_idx`` is the USER
+    turn's index."""
+    w = Window.partitionBy(conv_col).orderBy(F.asc(idx_col))
+    cand = df.select(
+        F.col(conv_col), F.col(idx_col), F.col(role_col),
+        F.col(text_col).alias("prompt"),
+        F.lead(role_col).over(w).alias("_nrole"),
+        F.lead(text_col).over(w).alias("response"),
+        F.lead(idx_col).over(w).alias("_nidx"),
+    )
+    return (cand.filter((F.col(role_col) == user_role)
+                        & (F.col("_nrole") == assistant_role)
+                        & (F.col("_nidx") == F.col(idx_col) + 1))
+            .select(conv_col, idx_col, "prompt", "response",
+                    F.coalesce(F.length("prompt"), F.lit(0))
+                    .cast("bigint").alias("prompt_chars"),
+                    F.coalesce(F.length("response"), F.lit(0))
+                    .cast("bigint").alias("response_chars")))
+
+
+def sft_pair_stats(pairs: DataFrame,
+                   conv_col: str = "conv_id") -> DataFrame:
+    """One-row dataset manifest: pair count, conversations covered,
+    exact char totals (integer — oracle discipline)."""
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct(conv_col).cast("bigint").alias("n_conversations"),
+        F.sum("prompt_chars").cast("bigint").alias("total_prompt_chars"),
+        F.sum("response_chars").cast("bigint").alias("total_response_chars"),
+    )

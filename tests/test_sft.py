@@ -1,0 +1,45 @@
+"""SFT pair mining (operators/sft.py)."""
+
+from ragstudio_spark.operators import sft
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+
+
+class TestSftPairs:
+    def test_extracts_adjacent_user_assistant_pairs(self, spark):
+        rows = [
+            ("c1", 0, "user", "question one"),
+            ("c1", 1, "assistant", "answer one"),
+            ("c1", 2, "user", "question two"),
+            ("c1", 3, "tool", "tool output"),          # breaks the pair
+            ("c1", 4, "assistant", "answer after tool"),
+            ("c2", 0, "assistant", "unprompted"),
+            ("c2", 1, "user", "late question"),         # no reply follows
+        ]
+        got = {(r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"])
+               for r in sft.sft_pairs(_turns(spark, rows)).collect()}
+        assert got == {("c1", 0): ("question one", "answer one")}
+
+    def test_gap_in_turn_index_disqualifies(self, spark):
+        rows = [("c1", 0, "user", "q"), ("c1", 5, "assistant", "a")]
+        assert sft.sft_pairs(_turns(spark, rows)).count() == 0
+
+    def test_stats_manifest(self, spark):
+        rows = [("c1", 0, "user", "qq"), ("c1", 1, "assistant", "aaa"),
+                ("c2", 0, "user", "q2"), ("c2", 1, "assistant", "a2")]
+        r = sft.sft_pair_stats(sft.sft_pairs(_turns(spark, rows))).first()
+        assert r["n_pairs"] == 2 and r["n_conversations"] == 2
+        assert r["total_prompt_chars"] == 4
+        assert r["total_response_chars"] == 5
+
+    def test_deterministic_across_partitionings(self, spark):
+        rows = [("c%d" % (i % 7), i // 7,
+                 ["user", "assistant", "tool"][i % 3], f"text {i}")
+                for i in range(84)]
+        df = _turns(spark, rows)
+        a = sorted(map(repr, sft.sft_pairs(df).collect()))
+        b = sorted(map(repr, sft.sft_pairs(df.repartition(5)).collect()))
+        assert a == b
