@@ -97,3 +97,71 @@ class TestAdversarialDifferential:
         assert len(got) == len(exp)
         assert got == exp
         assert len(got) > 20  # a meaningful fraction survives the gate
+
+
+class TestCurationFamilyOnHostileInputs:
+    """The round-4 curation family over the same seeded garbage: no
+    crashes, internal accounting invariants hold, everything
+    deterministic across partitionings."""
+
+    @pytest.fixture(scope="class")
+    def nasty_docs(self, spark):
+        rows = [(i, ["en", "fr", "de"][i % 3], _nasty_text(1000 + i))
+                for i in range(60)]
+        return spark.createDataFrame(rows,
+                                     "doc_id int, lang string, text string")
+
+    def test_curate_corpus_invariants(self, spark, nasty_docs):
+        from ragstudio_spark.operators import curation
+
+        out = curation.curate_corpus(nasty_docs, budget=128).collect()
+        ids = [r["doc_id"] for r in out]
+        assert len(ids) == len(set(ids))
+        for r in out:
+            assert r["token_count"] == len(r["redacted_text"]) // 4
+            assert 0 <= r["seq_token_offset"] < 128 or r["seq_index"] == 0
+
+    def test_repetition_signals_invariants(self, spark, nasty_docs):
+        from ragstudio_spark.operators import quality_signals
+
+        for r in quality_signals.repetition_signals(nasty_docs).collect():
+            assert 0 <= r["n_dup_lines"] <= r["n_lines"]
+            assert 0 <= r["dup_line_chars"] <= r["total_chars"]
+            assert r["top2_count"] >= 0
+
+    def test_c4_accounting_and_line_contract(self, spark, nasty_docs):
+        from ragstudio_spark.operators import quality_signals
+
+        got = quality_signals.c4_clean(nasty_docs).collect()
+        raw = {r["doc_id"]: r["text"] for r in nasty_docs.collect()}
+        for r in got:
+            n_lines = len([ln for ln in raw[r["doc_id"]].split("\n") if ln])
+            assert r["n_kept"] + r["n_dropped"] == n_lines
+            for ln in (r["clean_text"].split("\n") if r["clean_text"] else []):
+                assert ln.strip()[-1:] in (".", "!", "?", '"')
+                assert "javascript" not in ln.lower()
+
+    def test_span_cut_only_removes_words(self, spark, nasty_docs):
+        from collections import Counter
+
+        from ragstudio_spark.operators import dedupe
+
+        spans = dedupe.repeated_spans(nasty_docs, n=8, min_df=2)
+        cut = {r["doc_id"]: r["text"] for r in
+               dedupe.cut_repeated_spans(nasty_docs, spans, n=8).collect()}
+        raw = {r["doc_id"]: r["text"] for r in nasty_docs.collect()}
+        for i, text in cut.items():
+            orig = Counter(raw[i].lower().split())
+            new = Counter(text.split())
+            assert all(new[w] <= orig[w] for w in new), i
+
+    def test_family_deterministic_across_partitionings(self, spark, nasty_docs):
+        from ragstudio_spark.operators import curation, quality_signals
+
+        rep = nasty_docs.repartition(7)
+        for fn in (lambda d: curation.curate_corpus(d, budget=64),
+                   quality_signals.repetition_signals,
+                   quality_signals.c4_clean):
+            a = sorted(map(repr, fn(nasty_docs).collect()))
+            b = sorted(map(repr, fn(rep).collect()))
+            assert a == b
