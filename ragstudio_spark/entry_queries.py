@@ -3153,6 +3153,66 @@ WHERE role = 'user' AND nrole = 'assistant' AND nidx = turn_idx + 1
 _def("sft_pairs", (_sft_fn, _SFT_DUCK))
 
 
+# -- 45b. multi-turn SFT assembly (operators/sft.py sft_multiturn): the
+#         truncated-history variant — prompt = last N turns as
+#         'role: text' lines. Context arrays are explicitly sorted by
+#         turn index in both engines (frame iteration order is not a
+#         contract anywhere).
+_SFT_CTX = 4
+
+
+def _sft_mt_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ragstudio_spark.operators import sft
+
+    _register(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    turns = spark.table("documents").select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            ((F.row_number().over(w) - 1) % 3 + 1).cast("int")).alias("role"),
+        "text")
+    out = sft.sft_multiturn(turns, max_context_turns=_SFT_CTX)
+    return out.select("conv_id", "turn_idx",
+                      F.md5("prompt").alias("prompt_hash"),
+                      F.md5("response").alias("response_hash"),
+                      "n_context_turns")
+
+
+_SFT_MT_DUCK = f"""
+WITH turns AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER w - 1 AS INT) AS turn_idx,
+         (['user', 'assistant', 'tool'])[CAST((row_number() OVER w - 1) % 3
+                                              + 1 AS INT)] AS role,
+         text
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC)
+), cand AS (
+  SELECT conv_id, turn_idx, role, text AS response,
+         list_sort(list(struct_pack(i := turn_idx, r := role, t := text))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx ASC
+                         ROWS BETWEEN {_SFT_CTX} PRECEDING AND 1 PRECEDING))
+           AS ctx
+  FROM turns
+)
+SELECT conv_id, turn_idx,
+       md5(array_to_string(
+         list_transform(ctx, s -> s['r'] || ': ' || COALESCE(s['t'], '')),
+         chr(10))) AS prompt_hash,
+       md5(response) AS response_hash,
+       CAST(len(ctx) AS INT) AS n_context_turns
+FROM cand
+WHERE role = 'assistant' AND len(ctx) >= 1
+  AND ctx[-1]['r'] = 'user' AND ctx[-1]['i'] = turn_idx - 1
+"""
+
+_def("sft_multiturn", (_sft_mt_fn, _SFT_MT_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

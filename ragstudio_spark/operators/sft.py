@@ -43,6 +43,49 @@ def sft_pairs(df: DataFrame, conv_col: str = "conv_id",
                     .cast("bigint").alias("response_chars")))
 
 
+def sft_multiturn(df: DataFrame, conv_col: str = "conv_id",
+                  idx_col: str = "turn_idx", role_col: str = "role",
+                  text_col: str = "text", user_role: str = "user",
+                  assistant_role: str = "assistant",
+                  max_context_turns: int = 8) -> DataFrame:
+    """Multi-turn SFT examples: for each assistant turn directly preceded
+    by a user turn, the prompt is the last ``max_context_turns`` turns
+    rendered as ``role: text`` lines (conversation-history format), the
+    response is the assistant turn. Returns (conv_id, turn_idx [of the
+    assistant turn], prompt, response, n_context_turns).
+
+    The context window is a bounded per-conversation ROWS frame — never
+    the whole conversation (a 2000-turn transcript must not quadratically
+    re-ship its history per example; the cap is the standard truncated-
+    history training shape). The collected context is explicitly
+    array_sorted by turn index: frame iteration order is an
+    implementation detail neither engine contracts."""
+    w = (Window.partitionBy(conv_col).orderBy(F.asc(idx_col))
+         .rowsBetween(-max_context_turns, -1))
+    ctx = F.array_sort(F.collect_list(
+        F.struct(F.col(idx_col).alias("i"), F.col(role_col).alias("r"),
+                 F.col(text_col).alias("t"))).over(w))
+    cand = df.select(
+        F.col(conv_col), F.col(idx_col), F.col(role_col),
+        F.col(text_col).alias("response"), ctx.alias("_ctx"))
+    # try_element_at, not element_at: ANSI mode evaluates every conjunct
+    # (no short-circuit), so a turn with an empty context would throw on
+    # the -1 index before the size predicate could exclude it
+    last = F.try_element_at(F.col("_ctx"), F.lit(-1))
+    return (cand.filter((F.col(role_col) == assistant_role)
+                        & (F.size("_ctx") >= 1)
+                        & (last["r"] == user_role)
+                        & (last["i"] == F.col(idx_col) - 1))
+            .select(
+                conv_col, idx_col,
+                F.array_join(
+                    F.transform("_ctx", lambda s: F.concat(
+                        s["r"], F.lit(": "), F.coalesce(s["t"], F.lit("")))),
+                    "\n").alias("prompt"),
+                "response",
+                F.size("_ctx").cast("int").alias("n_context_turns")))
+
+
 def sft_pair_stats(pairs: DataFrame,
                    conv_col: str = "conv_id") -> DataFrame:
     """One-row dataset manifest: pair count, conversations covered,

@@ -43,3 +43,27 @@ class TestSftPairs:
         a = sorted(map(repr, sft.sft_pairs(df).collect()))
         b = sorted(map(repr, sft.sft_pairs(df.repartition(5)).collect()))
         assert a == b
+
+
+class TestSftMultiturn:
+    def test_history_format_and_cap(self, spark):
+        rows = [("c1", i, ["user", "assistant"][i % 2], f"t{i}")
+                for i in range(10)]
+        out = {r["turn_idx"]: r for r in sft.sft_multiturn(
+            _turns(spark, rows), max_context_turns=3).collect()}
+        # assistant turns at odd idx; context capped at 3 turns
+        assert set(out) == {1, 3, 5, 7, 9}
+        assert out[1]["prompt"] == "user: t0"
+        assert out[1]["n_context_turns"] == 1
+        assert out[7]["prompt"] == "user: t4\nassistant: t5\nuser: t6"
+        assert out[7]["n_context_turns"] == 3
+        assert out[7]["response"] == "t7"
+
+    def test_requires_user_directly_before(self, spark):
+        rows = [("c1", 0, "user", "q"), ("c1", 1, "tool", "x"),
+                ("c1", 2, "assistant", "a")]
+        assert sft.sft_multiturn(_turns(spark, rows)).count() == 0
+
+    def test_first_turn_assistant_is_skipped(self, spark):
+        rows = [("c1", 0, "assistant", "hello")]
+        assert sft.sft_multiturn(_turns(spark, rows)).count() == 0
