@@ -3102,31 +3102,26 @@ _def("c4_clean", (_c4_fn, _c4_duck_sql()))
 #        index via row_number, role cycling user/assistant/tool), then
 #        consecutive user→assistant pairs extracted. Hashes pin prompt/
 #        response bytes; contiguity means a tool turn between them
-#        disqualifies the pair in BOTH engines identically.
-def _sft_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+#        disqualifies the pair in BOTH engines identically. The shaping
+#        is single-sourced (one Spark helper + one SQL CTE) across the
+#        pair and multi-turn entries — four hand-synced copies is how
+#        twins silently diverge.
+def _sft_turns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window, functions as F
-
-    from ragstudio_spark.operators import sft
 
     _register(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
-    turns = spark.table("documents").select(
+    return spark.table("documents").select(
         F.col("source").alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.element_at(
             F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
             ((F.row_number().over(w) - 1) % 3 + 1).cast("int")).alias("role"),
         "text")
-    pairs = sft.sft_pairs(turns)
-    return pairs.select(
-        "conv_id", "turn_idx",
-        F.md5("prompt").alias("prompt_hash"),
-        F.md5("response").alias("response_hash"),
-        "prompt_chars", "response_chars")
 
 
-_SFT_DUCK = """
-WITH turns AS (
+_SFT_TURNS_CTE = """
+turns AS (
   SELECT source AS conv_id,
          CAST(row_number() OVER w - 1 AS INT) AS turn_idx,
          (['user', 'assistant', 'tool'])[CAST((row_number() OVER w - 1) % 3
@@ -3134,7 +3129,24 @@ WITH turns AS (
          text
   FROM documents
   WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC)
-), cand AS (
+)"""
+
+
+def _sft_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import sft
+
+    pairs = sft.sft_pairs(_sft_turns_df(spark, sf_dir))
+    return pairs.select(
+        "conv_id", "turn_idx",
+        F.md5("prompt").alias("prompt_hash"),
+        F.md5("response").alias("response_hash"),
+        "prompt_chars", "response_chars")
+
+
+_SFT_DUCK = f"""
+WITH {_SFT_TURNS_CTE}, cand AS (
   SELECT conv_id, turn_idx, role, text AS prompt,
          lead(role) OVER w2 AS nrole,
          lead(text) OVER w2 AS response,
@@ -3162,20 +3174,12 @@ _SFT_CTX = 4
 
 
 def _sft_mt_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
     from ragstudio_spark.operators import sft
 
-    _register(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
-    turns = spark.table("documents").select(
-        F.col("source").alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        F.element_at(
-            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
-            ((F.row_number().over(w) - 1) % 3 + 1).cast("int")).alias("role"),
-        "text")
-    out = sft.sft_multiturn(turns, max_context_turns=_SFT_CTX)
+    out = sft.sft_multiturn(_sft_turns_df(spark, sf_dir),
+                            max_context_turns=_SFT_CTX)
     return out.select("conv_id", "turn_idx",
                       F.md5("prompt").alias("prompt_hash"),
                       F.md5("response").alias("response_hash"),
@@ -3183,15 +3187,7 @@ def _sft_mt_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SFT_MT_DUCK = f"""
-WITH turns AS (
-  SELECT source AS conv_id,
-         CAST(row_number() OVER w - 1 AS INT) AS turn_idx,
-         (['user', 'assistant', 'tool'])[CAST((row_number() OVER w - 1) % 3
-                                              + 1 AS INT)] AS role,
-         text
-  FROM documents
-  WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC)
-), cand AS (
+WITH {_SFT_TURNS_CTE}, cand AS (
   SELECT conv_id, turn_idx, role, text AS response,
          list_sort(list(struct_pack(i := turn_idx, r := role, t := text))
                    OVER (PARTITION BY conv_id ORDER BY turn_idx ASC
@@ -3201,7 +3197,8 @@ WITH turns AS (
 )
 SELECT conv_id, turn_idx,
        md5(array_to_string(
-         list_transform(ctx, s -> s['r'] || ': ' || COALESCE(s['t'], '')),
+         list_transform(ctx, s -> COALESCE(s['r'], '') || ': '
+                                  || COALESCE(s['t'], '')),
          chr(10))) AS prompt_hash,
        md5(response) AS response_hash,
        CAST(len(ctx) AS INT) AS n_context_turns

@@ -59,28 +59,37 @@ def sft_multiturn(df: DataFrame, conv_col: str = "conv_id",
     re-ship its history per example; the cap is the standard truncated-
     history training shape). The collected context is explicitly
     array_sorted by turn index: frame iteration order is an
-    implementation detail neither engine contracts."""
-    w = (Window.partitionBy(conv_col).orderBy(F.asc(idx_col))
-         .rowsBetween(-max_context_turns, -1))
-    ctx = F.array_sort(F.collect_list(
+    implementation detail neither engine contracts.
+
+    Expression shape (review-found, plan-verified): the adjacency/role
+    predicates use lag() over the plain window, NOT the context array —
+    filtering through array expressions would inline the struct sort into
+    every reference (the CLAUDE.md Catalyst trap, measured at 3 extra
+    sorts per input row); array_sort now appears exactly once, in the
+    prompt projection of surviving rows, and n_context_turns reads the
+    unsorted attribute."""
+    w_full = Window.partitionBy(conv_col).orderBy(F.asc(idx_col))
+    w_frame = w_full.rowsBetween(-max_context_turns, -1)
+    raw_ctx = F.collect_list(
         F.struct(F.col(idx_col).alias("i"), F.col(role_col).alias("r"),
-                 F.col(text_col).alias("t"))).over(w))
+                 F.col(text_col).alias("t"))).over(w_frame)
     cand = df.select(
         F.col(conv_col), F.col(idx_col), F.col(role_col),
-        F.col(text_col).alias("response"), ctx.alias("_ctx"))
-    # try_element_at, not element_at: ANSI mode evaluates every conjunct
-    # (no short-circuit), so a turn with an empty context would throw on
-    # the -1 index before the size predicate could exclude it
-    last = F.try_element_at(F.col("_ctx"), F.lit(-1))
+        F.col(text_col).alias("response"),
+        F.lag(role_col).over(w_full).alias("_prole"),
+        F.lag(idx_col).over(w_full).alias("_pidx"),
+        raw_ctx.alias("_ctx"))
     return (cand.filter((F.col(role_col) == assistant_role)
-                        & (F.size("_ctx") >= 1)
-                        & (last["r"] == user_role)
-                        & (last["i"] == F.col(idx_col) - 1))
+                        & (F.col("_prole") == user_role)
+                        & (F.col("_pidx") == F.col(idx_col) - 1))
             .select(
                 conv_col, idx_col,
                 F.array_join(
-                    F.transform("_ctx", lambda s: F.concat(
-                        s["r"], F.lit(": "), F.coalesce(s["t"], F.lit("")))),
+                    F.transform(F.array_sort(F.col("_ctx")),
+                                lambda s: F.concat(
+                                    F.coalesce(s["r"], F.lit("")),
+                                    F.lit(": "),
+                                    F.coalesce(s["t"], F.lit("")))),
                     "\n").alias("prompt"),
                 "response",
                 F.size("_ctx").cast("int").alias("n_context_turns")))
@@ -93,6 +102,10 @@ def sft_pair_stats(pairs: DataFrame,
     return pairs.agg(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.countDistinct(conv_col).cast("bigint").alias("n_conversations"),
-        F.sum("prompt_chars").cast("bigint").alias("total_prompt_chars"),
-        F.sum("response_chars").cast("bigint").alias("total_response_chars"),
+        # coalesce: F.sum over zero rows is NULL, and the manifest
+        # contract is exact bigint totals, including for an empty mine
+        F.coalesce(F.sum("prompt_chars"), F.lit(0)).cast("bigint")
+        .alias("total_prompt_chars"),
+        F.coalesce(F.sum("response_chars"), F.lit(0)).cast("bigint")
+        .alias("total_response_chars"),
     )

@@ -67,3 +67,25 @@ class TestSftMultiturn:
     def test_first_turn_assistant_is_skipped(self, spark):
         rows = [("c1", 0, "assistant", "hello")]
         assert sft.sft_multiturn(_turns(spark, rows)).count() == 0
+
+
+class TestReviewRegressions:
+    def test_empty_mine_gives_zero_totals_not_null(self, spark):
+        rows = [("c1", 0, "user", "q"), ("c1", 1, "tool", "x")]
+        r = sft.sft_pair_stats(sft.sft_pairs(_turns(spark, rows))).first()
+        assert (r["total_prompt_chars"], r["total_response_chars"]) == (0, 0)
+
+    def test_null_role_context_counts_match_lines(self, spark):
+        rows = [("c1", 0, None, "sys"), ("c1", 1, "user", "q"),
+                ("c1", 2, "assistant", "a")]
+        r = sft.sft_multiturn(_turns(spark, rows),
+                              max_context_turns=4).first()
+        assert r["n_context_turns"] == 2
+        assert r["prompt"] == ": sys\nuser: q"  # NULL role renders empty
+
+    def test_sort_appears_once_in_plan(self, spark):
+        rows = [("c1", i, ["user", "assistant"][i % 2], f"t{i}")
+                for i in range(6)]
+        plan = (sft.sft_multiturn(_turns(spark, rows))
+                ._jdf.queryExecution().optimizedPlan().toString())
+        assert plan.count("array_sort") == 1
