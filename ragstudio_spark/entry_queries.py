@@ -3210,6 +3210,50 @@ WHERE role = 'assistant' AND len(ctx) >= 1
 _def("sft_multiturn", (_sft_mt_fn, _SFT_MT_DUCK))
 
 
+# -- 45c. preference-pair mining (operators/sft.py preference_pairs): the
+#         DPO data-prep step over the synthetic feedback frame — per
+#         query, chosen = max-rated candidate, rejected = min-rated,
+#         emitted when the DECIMAL gap ≥ 1.0; ties resolve to the lowest
+#         feedback_id via the portable max-then-min-among-ties shape.
+def _dpo_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import sft
+
+    _register(spark, sf_dir, "events")
+    return sft.preference_pairs(_feedback_df(spark)).orderBy("query_id")
+
+
+_DPO_DUCK = f"""
+WITH {_FB_DUCK_BASE},
+rated AS (
+  SELECT query_id, feedback_id,
+         CAST(numeric_rating AS DECIMAL(18,2)) AS r
+  FROM feedback WHERE numeric_rating IS NOT NULL
+), ext AS (
+  SELECT query_id, MAX(r) AS max_r, MIN(r) AS min_r
+  FROM rated GROUP BY query_id
+), chosen AS (
+  SELECT rated.query_id, MIN(feedback_id) AS chosen_id,
+         MAX(r) AS chosen_rating
+  FROM rated JOIN ext USING (query_id)
+  WHERE r = max_r GROUP BY rated.query_id
+), rejected AS (
+  SELECT rated.query_id, MIN(feedback_id) AS rejected_id,
+         MAX(r) AS rejected_rating
+  FROM rated JOIN ext USING (query_id)
+  WHERE r = min_r GROUP BY rated.query_id
+)
+SELECT query_id, chosen_id, rejected_id,
+       CAST(chosen_rating AS DOUBLE) AS chosen_rating,
+       CAST(rejected_rating AS DOUBLE) AS rejected_rating
+FROM chosen JOIN rejected USING (query_id)
+WHERE chosen_rating - rejected_rating >= CAST(1.0 AS DECIMAL(18,2))
+  AND chosen_id <> rejected_id
+ORDER BY query_id
+"""
+
+_def("preference_pairs", (_dpo_fn, _DPO_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

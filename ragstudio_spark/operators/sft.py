@@ -95,6 +95,51 @@ def sft_multiturn(df: DataFrame, conv_col: str = "conv_id",
                 F.size("_ctx").cast("int").alias("n_context_turns")))
 
 
+def preference_pairs(df: DataFrame, key_col: str = "query_id",
+                     id_col: str = "feedback_id",
+                     rating_col: str = "numeric_rating",
+                     min_gap: float = 1.0) -> DataFrame:
+    """Preference-pair mining (the DPO/RLHF data-prep step): per key,
+    pair the highest-rated candidate (chosen) with the lowest-rated
+    (rejected), emitted only when the rating gap reaches ``min_gap`` —
+    returns (key, chosen_id, rejected_id, chosen_rating,
+    rejected_rating) with DECIMAL(18,2) ratings (exact arithmetic; the
+    gap comparison must not sit on a float boundary).
+
+    Determinism: ties at the max/min rating resolve to the LOWEST id,
+    via the portable max-then-min-among-ties shape (arg_max struct
+    orderings differ across engines). Rows with NULL ratings never
+    participate. Shape: one groupBy for the extremes, two tie-resolving
+    joins on the key — all key-partitioned, no windows over the corpus."""
+    dec = "decimal(18,2)"
+    rated = (df.filter(F.col(rating_col).isNotNull())
+             .select(F.col(key_col), F.col(id_col),
+                     F.col(rating_col).cast(dec).alias("_r")))
+    ext = rated.groupBy(key_col).agg(F.max("_r").alias("_max_r"),
+                                     F.min("_r").alias("_min_r"))
+    chosen = (rated.join(ext, on=key_col)
+              .filter(F.col("_r") == F.col("_max_r"))
+              .groupBy(key_col)
+              .agg(F.min(id_col).alias("chosen_id"),
+                   F.max("_r").alias("chosen_rating")))
+    rejected = (rated.join(ext, on=key_col)
+                .filter(F.col("_r") == F.col("_min_r"))
+                .groupBy(key_col)
+                .agg(F.min(id_col).alias("rejected_id"),
+                     F.max("_r").alias("rejected_rating")))
+    # gap test on exact decimals; EMITTED ratings cast to double (the
+    # decimal values are exact, and engines render decimals differently)
+    return (chosen.join(rejected, on=key_col)
+            .filter((F.col("chosen_rating") - F.col("rejected_rating")
+                     >= F.lit(min_gap).cast(dec))
+                    & (F.col("chosen_id") != F.col("rejected_id")))
+            .select(key_col, "chosen_id", "rejected_id",
+                    F.col("chosen_rating").cast("double")
+                    .alias("chosen_rating"),
+                    F.col("rejected_rating").cast("double")
+                    .alias("rejected_rating")))
+
+
 def sft_pair_stats(pairs: DataFrame,
                    conv_col: str = "conv_id") -> DataFrame:
     """One-row dataset manifest: pair count, conversations covered,

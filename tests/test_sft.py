@@ -89,3 +89,34 @@ class TestReviewRegressions:
         plan = (sft.sft_multiturn(_turns(spark, rows))
                 ._jdf.queryExecution().optimizedPlan().toString())
         assert plan.count("array_sort") == 1
+
+
+class TestPreferencePairs:
+    def _fb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id string, feedback_id string, "
+                  "numeric_rating double")
+
+    def test_chosen_rejected_with_gap(self, spark):
+        rows = [("q1", "f1", 5.0), ("q1", "f2", 2.0), ("q1", "f3", 3.0),
+                ("q2", "f4", 4.0), ("q2", "f5", 3.5),     # gap 0.5 < 1.0
+                ("q3", "f6", 4.0), ("q3", "f7", None)]    # single rated
+        got = {r["query_id"]: (r["chosen_id"], r["rejected_id"],
+                               r["chosen_rating"], r["rejected_rating"])
+               for r in sft.preference_pairs(self._fb(spark, rows)).collect()}
+        assert got == {"q1": ("f1", "f2", 5.0, 2.0)}
+
+    def test_rating_ties_resolve_to_lowest_id(self, spark):
+        rows = [("q1", "f9", 5.0), ("q1", "f2", 5.0), ("q1", "f5", 1.0),
+                ("q1", "f3", 1.0)]
+        r = sft.preference_pairs(self._fb(spark, rows)).first()
+        assert (r["chosen_id"], r["rejected_id"]) == ("f2", "f3")
+
+    def test_deterministic_across_partitionings(self, spark):
+        rows = [(f"q{i % 5}", f"f{i}", float(1 + (i * 3) % 7))
+                for i in range(50)]
+        df = self._fb(spark, rows)
+        a = sorted(map(repr, sft.preference_pairs(df).collect()))
+        b = sorted(map(repr,
+                       sft.preference_pairs(df.repartition(7)).collect()))
+        assert a == b and len(a) > 0
