@@ -108,25 +108,93 @@ class BPETokenizer:
         return len(self.token_boundaries(text)) - 1
 
 
-def load_merges(path: str) -> BPETokenizer:
-    """Standard merges.txt: optional '#version' header, 'a b' per line."""
+_ESCAPE_RE = re.compile(r"\\\\|\\u[0-9a-fA-F]{4}")
+
+
+def escape_merge_token(tok: str) -> str:
+    """Whitespace-safe merges.txt token: backslash → ``\\\\``, every
+    whitespace char → ``\\uXXXX``. The GPT-2-style pre-tokenizer makes
+    space-prefixed pieces dominant, so top trained merges like
+    ``(' ', 't')`` are near-certain on real corpora — written raw they
+    would corrupt the space-separated line format (and newline tokens the
+    file itself). All whitespace is in the BMP, so 4 hex digits suffice."""
+    out = tok.replace("\\", "\\\\")
+    return "".join(f"\\u{ord(c):04x}" if c.isspace() else c for c in out)
+
+
+def unescape_merge_token(tok: str) -> str:
+    return _ESCAPE_RE.sub(
+        lambda m: "\\" if m.group() == "\\\\" else chr(int(m.group()[2:], 16)),
+        tok)
+
+
+def parse_merges(lines) -> list[tuple[str, str]]:
+    """merges.txt lines → ordered merge list (shared by file and packaged-
+    resource loading)."""
     merges: list[tuple[str, str]] = []
+    for line in lines:
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"bad merges line: {line!r}")
+        merges.append((unescape_merge_token(parts[0]),
+                       unescape_merge_token(parts[1])))
+    return merges
+
+
+def load_merges(path: str) -> BPETokenizer:
+    """Standard merges.txt: optional '#version' header, 'a b' per line.
+    Tokens may carry the ``escape_merge_token`` escapes (how save_merges
+    serializes whitespace-bearing tokens); unescaping is the identity on
+    conventional escape-free files."""
     with open(path, encoding="utf-8") as f:
-        for line in f:
-            line = line.rstrip("\n")
-            if not line or line.startswith("#"):
-                continue
-            parts = line.split(" ")
-            if len(parts) != 2:
-                raise ValueError(f"bad merges line: {line!r}")
-            merges.append((parts[0], parts[1]))
-    return BPETokenizer(merges)
+        return BPETokenizer(parse_merges(f))
+
+
+@lru_cache(maxsize=1)
+def default_tokenizer() -> BPETokenizer | None:
+    """Tokenizer from the SHIPPED trained vocabulary
+    (ragstudio_spark/data/merges.txt — produced once by
+    operators/bpe_trainer.py over the synthetic corpus, see
+    scripts/train_bpe.py), or None when the artifact is absent (the
+    char-window fallback then applies, the reference's own degradation
+    path without tiktoken). Loaded via importlib.resources so the
+    ``spark-submit --py-files ragstudio_spark.zip`` deployment finds it
+    inside the zip; cached once per worker process."""
+    try:
+        from importlib.resources import files
+
+        ref = files("ragstudio_spark").joinpath("data", "merges.txt")
+        text = ref.read_text(encoding="utf-8")
+    except Exception:
+        return None
+    return BPETokenizer(parse_merges(text.splitlines()))
 
 
 @lru_cache(maxsize=4)
 def tokenizer_from(path: str | None) -> BPETokenizer:
     """Process-wide tokenizer cache (one load per worker, not per row)."""
     return load_merges(path) if path else BPETokenizer()
+
+
+def resolve_tokenizer(merges_path: str | None) -> BPETokenizer | None:
+    """The ``bpe_merges_path`` contract, resolved in the WORKER process
+    (a driver-side path is meaningless under a zip deployment):
+
+    * ``"auto"`` (the pipeline default) — the shipped trained vocabulary,
+      or None (char-window fallback) when no artifact is packaged;
+    * ``None`` / ``"none"`` / ``"window"`` — explicitly no tokenizer: the
+      char-window fallback (the string forms exist for the CLI, whose
+      config layering drops literal None);
+    * anything else — a merges.txt path, loaded once per worker.
+    """
+    if merges_path == "auto":
+        return default_tokenizer()
+    if merges_path in (None, "none", "window"):
+        return None
+    return tokenizer_from(merges_path)
 
 
 def bpe_split(text: str, max_tokens: int = 400, overlap: int = 50,

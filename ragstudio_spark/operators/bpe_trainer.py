@@ -21,6 +21,18 @@ piece vocabulary (≤ millions of rows at web scale — Zipf), so 50 merge
 rounds are 50 tiny jobs, not 50 corpus scans. The driver holds one
 (pair, count) row per round.
 
+Scale boundary, stated plainly: merge rounds are DRIVER-SEQUENTIAL by
+construction — exact BPE is inherently iterative (merge r+1's counts
+depend on merge r having been applied), so ``bpe_train`` issues one tiny
+Spark job per round (a pair-count aggregate over the vocabulary plus a
+localCheckpoint; the corpus itself is never re-touched). Each round is
+vocab-sized, not data-sized, but a production 32k-merge vocabulary means
+~64k sequential driver jobs — hours of scheduler latency regardless of
+cluster size. The production pattern is therefore: train ONCE (offline,
+modest n_merges budget or a dedicated run), ``save_merges`` the
+artifact, and ship merges.txt to every consumer via ``bpe_merges_path``
+— exactly how ragstudio_spark/data/merges.txt was produced.
+
 Determinism: the winning pair is argmax by (count DESC, a ASC, b ASC) —
 independent of row order and partitioning (tested). The merge fold is
 greedy left-to-right, provably identical to kernel/bpe.py's merge loop:
@@ -96,12 +108,13 @@ def _apply_merge(symbols: Column, a: str, b: str) -> Column:
 
 
 def bpe_train(pieces: DataFrame, n_merges: int = 50, min_count: int = 2,
-              piece_col: str = "piece",
-              count_col: str = "cnt") -> list[tuple[str, str]]:
+              piece_col: str = "piece", count_col: str = "cnt",
+              on_merge=None) -> list[tuple[str, str]]:
     """Train up to ``n_merges`` merges from a (piece, cnt) vocabulary;
     stops early when no pair reaches ``min_count``. Returns the ordered
     merge list (rank = position), ready for ``save_merges`` /
-    ``BPETokenizer``."""
+    ``BPETokenizer``. ``on_merge(rank, a, b, count)`` is called after
+    each accepted merge (progress reporting on long offline runs)."""
     vocab = pieces.select(
         _chars(F.col(piece_col)).alias("symbols"),
         F.col(count_col).cast("bigint").alias("cnt"),
@@ -115,6 +128,8 @@ def bpe_train(pieces: DataFrame, n_merges: int = 50, min_count: int = 2,
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
+        if on_merge is not None:
+            on_merge(len(merges), a, b, top[0]["n"])
         vocab = vocab.select(
             _apply_merge(F.col("symbols"), a, b).alias("symbols"), "cnt"
         ).filter(F.size("symbols") >= 2).localCheckpoint()
@@ -132,8 +147,14 @@ def train_from_corpus(df: DataFrame, text_col: str = "text",
 def save_merges(merges: list[tuple[str, str]], path: str) -> None:
     """Standard merges.txt (the format kernel/bpe.py:load_merges reads):
     '#version' header then one space-separated pair per line, rank =
-    line order."""
+    line order. Whitespace-bearing tokens (space-prefixed pieces are the
+    COMMON case under the GPT-2-style pre-tokenizer) are serialized with
+    ``escape_merge_token`` (backslash-doubling + ``\\uXXXX`` for
+    whitespace) so the line format round-trips exactly —
+    load(save(merges)) == merges for every trainable token."""
+    from ragstudio_spark.kernel.bpe import escape_merge_token
+
     with open(path, "w", encoding="utf-8") as f:
         f.write("#version: ragstudio_spark bpe_trainer\n")
         for a, b in merges:
-            f.write(f"{a} {b}\n")
+            f.write(f"{escape_merge_token(a)} {escape_merge_token(b)}\n")

@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ragstudio_spark.kernel import bpe
 from ragstudio_spark.kernel import chunk as kchunk
 from ragstudio_spark.kernel import html_extract, langid
 from ragstudio_spark.kernel import profile as kprofile
@@ -79,7 +80,7 @@ def process_turns(
     adaptive: bool = False,
     with_trace: bool = False,
     materialize_text: bool = True,
-    bpe_merges_path: str | None = None,
+    bpe_merges_path: str | None = "auto",
     python_engine: str = "pandas",
 ) -> DataFrame:
     """df must carry conv_id, turn_idx, text, content_type (+ ts when
@@ -171,13 +172,12 @@ def process_turns(
             mark("strategy_selection", "profile_tree", t0)
 
         t0 = perf_counter() if with_trace else 0.0
-        if bpe_merges_path:
-            # lru-cached: one merges load per worker process, not per row
-            from ragstudio_spark.kernel.bpe import tokenizer_from
-
-            tokenizer = tokenizer_from(bpe_merges_path)
-        else:
-            tokenizer = None
+        # lru-cached: one merges load per worker process, not per row.
+        # "auto" (the default) resolves to the SHIPPED trained vocabulary
+        # in ragstudio_spark/data/ — resolution happens here, worker-side,
+        # because under a zip deployment only the worker's own importlib
+        # can see the packaged artifact (kernel/bpe.resolve_tokenizer).
+        tokenizer = bpe.resolve_tokenizer(bpe_merges_path)
         chunks, stats, base = kchunk.chunk_turn(
             extracted,
             source=f"{conv_id}:{turn_idx}",

@@ -46,7 +46,11 @@ class PipelineConfig:
     dedupe_chunks: bool | str = False  # False | True/"exact" | "near"
     extract_tools: bool = False      # mine tool-call JSON payloads table
     with_trace: bool = False         # per-turn stage duration/engine trace
-    bpe_merges_path: str | None = None  # merges.txt → true BPE token splits
+    # token-strategy vocabulary: "auto" = the shipped trained merges.txt
+    # (ragstudio_spark/data/, kernel/bpe.resolve_tokenizer); None = the
+    # char-window fallback (the reference's own tiktoken-less degradation
+    # path); any other value = a merges.txt path
+    bpe_merges_path: str | None = "auto"
     python_engine: str = "pandas"    # "pandas" | "arrow" Arrow-boundary impl
 
 

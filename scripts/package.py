@@ -1,4 +1,6 @@
-"""Build dist/ragstudio_spark.zip for spark-submit --py-files."""
+"""Build dist/ragstudio_spark.zip for spark-submit --py-files (code plus
+packaged data artifacts — the trained merges.txt rides along so workers
+resolve the default tokenizer from inside the zip)."""
 
 from __future__ import annotations
 
@@ -18,7 +20,7 @@ def main() -> None:
             if "__pycache__" in root:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                if f.endswith((".py", ".txt")):
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, REPO))
     print(out)

@@ -54,7 +54,9 @@ def main() -> None:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--min-readable-ratio", type=float, default=None)
     p.add_argument("--bpe-merges", default=None,
-                   help="merges.txt path → true BPE token splitting")
+                   help="merges.txt path → true BPE token splitting; "
+                        "'none' forces the char-window fallback (default: "
+                        "the shipped trained vocabulary)")
     p.add_argument("--python-engine", default=None,
                    choices=("pandas", "arrow"),
                    help="Arrow-boundary impl for the fused hop "

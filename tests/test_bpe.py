@@ -86,13 +86,75 @@ class TestPipelineIntegration:
             [("c1", 0, text, None, None)],
             "conv_id string, turn_idx int, text string, tool string, ts timestamp")
         base_cfg = dict(strategy="token", min_readable_ratio=0.0)
-        fallback = run_pipeline(df, PipelineConfig(**base_cfg)).chunks.collect()
+        # bpe_merges_path=None = explicit char-window fallback (the
+        # config DEFAULT is now "auto" = the shipped trained vocabulary)
+        fallback = run_pipeline(df, PipelineConfig(
+            **base_cfg, bpe_merges_path=None)).chunks.collect()
         tokenized = run_pipeline(df, PipelineConfig(
             **base_cfg, bpe_merges_path=str(merges))).chunks.collect()
         assert len(tokenized) > 0
         assert ([r["text"] for r in fallback]
                 != [r["text"] for r in tokenized])
         for r in tokenized:
+            assert r["text"] in text
+
+
+class TestShippedVocabulary:
+    """The trained artifact (ragstudio_spark/data/merges.txt, produced by
+    scripts/train_bpe.py) and its "auto" resolution contract."""
+
+    def test_artifact_loads_and_is_converged(self):
+        tok = bpe.default_tokenizer()
+        assert tok is not None
+        assert len(tok.ranks) > 100      # trained-to-convergence vocabulary
+        # trained merges include whitespace-bearing tokens (space-prefixed
+        # pieces dominate under the GPT-2-style pre-tokenizer) — the
+        # escaping contract is load-bearing for the shipped file
+        assert any(" " in a or " " in b for a, b in tok.ranks)
+
+    def test_resolve_tokenizer_contract(self, tmp_path):
+        assert bpe.resolve_tokenizer("auto") is bpe.default_tokenizer()
+        assert bpe.resolve_tokenizer(None) is None
+        assert bpe.resolve_tokenizer("none") is None
+        assert bpe.resolve_tokenizer("window") is None
+        p = tmp_path / "m.txt"
+        p.write_text("a b\n")
+        assert bpe.resolve_tokenizer(str(p)).ranks == {("a", "b"): 0}
+
+    def test_trained_vocab_compresses_better_than_fallback(self):
+        """tokens-per-word on corpus-flavored text: the trained vocabulary
+        must beat the 26-merge embedded fallback by a wide margin (the
+        improvement the artifact exists to deliver — it trained to full
+        convergence on the synthetic word pool, so common words become
+        single tokens)."""
+        sample = ("the table scan joins query windows while batch streams "
+                  "sort values by key and merge partitioned rows fast")
+        trained = bpe.default_tokenizer()
+        fallback = bpe.BPETokenizer()
+        t, f = trained.encode_len(sample), fallback.encode_len(sample)
+        assert t < 0.6 * f, (t, f)
+        # boundaries stay a lossless cover under the trained vocab too
+        b = trained.token_boundaries(sample)
+        assert b[0] == 0 and b[-1] == len(sample) and b == sorted(b)
+
+    def test_pipeline_default_uses_trained_vocab(self, spark):
+        """token strategy with DEFAULT config must produce different
+        chunks than the explicit char-window opt-out — proof the "auto"
+        default actually reaches the fused hop."""
+        from ragstudio_spark.pipeline.job import PipelineConfig, run_pipeline
+
+        text = ("the antelope ingested another thing entirely. " * 120)
+        df = spark.createDataFrame(
+            [("c1", 0, text, None, None)],
+            "conv_id string, turn_idx int, text string, tool string, "
+            "ts timestamp")
+        base = dict(strategy="token", min_readable_ratio=0.0)
+        auto = run_pipeline(df, PipelineConfig(**base)).chunks.collect()
+        window = run_pipeline(df, PipelineConfig(
+            **base, bpe_merges_path=None)).chunks.collect()
+        assert auto and window
+        assert ([r["text"] for r in auto] != [r["text"] for r in window])
+        for r in auto:
             assert r["text"] in text
 
 

@@ -84,6 +84,40 @@ class TestComposition:
         for c in bpe.bpe_split(text, max_tokens=3, overlap=1, tokenizer=tok):
             assert c in text
 
+    def test_whitespace_tokens_round_trip_through_merges_file(
+            self, spark, tmp_path):
+        """The GPT-2-style pre-tokenizer makes space-prefixed pieces the
+        COMMON case, so trained merges contain space-bearing tokens like
+        (' ', 't') — the file format must round-trip them exactly
+        (save → load == identity), not corrupt the space-separated lines
+        (pre-fix: split(' ') saw 3 fields and load_merges raised)."""
+        df = spark.createDataFrame(
+            [("the thing then and the other thing went",),
+             ("then the thing sang and the thing went on",)],
+            "text string")
+        merges = bpe_trainer.train_from_corpus(df, n_merges=12)
+        assert any(" " in a or " " in b for a, b in merges), \
+            "fixture must exercise whitespace-bearing tokens"
+        path = str(tmp_path / "merges.txt")
+        bpe_trainer.save_merges(merges, path)
+        tok = bpe.load_merges(path)
+        assert [tuple(p) for p in sorted(tok.ranks, key=tok.ranks.get)] \
+            == merges
+        # and the loaded tokenizer behaves identically to the in-memory one
+        direct = bpe.BPETokenizer(merges)
+        for t in ("the thing then", " and then", "went on "):
+            assert tok.token_boundaries(t) == direct.token_boundaries(t)
+
+    def test_escape_round_trip_adversarial_tokens(self):
+        """Escaping itself: backslashes, literal '\\u0041' text, tabs,
+        newlines, non-breaking space — all identity under load∘save."""
+        cases = ["\\", "\\\\", "\\u0041", " t", "\t", "\n\n", " x",
+                 "plain", " ", "a b"]
+        for tok in cases:
+            esc = bpe.escape_merge_token(tok)
+            assert " " not in esc and "\n" not in esc and "\t" not in esc
+            assert bpe.unescape_merge_token(esc) == tok
+
     def test_train_from_corpus_end_to_end(self, spark):
         df = spark.createDataFrame(
             [("the thing then and the other thing",),

@@ -52,3 +52,37 @@ class TestSparkSubmitPackaging:
         assert os.path.isdir(run_root), os.listdir(str(out_dir))
         names = {n for _, _, fs in os.walk(run_root) for n in fs}
         assert any(n.endswith(".parquet") for n in names)
+
+    def test_zip_ships_the_trained_vocabulary_to_workers(self, tmp_path):
+        """The packaged merges.txt must resolve INSIDE the zip on worker
+        processes (kernel/bpe.default_tokenizer loads via
+        importlib.resources) — a filesystem-path assumption would
+        silently degrade every token-strategy chunk to the char-window
+        fallback on a real cluster."""
+        subprocess.run([sys.executable, "scripts/package.py"],
+                       check=True, cwd=REPO)
+        staged = tmp_path / "app"
+        staged.mkdir()
+        shutil.copy(os.path.join(REPO, "dist", "ragstudio_spark.zip"),
+                    staged / "pkg.zip")
+        probe = staged / "probe.py"
+        probe.write_text(
+            "from pyspark.sql import SparkSession\n"
+            "spark = SparkSession.builder.getOrCreate()\n"
+            "def check(_):\n"
+            "    from ragstudio_spark.kernel import bpe\n"
+            "    tok = bpe.default_tokenizer()\n"
+            "    return tok is not None and len(tok.ranks) > 50\n"
+            "ok = spark.sparkContext.parallelize(range(4), 4)"
+            ".map(check).collect()\n"
+            "print('WORKER_TOKENIZER_OK' if all(ok) else "
+            "'WORKER_TOKENIZER_MISSING')\n")
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)
+        r = subprocess.run(
+            ["spark-submit", "--master", "local[4]",
+             "--py-files", str(staged / "pkg.zip"), str(probe)],
+            cwd=str(staged), env=env, capture_output=True, text=True,
+            timeout=600)
+        assert "WORKER_TOKENIZER_OK" in r.stdout, (r.returncode,
+                                                   r.stderr[-3000:])
