@@ -98,10 +98,14 @@ def _pipeline_index_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                        PipelineConfig())
     # deterministic per-SF path + overwrite, NOT mkdtemp: repeated
     # invocations (min-of-2 bench, driver re-runs) must not accumulate
-    # abandoned stores in /tmp
+    # abandoned stores in /tmp. The pid discriminator keeps two concurrent
+    # drivers on one host from overwriting each other's store between
+    # ingest and read, while re-runs within one driver still reuse (and
+    # overwrite) their own path.
     path = os.path.join(
         tempfile.gettempdir(),
-        f"ragstudio_idx_search_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"ragstudio_idx_search_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
         "store")
     vectorstore.ingest_chunks(out.chunks, path, mode="overwrite")
     store = vectorstore.read_store(spark, path)

@@ -729,9 +729,12 @@ def _pq_d2_duck(a: str, b: str) -> str:
             "(acc, x) -> acc + x)")
 
 
-def _pq_train_parts_duck(m: int, k: int, sub_w: int) -> list[str]:
+def _pq_train_parts_duck(m: int, k: int, sub_w: int,
+                         src: str = "embeddings") -> list[str]:
     """The exact-mode per-subspace k-means (iters=1) + final code CTEs —
-    shared by the PQ and IVF-PQ oracles (sub{j}/cent{j}_*/code{j})."""
+    shared by the PQ and IVF-PQ oracles (sub{j}/cent{j}_*/code{j}).
+    ``src`` is the (vec_id, embedding) relation to train/encode over —
+    the residual oracle substitutes its residual CTE here."""
     fold = ("list_reduce(list_prepend(list_transform(ms[1], x -> CAST(0.0 AS DOUBLE)), ms), "
             "(acc, m) -> list_transform(list_zip(acc, m), p -> p[1] + CAST(p[2] AS DOUBLE)))")
     d2 = _pq_d2_duck
@@ -741,7 +744,7 @@ def _pq_train_parts_duck(m: int, k: int, sub_w: int) -> list[str]:
         sv = f"list_slice(embedding, {lo}, {hi})"
         parts.append(f"""
 sub{j} AS (
-  SELECT vec_id, {sv} AS sv FROM embeddings
+  SELECT vec_id, {sv} AS sv FROM {src}
 ),
 cent{j}_0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
@@ -901,6 +904,109 @@ WHERE rank <= {_IVFPQ_TOPK}
 
 
 _def("ann_ivfpq_topk", (_ivfpq_fn, _ivfpq_duck_sql()))
+
+
+# -- 10e. RESIDUAL IVF-PQ (operators/similarity.py ivfpq_train_residual/
+#         ivfpq_index_residual/ivfpq_topk_residual): the production-grade
+#         Faiss-style variant — PQ codebooks trained on (v − cell
+#         centroid) residuals, query distance tables computed per PROBED
+#         CELL from (q − c). Same oracle discipline as 10d: fixed coarse
+#         centroids (vec_id < 8), m=2 (two-term adist addition —
+#         commutative-safe), exact-mode PQ training over the residual
+#         frame, rank-only output. float→double conversion is exact and
+#         the residual subtraction runs in double in BOTH engines, so the
+#         codebook doubles stay bit-identical.
+def _ivfpq_res_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import similarity
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    coarse = vectors.filter("vec_id < 8").select(
+        F.col("vec_id").cast("int").alias("cid"), "embedding")
+    books = similarity.ivfpq_train_residual(
+        vectors, coarse, m=_PQ_M, k=_PQ_K, iters=1, exact=True)
+    index = similarity.ivfpq_index_residual(vectors, coarse, books, m=_PQ_M)
+    return similarity.ivfpq_topk_residual(
+        index, coarse, books, vectors.filter(f"vec_id < {_IVFPQ_NQ}"),
+        k=_IVFPQ_TOPK, nprobe=_IVFPQ_NPROBE, m=_PQ_M)
+
+
+def _ivfpq_res_duck_sql() -> str:
+    d2 = _pq_d2_duck
+    cos_vc = _cosine("duckdb", "v.embedding", "c.embedding")
+    cos_qc = _cosine("duckdb", "q.embedding", "c.embedding")
+    parts = [f"""
+coarse AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding FROM embeddings WHERE vec_id < 8
+),
+cellassign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY ({cos_vc}) DESC, c.cid ASC) AS rn
+    FROM embeddings v CROSS JOIN coarse c) a
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY ({cos_qc}) DESC, c.cid ASC) AS rn
+    FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < {_IVFPQ_NQ}) p
+  WHERE rn <= {_IVFPQ_NPROBE}
+),
+res AS (
+  SELECT v.vec_id,
+         list_transform(list_zip(v.embedding, c.embedding),
+                        z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+           AS embedding
+  FROM embeddings v
+  JOIN cellassign a ON a.vec_id = v.vec_id
+  JOIN coarse c ON c.cid = a.cell
+),
+qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(list_zip(q.embedding, c.embedding),
+                        z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+           AS q_res
+  FROM probes p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN coarse c ON c.cid = p.cell
+)"""]
+    parts += _pq_train_parts_duck(_PQ_M, _PQ_K, _PQ_SUB, src="res")
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        parts.append(f"""
+qd{j} AS (
+  SELECT r.query_id, r.cell, c.cid,
+         ({d2(f'list_slice(r.q_res, {lo}, {hi})', 'c.c_vec')}) AS qd
+  FROM cent{j}_1 c CROSS JOIN qres r
+)""")
+    return f"""
+WITH {','.join(parts)},
+dist AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, q0.qd + q1.qd AS adist
+  FROM probes p
+  JOIN cellassign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN code0 c0 ON c0.vec_id = a.vec_id
+  JOIN code1 c1 ON c1.vec_id = a.vec_id
+  JOIN qd0 q0 ON q0.query_id = p.query_id AND q0.cell = p.cell
+             AND q0.cid = c0.cid
+  JOIN qd1 q1 ON q1.query_id = p.query_id AND q1.cell = p.cell
+             AND q1.cid = c1.cid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM dist) r
+WHERE rank <= {_IVFPQ_TOPK}
+"""
+
+
+_def("ann_ivfpq_residual_topk", (_ivfpq_res_fn, _ivfpq_res_duck_sql()))
 
 
 # -- 11. embedding nearest-neighbor per vector (near-dup scan, rank-1 only)
@@ -2981,7 +3087,11 @@ WITH seeded AS (
               ELSE text END AS text
   FROM documents
 ), wrds AS (
-  SELECT doc_id, {words} AS w FROM seeded
+  -- w = lowered stream (span matching); wo = original-case stream
+  -- (reconstruction) — position-aligned, lower() never moves whitespace
+  SELECT doc_id, {words} AS w,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS wo
+  FROM seeded
 ), occ AS (
   SELECT doc_id, s['p'] AS word_pos, md5(s['g']) AS gram_md5
   FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= {_SPAN_N}
@@ -3011,9 +3121,9 @@ WITH seeded AS (
 )
 SELECT w.doc_id,
        md5(CASE WHEN cuts.cut_starts IS NULL
-                THEN COALESCE(array_to_string(w.w, ' '), '')
+                THEN COALESCE(array_to_string(w.wo, ' '), '')
                 ELSE COALESCE(array_to_string(
-                  list_filter(w.w, (x, i) ->
+                  list_filter(w.wo, (x, i) ->
                     len(list_filter(cuts.cut_starts,
                         s -> (i - 1) >= s AND (i - 1) < s + {_SPAN_N})) = 0
                     OR len(list_filter(cuts.keep_starts,
@@ -3069,8 +3179,11 @@ WITH seeded AS (
               ELSE text END AS text
   FROM documents
 ), base AS (
-  SELECT doc_id, text,
-         list_filter(string_split(text, chr(10)), ln -> ln != '') AS lines
+  -- COALESCE mirrors the operator's NULL-text zero-fill (c4_clean
+  -- treats NULL as '' so counts are 0, never F.size(NULL) = -1)
+  SELECT doc_id, COALESCE(text, '') AS text,
+         list_filter(string_split(COALESCE(text, ''), chr(10)),
+                     ln -> ln != '') AS lines
   FROM seeded
 ), cleaned AS (
   SELECT doc_id, text, lines,
@@ -3208,6 +3321,138 @@ WHERE role = 'assistant' AND len(ctx) >= 1
 """
 
 _def("sft_multiturn", (_sft_mt_fn, _SFT_MT_DUCK))
+
+
+# -- 45c. composed SFT curation (operators/curation.py curate_sft): the
+#         full RLHF data-prep flow — pair mining → 13-gram benchmark
+#         decontamination → Gopher repetition filter → fixed-budget
+#         packing — end-to-end in both engines. The benchmark is the
+#         doc_id % 31 == 7 document subset, so examples whose prompt or
+#         response IS a benchmark doc's text are contaminated by
+#         construction (non-vacuous at exact counts). Budget 512 makes
+#         packing wrap within shards at sf0.01.
+_CSFT_BUDGET = 512
+_CSFT_N = 13
+
+
+def _curate_sft_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import curation
+
+    _register(spark, sf_dir, "documents")
+    bench = spark.table("documents").filter("doc_id % 31 = 7")
+    out = curation.curate_sft(_sft_turns_df(spark, sf_dir), bench,
+                              ngram_n=_CSFT_N, budget=_CSFT_BUDGET)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.md5("prompt").alias("prompt_hash"),
+        F.md5("response").alias("response_hash"),
+        "token_count", "shard", "seq_index", "seq_token_offset")
+
+
+def _curate_sft_duck_sql() -> str:
+    cat = " || ' ' || ".join(f"w[i+{j}]" for j in range(_CSFT_N))
+    grams = (f"CASE WHEN len(w) >= {_CSFT_N} THEN "
+             f"list_transform(range(1, len(w) - {_CSFT_N - 2}), "
+             f"i -> {cat}) ELSE [] END")
+    ex_words = _words_expr("example_text", "duckdb")
+    doc_words = _words_expr("text", "duckdb")
+    grams2 = ("CASE WHEN len(w) >= 2 THEN "
+              "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) "
+              "ELSE [] END")
+    return f"""
+WITH {_SFT_TURNS_CTE}, cand AS (
+  SELECT conv_id, turn_idx, role, text AS prompt,
+         lead(role) OVER w2 AS nrole,
+         lead(text) OVER w2 AS response,
+         lead(turn_idx) OVER w2 AS nidx
+  FROM turns
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx ASC)
+), ex AS (
+  SELECT conv_id, turn_idx,
+         conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0')
+           AS example_id,
+         prompt, response,
+         prompt || chr(10) || chr(10) || response AS example_text
+  FROM cand
+  WHERE role = 'user' AND nrole = 'assistant' AND nidx = turn_idx + 1
+), exw AS (
+  SELECT example_id, {ex_words} AS w FROM ex
+), exg AS (
+  SELECT example_id, unnest(list_distinct({grams})) AS gram FROM exw
+), bw AS (
+  SELECT doc_id, {doc_words} AS w FROM documents WHERE doc_id % 31 = 7
+), bg AS (
+  SELECT DISTINCT unnest(list_distinct({grams})) AS gram FROM bw
+), flagged AS (
+  SELECT DISTINCT example_id FROM exg JOIN bg USING (gram)
+), clean AS (
+  SELECT ex.* FROM ex ANTI JOIN flagged USING (example_id)
+), base AS (
+  SELECT example_id, CAST(length(example_text) AS BIGINT) AS total_chars,
+         example_text
+  FROM clean
+), lns AS (
+  SELECT example_id,
+         unnest(list_filter(string_split(example_text, chr(10)),
+                            ln -> ln != '')) AS line
+  FROM base
+), lg AS (
+  SELECT example_id, line, COUNT(*) AS c FROM lns GROUP BY example_id, line
+), ls AS (
+  SELECT example_id,
+         CAST(SUM(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END)
+              AS BIGINT) AS dup_line_chars
+  FROM lg GROUP BY example_id
+), w2g AS (
+  SELECT example_id, {_words_expr('example_text', 'duckdb')} AS w FROM base
+), g2 AS (
+  SELECT example_id, unnest({grams2}) AS gram FROM w2g
+), gg AS (
+  SELECT example_id, gram, COUNT(*) AS c FROM g2 GROUP BY example_id, gram
+), tc AS (
+  SELECT example_id, MAX(c) AS top_c FROM gg GROUP BY example_id
+), top AS (
+  SELECT g.example_id, CAST(MAX(g.c) AS BIGINT) AS top2_count,
+         MIN(g.gram) AS g2m
+  FROM gg g JOIN tc ON g.example_id = tc.example_id AND g.c = tc.top_c
+  GROUP BY g.example_id
+), sig AS (
+  SELECT b.example_id, b.total_chars,
+         COALESCE(ls.dup_line_chars, 0) AS dup_line_chars,
+         COALESCE(CAST(top.top2_count * length(top.g2m) AS BIGINT), 0)
+           AS top2_chars
+  FROM base b
+  LEFT JOIN ls ON b.example_id = ls.example_id
+  LEFT JOIN top ON b.example_id = top.example_id
+), keptids AS (
+  SELECT example_id FROM sig
+  WHERE dup_line_chars * 1000000 <= 300000 * total_chars
+    AND top2_chars * 1000000 <= 200000 * total_chars
+), kept AS (
+  SELECT clean.* FROM clean SEMI JOIN keptids USING (example_id)
+), toks AS (
+  SELECT *, CAST(length(example_text) // 4 AS BIGINT) AS token_count,
+         substr(md5(conv_id), 1, 1) AS shard
+  FROM kept
+), cum AS (
+  SELECT *, CAST(COALESCE(SUM(token_count) OVER (
+              PARTITION BY shard ORDER BY example_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM toks
+)
+SELECT conv_id, turn_idx, md5(prompt) AS prompt_hash,
+       md5(response) AS response_hash, token_count, shard,
+       CAST(cum_before // {_CSFT_BUDGET} AS BIGINT) AS seq_index,
+       CAST(cum_before - (cum_before // {_CSFT_BUDGET}) * {_CSFT_BUDGET}
+            AS BIGINT) AS seq_token_offset
+FROM cum
+"""
+
+
+_def("curate_sft", (_curate_sft_fn, _curate_sft_duck_sql()))
 
 
 # -- 45c. preference-pair mining (operators/sft.py preference_pairs): the

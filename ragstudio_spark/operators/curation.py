@@ -54,6 +54,71 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
         order_cols=(id_col,), token_col="token_count")
 
 
+def curate_sft(transcripts: DataFrame, benchmark: DataFrame,
+               conv_col: str = "conv_id", idx_col: str = "turn_idx",
+               role_col: str = "role", text_col: str = "text",
+               bench_text_col: str = "text", bench_id_col: str = "doc_id",
+               ngram_n: int = 13, min_shared: int = 1,
+               max_dup_line_frac: float = 0.3, max_top2_frac: float = 0.2,
+               budget: int = 2048) -> DataFrame:
+    """SFT curation — the full RLHF data-prep flow as ONE composition of
+    already-oracle-gated stages:
+
+        sft_pairs (user→assistant mining, per-conversation window)
+          → exact 13-gram decontamination vs the benchmark table
+            (GPT-3 convention; the example text is prompt + response)
+            → Gopher repetition filter over the example text
+              → fixed-budget sequence packing per shard
+
+    The example key is ``conv_id || ':' || zero-padded turn_idx``
+    (lexicographically ordered = (conv, turn) ordered — the packing
+    order), the shard is the first hex char of md5(conv_id) (16-way,
+    deterministic and engine-portable). Returns one row per surviving
+    example: (conv_id, turn_idx, example_id, prompt, response,
+    example_text, token_count, shard, seq_index, seq_token_offset).
+
+    Scale shape, stage by stage: one per-conversation window (mining),
+    one distinct-gram explode + broadcast benchmark join
+    (decontamination), two explode→groupBy families + a semi-join
+    (repetition filter), one per-shard window (packing). No Python, no
+    collect; every join surface is either per-conversation, broadcast,
+    or 16-way sharded."""
+    from ragstudio_spark.operators import dedupe, quality_signals
+    from ragstudio_spark.operators import sft as sft_op
+
+    pairs = sft_op.sft_pairs(transcripts, conv_col=conv_col,
+                             idx_col=idx_col, role_col=role_col,
+                             text_col=text_col)
+    ex = pairs.select(
+        conv_col, idx_col,
+        F.concat(F.col(conv_col), F.lit(":"),
+                 F.lpad(F.col(idx_col).cast("string"), 6, "0"))
+        .alias("example_id"),
+        "prompt", "response",
+        F.concat(F.col("prompt"), F.lit("\n\n"), F.col("response"))
+        .alias("example_text"))
+    flagged = dedupe.ngram_decontaminate(
+        ex.select(F.col("example_id").alias("doc_id"),
+                  F.col("example_text").alias("text")),
+        benchmark.select(F.col(bench_id_col).alias("doc_id"),
+                         F.col(bench_text_col).alias("text")),
+        n=ngram_n, min_shared=min_shared)
+    clean = ex.join(
+        flagged.select(F.col("corpus_id").alias("example_id")).distinct(),
+        on="example_id", how="left_anti")
+    kept = quality_signals.repetition_filter(
+        clean, text_col="example_text", id_col="example_id",
+        max_dup_line_frac=max_dup_line_frac, max_top2_frac=max_top2_frac)
+    toks = kept.withColumn(
+        "token_count",
+        F.expr(f"length(example_text) div {CHARS_PER_TOKEN}")
+        .cast("bigint")).withColumn(
+        "shard", F.substring(F.md5(F.col(conv_col)), 1, 1))
+    return packing.pack_chunks(
+        toks, budget=budget, partition_col="shard",
+        order_cols=("example_id",), token_col="token_count")
+
+
 def curation_report(curated: DataFrame,
                     shard_col: str = "lang") -> DataFrame:
     """Per-shard curation manifest: kept docs, total tokens, sequences,

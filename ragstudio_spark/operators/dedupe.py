@@ -245,7 +245,13 @@ def cut_repeated_spans(df: DataFrame, spans: DataFrame,
     and overlapping cut windows merge naturally (a word survives only if
     NO cut window covers it). Returns (id, text) with
     whitespace-normalized rebuilt text (single spaces — the operator is
-    defined on the tokenized stream, like the spans themselves).
+    defined on the tokenized stream, like the spans themselves). Span
+    positions are matched CASE-INSENSITIVELY (the mining side lowercases)
+    but the rebuilt text preserves the original case: lowercasing never
+    changes whitespace, so the lowered and original word streams are
+    position-aligned — cutting by position on one indexes the other
+    exactly (review-found: an earlier version rebuilt from the lowered
+    stream, silently case-folding every document it touched).
 
     Canonical windows are PROTECTED: a word inside some gram's canonical
     window survives even when a different gram's cut window overlaps it —
@@ -269,7 +275,9 @@ def cut_repeated_spans(df: DataFrame, spans: DataFrame,
         F.collect_set(F.when(F.col("_is_canon"), F.col("word_pos")))
         .alias("_keep_starts"),
     ).filter(F.size("_cut_starts") > 0)
-    w = words_col(F.col(text_col))
+    # original-case word stream — positions align with the mined (lowered)
+    # stream because lower() never changes whitespace
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     kept = F.zip_with(
         w, F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0))),
         lambda word, i: F.when(

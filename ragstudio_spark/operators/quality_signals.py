@@ -137,8 +137,11 @@ def c4_clean(df: DataFrame, text_col: str = "text",
     marks in the cleaned text — same signal, no tokenizer dependency.
     Returns (id, clean_text, n_kept, n_dropped, n_sentences, c4_keep);
     the caller filters on ``c4_keep`` (rows are annotated, not removed —
-    curation keeps the audit trail)."""
-    t = F.col(text_col)
+    curation keeps the audit trail). NULL text is treated as empty —
+    zero counts and c4_keep = false, mirroring repetition_signals' NULL
+    zero-fill (NULL would otherwise propagate through split/filter and
+    surface as n_kept = -1 via F.size(NULL))."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
 
     def line_ok(ln):
         trimmed = F.trim(ln)

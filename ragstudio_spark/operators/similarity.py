@@ -49,7 +49,7 @@ def brute_force_topk(
     q = queries.select(F.col(q_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"))
     sims = (
-        q.crossJoin(v)
+        F.broadcast(q).crossJoin(v)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("similarity", cosine(F.col("q_vec"), F.col("v_vec")))
     )
@@ -66,10 +66,14 @@ def brute_force_topk(
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
                centroid_id_col: str = "cid") -> DataFrame:
-    """Assign each vector to its nearest centroid (cosine, id tie-break)."""
+    """Assign each vector to its nearest centroid (cosine, id tie-break).
+    The centroid side is broadcast-hinted explicitly: it is k rows by
+    construction, and an unhinted cross join is the one shape never left
+    to the cardinality estimator on a stats-less cluster."""
     v = vectors.select(F.col(id_col), F.col(vec_col))
     c = centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("c_vec"))
-    scored = v.crossJoin(c).withColumn("sim", cosine(F.col(vec_col), F.col("c_vec")))
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "sim", cosine(F.col(vec_col), F.col("c_vec")))
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(centroid_id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -325,13 +329,16 @@ def _residual(vec: Column, cent: Column) -> Column:
 def ivfpq_train_residual(vectors: DataFrame, centroids: DataFrame,
                          m: int = 4, k: int = 16, iters: int = 2,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         exact: bool = False) -> DataFrame:
     """PQ codebooks trained on RESIDUALS (v − cell centroid) — the Faiss
     IVFPQ refinement: raw-vector codebooks must spread their k centroids
     over the corpus's global extent, while residuals concentrate around
     zero, so the same k bits resolve intra-cell detail instead of
     re-encoding the coarse position the cell id already carries. Returns
-    codebooks in pq_train's (subspace, cid, sub_vec) shape."""
+    codebooks in pq_train's (subspace, cid, sub_vec) shape. ``exact``
+    selects pq_train's order-fixed-fold oracle mode (the
+    ``ann_ivfpq_residual_topk`` correctness gate), never the scale path."""
     assign = ivf_assign(vectors, centroids, id_col, vec_col)
     cents = centroids.select(F.col("cid"), F.col(vec_col).alias("_c_vec"))
     res = (vectors.join(assign, on=id_col)
@@ -340,7 +347,7 @@ def ivfpq_train_residual(vectors: DataFrame, centroids: DataFrame,
                    _residual(F.col(vec_col), F.col("_c_vec"))
                    .alias(vec_col)))
     return pq_train(res, m=m, k=k, iters=iters, id_col=id_col,
-                    vec_col=vec_col)
+                    vec_col=vec_col, exact=exact)
 
 
 def ivfpq_index_residual(vectors: DataFrame, centroids: DataFrame,
@@ -493,7 +500,7 @@ def hyperplane_buckets(vectors: DataFrame, planes: DataFrame,
     """Sign-bit LSH bucket per vector: bucket = Σ (dot(v, plane_p) > 0) << p."""
     v = vectors.select(F.col(id_col), F.col(vec_col))
     p = planes.select(F.col(plane_id_col), F.col(vec_col).alias("p_vec"))
-    bits = v.crossJoin(p).select(
+    bits = v.crossJoin(F.broadcast(p)).select(
         id_col, plane_id_col,
         F.when(dot(F.col(vec_col), F.col("p_vec")) > 0, 1).otherwise(0).alias("bit"),
     )

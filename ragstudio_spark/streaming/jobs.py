@@ -188,10 +188,15 @@ def incremental_near_dedup_stream(
     Exactly-once: offsets are checkpointed, so a restarted query never
     re-reads processed files; the foreachBatch parquet appends are
     at-least-once under mid-batch crash retry (standard foreachBatch
-    caveat — the audit table may then hold duplicate pair rows; the
-    corpus append is guarded by the pre-append localCheckpoint ordering
-    below, and a re-run batch re-derives the same accepted set against
-    the same committed prefix)."""
+    caveat). Crash-retry semantics, stated honestly: if a crash lands
+    AFTER the corpus append but BEFORE the checkpoint commit, the re-run
+    batch reads a corpus that already contains its own rows. Self-matches
+    (left_id = right_id) are filtered below so the batch does not flag
+    itself wholesale and the accepted set is re-derived against the prior
+    prefix plus genuine near-dups — but the corpus (and pairs) appends
+    are then duplicated: both tables are at-least-once, and readers
+    should dedup on doc_id / (left_id, right_id) respectively. The
+    corpus still converges to the same accepted membership."""
     from ragstudio_spark.operators import dedupe
 
     stream = (
@@ -213,6 +218,10 @@ def incremental_near_dedup_stream(
             committed = sess.createDataFrame([], DEDUP_DOC_SCHEMA)
         pairs = dedupe.cross_corpus_minhash_pairs(
             batch, committed, k=k, broadcast_side="left",
+        ).filter(
+            # crash-retry guard: a re-run batch whose rows already landed
+            # in the corpus must not flag itself against its own copies
+            F.col("left_id") != F.col("right_id")
         ).localCheckpoint()
         accepted = batch.join(
             pairs.select(F.col("left_id").alias("doc_id")).distinct(),

@@ -151,7 +151,9 @@ class TestCurationFamilyOnHostileInputs:
                dedupe.cut_repeated_spans(nasty_docs, spans, n=8).collect()}
         raw = {r["doc_id"]: r["text"] for r in nasty_docs.collect()}
         for i, text in cut.items():
-            orig = Counter(raw[i].lower().split())
+            # case is preserved now, so the invariant STRENGTHENS: output
+            # words are a sub-multiset of the verbatim original words
+            orig = Counter(raw[i].split())
             new = Counter(text.split())
             assert all(new[w] <= orig[w] for w in new), i
 

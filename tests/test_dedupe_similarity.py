@@ -554,6 +554,27 @@ class TestCutRepeatedSpans:
         out = dedupe.cut_repeated_spans(docs, spans, n=5).first()
         assert out["text"] == "plain text with extra spaces"
 
+    def test_preserves_original_case(self, spark):
+        """Mining is case-insensitive (words_col lowercases) but the
+        rebuilt text must keep the original case — both for untouched
+        docs and for the surviving words of cut docs (review-found: an
+        earlier version rebuilt from the lowered stream and case-folded
+        every document it touched)."""
+        boiler = " ".join(f"B{i}" for i in range(5))        # upper-case
+        docs = spark.createDataFrame(
+            [(0, "Intro Words HERE " + boiler + " Outro Words"),
+             (1, boiler.lower() + " Unique SECOND Doc Content Follows"),
+             (2, "Unrelated CLEAN Document Text Entirely")],
+            "doc_id int, text string")
+        spans = dedupe.repeated_spans(docs, n=5, min_df=2)
+        cut = {r["doc_id"]: r["text"]
+               for r in dedupe.cut_repeated_spans(docs, spans, n=5).collect()}
+        # cross-case duplicates still match (mining lowers), original
+        # case survives reconstruction on every path
+        assert cut[0] == "Intro Words HERE " + boiler + " Outro Words"
+        assert cut[1] == "Unique SECOND Doc Content Follows"
+        assert cut[2] == "Unrelated CLEAN Document Text Entirely"
+
     def test_canonical_copy_survives_overlapping_cut(self, spark):
         """Review-found scenario: gram A's canonical copy sits inside
         gram B's cut window in the same doc — the canonical window must

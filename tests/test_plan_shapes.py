@@ -123,6 +123,37 @@ class TestPlanShapes:
         assert _plan(sim).count("Generate") <= 2 * _plan(
             dedupe.simhash64(docs)).count("Generate") + 2
 
+    def test_similarity_tier_has_no_unhinted_cartesian(self, spark):
+        """Every cross join in the similarity tier pairs a big side with a
+        provably-small side (centroids, hyperplanes, the query set) — all
+        of them must carry an explicit broadcast hint so the physical plan
+        is BroadcastNestedLoopJoin, never an unhinted CartesianProduct
+        that a stats-less cluster would execute as a full shuffle product."""
+        from ragstudio_spark.operators import similarity
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 5), 1.0, 0.5, float(i % 3)]) for i in range(24)],
+            "vec_id int, embedding array<float>")
+        queries = vecs.filter("vec_id < 2")
+        cents = similarity.kmeans_centroids(vecs, k=4, iters=1)
+        planes = spark.createDataFrame(
+            [(p, [1.0 if d == p else -0.5 for d in range(4)])
+             for p in range(4)],
+            "plane int, embedding array<float>")
+        books = similarity.pq_train(vecs, m=2, k=4, iters=1)
+        targets = {
+            "brute_force_topk": similarity.brute_force_topk(vecs, queries),
+            "ivf_assign": similarity.ivf_assign(vecs, cents),
+            "ivf_topk": similarity.ivf_topk(vecs, queries, cents, k=2),
+            "hyperplane_buckets": similarity.hyperplane_buckets(vecs, planes),
+            "pq_topk": similarity.pq_topk(
+                similarity.pq_encode(vecs, books, m=2), books,
+                [1.0, 1.0, 0.5, 1.0], k=3, m=2),
+        }
+        for name, df in targets.items():
+            plan = _plan(df)
+            assert "CartesianProduct" not in plan, name
+
     def test_ivfpq_probe_join_dynamically_prunes_cell_partitions(
             self, spark, tmp_path):
         """The on-disk IVF-PQ index is partitioned by cell; the probe

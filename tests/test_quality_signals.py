@@ -102,6 +102,20 @@ class TestC4Clean:
                for r in quality_signals.c4_clean(df).collect()}
         assert got == {0: True, 1: False, 2: False, 3: False}
 
+    def test_null_text_zero_fills(self, spark):
+        """NULL text = empty text: zero counts, empty clean_text, keep
+        false — never the F.size(NULL) = -1 / NULL-keep propagation
+        (the repetition_signals NULL convention, applied here too)."""
+        df = spark.createDataFrame([(0, None), (1, "")],
+                                   "doc_id int, text string")
+        rows = {r["doc_id"]: r for r in quality_signals.c4_clean(df).collect()}
+        for i in (0, 1):
+            r = rows[i]
+            assert r["clean_text"] == ""
+            assert r["n_kept"] == 0 and r["n_dropped"] == 0
+            assert r["n_sentences"] == 0
+            assert r["c4_keep"] is False
+
 
 class TestReviewRegressions:
     def test_null_text_passes_filter(self, spark):

@@ -72,6 +72,38 @@ class TestIncrementalNearDedupStream:
                  for r in spark.read.parquet(pairs).collect()}
         assert (10, 0) in audit and (20, 11) in audit
 
+    def test_crash_retry_does_not_self_flag(self, spark, tmp_path):
+        """Simulated crash-after-append retry: the corpus already holds
+        the batch's own rows when the batch re-runs. The self-match guard
+        (left_id != right_id) must keep the batch from flagging itself
+        against its own copies — the audit table carries no (x, x) rows,
+        genuine near-dups are still flagged, and the accepted MEMBERSHIP
+        matches the no-crash run (rows are at-least-once: the retried
+        append duplicates them, which readers dedup on doc_id)."""
+        inp = str(tmp_path / "in")
+        corpus = str(tmp_path / "corpus")
+        pairs = str(tmp_path / "pairs")
+        ckpt = str(tmp_path / "ckpt")
+        # corpus = prior prefix (0) PLUS the batch's own accepted row (11),
+        # exactly what a crash between append and checkpoint-commit leaves
+        _df(spark, [(0, BASE), (11, OTHER)]).write.parquet(corpus)
+        batch = [(11, OTHER),                                # own copy
+                 (12, THIRD),                                # novel
+                 (13, OTHER.replace("evenly", "fairly"))]    # near-dup of 11
+        _df(spark, batch).write.parquet(inp)
+        q = stream_jobs.incremental_near_dedup_stream(
+            spark, inp, corpus, pairs, ckpt)
+        q.awaitTermination(120)
+        audit = {(r["left_id"], r["right_id"])
+                 for r in spark.read.parquet(pairs).collect()}
+        assert all(left != right for left, right in audit)
+        assert (13, 11) in audit                 # real near-dup still flagged
+        got = spark.read.parquet(corpus).collect()
+        assert {r["doc_id"] for r in got} == {0, 11, 12}
+        assert 13 not in {r["doc_id"] for r in got}
+        # at-least-once: 11 was appended twice, membership unchanged
+        assert sum(1 for r in got if r["doc_id"] == 11) == 2
+
     def test_within_batch_near_dups_both_commit(self, spark, tmp_path):
         inp = str(tmp_path / "in")
         corpus = str(tmp_path / "corpus")
