@@ -88,6 +88,27 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                     "top2_count", "top2_chars")])
 
 
+def repetition_keep_cond(max_dup_line_frac: float = 0.3,
+                         max_top2_frac: float = 0.2):
+    """The Gopher keep predicate as a Column over a repetition_signals
+    row — the SINGLE definition shared by the batch filter and the
+    streaming curation flag (two hand-synced copies is how a flag and a
+    filter silently diverge). Comparisons are cross-multiplied integers —
+    no float division anywhere near a filter boundary, so the kept set is
+    exactly reproducible.
+
+    dup_line_chars / total_chars <= max  ⇔  dup_line_chars * DENOM <=
+    max * DENOM * total_chars with integer scaling (6 decimal places;
+    round(), never int() — truncation would shift the documented <=
+    boundary down by an ulp of the scale for thresholds like 0.00397)."""
+    scale = 1_000_000
+    return (
+        (F.col("dup_line_chars") * scale
+         <= F.lit(round(max_dup_line_frac * scale)) * F.col("total_chars"))
+        & (F.col("top2_chars") * scale
+           <= F.lit(round(max_top2_frac * scale)) * F.col("total_chars")))
+
+
 def repetition_filter(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       max_dup_line_frac: float = 0.3,
@@ -95,22 +116,11 @@ def repetition_filter(df: DataFrame, text_col: str = "text",
     """Rows of ``df`` whose repetition fractions clear the thresholds
     (Gopher's filter step: drop documents with > max_dup_line_frac of
     characters in duplicated lines, or > max_top2_frac of characters in
-    the single most frequent 2-gram). Comparisons are cross-multiplied
-    integers — no float division anywhere near a filter boundary, so the
-    kept set is exactly reproducible. One broadcast-able semi-join of
+    the single most frequent 2-gram). One broadcast-able semi-join of
     the signal table back onto the corpus."""
     sig = repetition_signals(df, text_col, id_col)
-    # dup_line_chars / total_chars <= max  ⇔  dup_line_chars * DENOM <=
-    # max * DENOM * total_chars with integer scaling (6 decimal places;
-    # round(), never int() — truncation would shift the documented <=
-    # boundary down by an ulp of the scale for thresholds like 0.00397)
-    scale = 1_000_000
     keep = sig.filter(
-        (F.col("dup_line_chars") * scale
-         <= F.lit(round(max_dup_line_frac * scale)) * F.col("total_chars"))
-        & (F.col("top2_chars") * scale
-           <= F.lit(round(max_top2_frac * scale)) * F.col("total_chars"))
-    ).select(id_col)
+        repetition_keep_cond(max_dup_line_frac, max_top2_frac)).select(id_col)
     return df.join(keep, on=id_col, how="left_semi")
 
 

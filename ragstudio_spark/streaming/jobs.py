@@ -239,6 +239,65 @@ def incremental_near_dedup_stream(
     return writer.start()
 
 
+def curate_stream_batch(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The row-local curation stages (the non-dedup legs of
+    operators/curation.py curate_corpus) applied to ONE batch of
+    documents: PII redaction with per-category audit counts, the Gopher
+    repetition keep-flag, and C4 page signals. Every stage is a function
+    of the single document row, so applying this per micro-batch is
+    EXACT — the streamed output over any partitioning of the corpus into
+    batches equals the batch operator over the whole corpus
+    (fold-equality tested). Rows are annotated (rep_keep / c4_keep), not
+    dropped — curation keeps the audit trail; downstream filters on the
+    flags.
+
+    The repetition keep predicate is quality_signals.repetition_keep_cond
+    — the same Column the batch repetition_filter applies, so flag and
+    filter can never diverge."""
+    from ragstudio_spark.operators import quality_signals
+    from ragstudio_spark.operators import redact as redact_op
+
+    red = redact_op.with_redaction(df, text_col).drop(text_col)
+    sig = quality_signals.repetition_signals(df, text_col, id_col).select(
+        id_col, "total_chars",
+        quality_signals.repetition_keep_cond().alias("rep_keep"))
+    c4 = quality_signals.c4_clean(df, text_col, id_col).select(
+        id_col, "n_kept", "n_sentences", "c4_keep")
+    return red.join(sig, on=id_col).join(c4, on=id_col)
+
+
+def curation_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming curation: new document files are redacted and
+    quality-flagged incrementally (``curate_stream_batch`` per
+    micro-batch via foreachBatch — the signals' explode→groupBy shapes
+    are per-document aggregations, legal inside a micro-batch without
+    any watermark state because no group ever spans batches). Offsets
+    are checkpointed: a restarted query never re-reads processed files;
+    the parquet append is at-least-once under mid-batch crash retry
+    (standard foreachBatch caveat — readers dedup on doc_id)."""
+    stream = (
+        spark.readStream.schema(DEDUP_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        curate_stream_batch(batch_df).write.mode("append").parquet(output_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_chunk_counts(
     stream_df: DataFrame,
     window: str = "1 minute",

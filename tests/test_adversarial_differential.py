@@ -157,6 +157,43 @@ class TestCurationFamilyOnHostileInputs:
             new = Counter(text.split())
             assert all(new[w] <= orig[w] for w in new), i
 
+    def test_curate_sft_invariants(self, spark, nasty_docs):
+        """curate_sft over hostile transcripts: NULL texts/roles, empty
+        and single-turn conversations, garbage text — no crashes, keys
+        unique, packing offsets within budget, contaminated examples
+        really gone."""
+        from pyspark.sql import functions as F
+
+        from ragstudio_spark.operators import curation, dedupe, sft
+
+        rows = []
+        for i in range(40):
+            conv = f"c{i % 7}"
+            role = [None, "user", "assistant", "tool"][i % 4]
+            text = None if i % 11 == 5 else _nasty_text(2000 + i)
+            rows.append((conv, i, role, text))
+        rows.append(("solo", 0, "user", "a single lonely user turn"))
+        turns = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+        bench = nasty_docs.select("doc_id", "text")
+        out = curation.curate_sft(turns, bench, budget=64).collect()
+        keys = [(r["conv_id"], r["turn_idx"]) for r in out]
+        assert len(keys) == len(set(keys))
+        for r in out:
+            assert r["token_count"] == len(r["example_text"]) // 4
+            assert 0 <= r["seq_token_offset"] < 64 or r["seq_index"] == 0
+            assert len(r["shard"]) == 1
+        # composition honesty: survivors ⊆ mined pairs, and no survivor
+        # shares a 13-gram with the benchmark
+        mined = {(r["conv_id"], r["turn_idx"])
+                 for r in sft.sft_pairs(turns).collect()}
+        assert set(keys) <= mined
+        ex = spark.createDataFrame(
+            [(f"{r['conv_id']}:{r['turn_idx']}", r["example_text"])
+             for r in out] or [("none", "x")],
+            "doc_id string, text string")
+        assert dedupe.ngram_decontaminate(ex, bench, n=13).count() == 0
+
     def test_family_deterministic_across_partitionings(self, spark, nasty_docs):
         from ragstudio_spark.operators import curation, quality_signals
 

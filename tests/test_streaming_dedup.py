@@ -1,6 +1,7 @@
-"""Streaming incremental near-dedup (streaming/jobs.py
-incremental_near_dedup_stream): micro-batches banded against the growing
-committed corpus via the decontamination join shape."""
+"""Streaming incremental near-dedup and streaming curation
+(streaming/jobs.py): micro-batches banded against the growing committed
+corpus via the decontamination join shape; row-local curation stages
+lifted onto the file stream with fold-equality vs the batch operators."""
 
 from ragstudio_spark.operators import dedupe
 from ragstudio_spark.streaming import jobs as stream_jobs
@@ -117,3 +118,58 @@ class TestIncrementalNearDedupStream:
         q.awaitTermination(120)
         got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
         assert got == {0, 1, 2}  # both in-batch near-dups accepted
+
+
+GOOD = ("A first proper sentence right here. Another complete sentence "
+        "follows now. A third one arrives. The fourth one lands. And a "
+        "fifth closes the page.")
+SPAMMY = "exact same spam line repeated verbatim\n" * 10
+PIIFUL = ("Please contact me at bob@example.com about the rollout. "
+          "A second sentence sits here. Then a third one. Also a fourth "
+          "one. Finally a fifth one.")
+
+
+class TestCurationStream:
+    def test_restart_and_fold_equality_vs_batch_stages(self, spark, tmp_path):
+        """Two triggers with a restart between them: (1) offsets are not
+        re-read after restart, (2) the streamed output row-for-row equals
+        curate_stream_batch over the WHOLE corpus (stages are row-local →
+        micro-batching is exact), (3) the rep_keep flag agrees with the
+        batch repetition_filter membership and redacted_text with the
+        batch redaction stage — the batch-equality the curation tier
+        promises."""
+        from ragstudio_spark.operators import quality_signals
+        from ragstudio_spark.operators import redact as redact_op
+
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        b1 = [(0, GOOD), (1, SPAMMY), (2, PIIFUL)]
+        b2 = [(3, GOOD + " Extra tail sentence lives here."), (4, SPAMMY)]
+        _df(spark, b1).write.parquet(inp)
+        q = stream_jobs.curation_stream(spark, inp, out, ckpt)
+        q.awaitTermination(120)
+        _df(spark, b2).write.mode("append").parquet(inp)
+        q = stream_jobs.curation_stream(spark, inp, out, ckpt)
+        q.awaitTermination(120)
+
+        got = {r["doc_id"]: r.asDict()
+               for r in spark.read.parquet(out).collect()}
+        assert len(got) == 5                       # restart: no re-reads
+
+        full = _df(spark, b1 + b2)
+        expected = {r["doc_id"]: r.asDict()
+                    for r in stream_jobs.curate_stream_batch(full).collect()}
+        assert got == expected                     # fold equality, all cols
+
+        kept = {r["doc_id"]
+                for r in quality_signals.repetition_filter(full).collect()}
+        assert {i for i, r in got.items() if r["rep_keep"]} == kept
+        red = {r["doc_id"]: r["redacted_text"]
+               for r in redact_op.with_redaction(full).collect()}
+        assert all(got[i]["redacted_text"] == red[i] for i in got)
+        # non-vacuity: the fixtures exercise every stage both ways
+        assert got[1]["rep_keep"] is False and got[0]["rep_keep"] is True
+        assert got[2]["n_email"] == 1 and "bob@example.com" not in \
+            got[2]["redacted_text"]
+        assert got[0]["c4_keep"] is True and got[1]["c4_keep"] is False
