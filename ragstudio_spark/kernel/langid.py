@@ -21,7 +21,16 @@ from __future__ import annotations
 import re
 
 # Compact, high-frequency function-word profiles. Word-boundary matched,
-# lowercase. Chosen to discriminate en/fr/es/de/it/pt on short snippets.
+# lowercase. Chosen to discriminate the table languages on short
+# snippets. The nl/sv/da/ro/pl rows are the round-5 table extension: the
+# measured divergence (scripts/langid_divergence.py) showed every
+# out-of-table Germanic/Romance/Slavic fixture misattributed — Dutch to
+# 'en' and Danish/Polish partly to 'en', which the default fr/en
+# allow-list then WRONGLY KEEPS. Their profiles deliberately avoid
+# tokens frequent in the other table languages (e.g. no Dutch "de"/"en",
+# which would collide with French/English text) so existing predictions
+# cannot flip; shared low-risk tokens (sv/da "som", de/sv "den") count
+# for both owners, exactly as the per-language findall did.
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is", "in", "that", "it", "with", "for",
            "was", "this", "are", "not", "have"),
@@ -35,6 +44,16 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
            "del", "gli", "questo", "come", "più"),
     "pt": ("o", "os", "uma", "é", "em", "que", "não", "para", "com", "do",
            "da", "se", "por", "mais", "como"),
+    "nl": ("het", "een", "niet", "zijn", "ook", "naar", "wordt", "heeft",
+           "maar", "bij", "worden", "deze", "wij", "geen", "nog"),
+    "sv": ("och", "att", "som", "är", "inte", "den", "ett", "han", "hon",
+           "vid", "från", "för", "på", "medan", "efter"),
+    "da": ("og", "det", "ikke", "som", "til", "med", "han", "hun", "efter",
+           "hvor", "ved", "blev", "af", "på", "mens"),
+    "ro": ("și", "să", "nu", "din", "este", "sunt", "care", "pentru",
+           "după", "când", "în", "că", "cu", "dar", "unde"),
+    "pl": ("nie", "się", "jest", "ale", "jak", "tak", "przez", "tym",
+           "być", "oraz", "że", "w", "z", "aby", "przed"),
 }
 
 _PATTERNS = {

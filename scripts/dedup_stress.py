@@ -1,4 +1,4 @@
-"""Dedup-tier scale-up stress: the same operators at 1× and 10× corpus.
+"""Dedup/curation-tier scale-up stress: the same operators at 1× and 10×.
 
 The sandbox tops out at sf0.1 (5,000 docs); this synthesizes a 10× corpus
 by unioning 10 mutated copies (each copy appends a distinct token, so
@@ -8,6 +8,17 @@ time at both sizes and reports the growth factor: a scale-safe candidate
 generator grows ~linearly in docs + true pairs; anything super-linear
 flags a join whose fan-out is not under control.
 
+Round-5 additions (the round-4 join surfaces, stressed the same way):
+
+* ``repeated_spans_n20``  — the window self-join under max_df on the
+  duplicate-heavy corpus (every 20-word run recurs in all 10 copies);
+* ``ngram13_decontam``    — the gram join against a FIXED benchmark
+  (the benchmark never scales; growth must track the corpus side only);
+* ``sft_multiturn_ctx8``  — the bounded-frame claim: the 10× corpus is
+  shaped into conversations 10× LONGER (same conv keys), so a
+  whole-transcript re-ship would grow ~100×, the bounded ROWS frame ~10×.
+
+Usage: python scripts/dedup_stress.py [op ...]  (default: all ops)
 Output: markdown table (for BASELINE.md) + one JSON line.
 """
 
@@ -24,14 +35,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window, functions as F
 
-    from ragstudio_spark.operators import dedupe
+    from ragstudio_spark.operators import dedupe, sft
     from ragstudio_spark.session import get_spark
 
     spark = get_spark("dedup-stress", master="local[32]", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # fixed benchmark side for decontamination — at a real deployment the
+    # benchmark suite does not grow with the crawl
+    bench = base.filter("doc_id % 50 = 3").localCheckpoint()
+
+    def transcripts_of(d):
+        """Shape the corpus into conversations keyed by base doc id % 500:
+        at 1× each conversation has ~10 turns, at 10× ~100 — conversation
+        LENGTH scales with the corpus, which is exactly what the bounded
+        context frame must shrug off."""
+        keyed = d.withColumn("conv_id", (F.col("doc_id") % 500).cast("string"))
+        w = Window.partitionBy("conv_id").orderBy("doc_id")
+        return (keyed
+                .withColumn("turn_idx", F.row_number().over(w).cast("int"))
+                .withColumn("role",
+                            F.when(F.col("turn_idx") % 2 == 1, "user")
+                            .otherwise("assistant"))
+                .select("conv_id", "turn_idx", "role", "text"))
 
     def corpus(copies: int):
         parts = [
@@ -55,7 +83,19 @@ def main() -> None:
             d, length_band=True).count(),
         "clusters_from_minhash": lambda d: dedupe.duplicate_clusters(
             dedupe.minhash_lsh_pairs(d, n_hashes=16, n_bands=4)).count(),
+        "repeated_spans_n20": lambda d: dedupe.repeated_spans(
+            d, n=20).count(),
+        "ngram13_decontam": lambda d: dedupe.ngram_decontaminate(
+            d, bench, n=13).count(),
+        "sft_multiturn_ctx8": lambda d: sft.sft_multiturn(
+            transcripts_of(d)).count(),
     }
+    only = set(sys.argv[1:])
+    if only:
+        unknown = only - set(ops)
+        if unknown:
+            sys.exit(f"unknown ops: {sorted(unknown)}; have {sorted(ops)}")
+        ops = {k: v for k, v in ops.items() if k in only}
 
     results: dict[str, dict] = {name: {} for name in ops}
     sizes = {}
