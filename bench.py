@@ -148,7 +148,9 @@ def main() -> None:
                  "curate_corpus", "decontaminate_ngram_overlap",
                  "sample_cap_per_source", "repetition_signals",
                  "sample_mixture", "repeated_span_mining", "c4_clean",
-                 "sft_pairs", "preference_pairs"):
+                 "sft_pairs", "preference_pairs",
+                 # round-5 operators
+                 "ann_ivfpq_residual_topk", "curate_sft"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
