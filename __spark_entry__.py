@@ -96,17 +96,29 @@ def _pipeline_index_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_pipeline(_documents_as_transcripts(spark, sf_dir),
                        PipelineConfig())
-    # deterministic per-SF path + overwrite, NOT mkdtemp: repeated
-    # invocations (min-of-2 bench, driver re-runs) must not accumulate
-    # abandoned stores in /tmp. The pid discriminator keeps two concurrent
-    # drivers on one host from overwriting each other's store between
-    # ingest and read, while re-runs within one driver still reuse (and
-    # overwrite) their own path.
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"ragstudio_idx_search_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{os.getpid()}",
-        "store")
+    # deterministic per-SF-per-process path + overwrite, NOT mkdtemp:
+    # re-runs within one driver reuse (and overwrite) their own path,
+    # while the pid discriminator keeps two concurrent drivers on one
+    # host from overwriting each other's store between ingest and read.
+    # Abandoned siblings (their pid no longer alive) are reaped here so
+    # repeated driver invocations don't accumulate one store per run —
+    # reaping only DEAD pids preserves the concurrent-driver guarantee.
+    tmp = tempfile.gettempdir()
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    prefix = f"ragstudio_idx_search_{sf_tag}_"
+    for entry in os.listdir(tmp):
+        if not entry.startswith(prefix):
+            continue
+        try:
+            owner = int(entry[len(prefix):])
+            os.kill(owner, 0)           # raises if the process is gone
+        except (ValueError, ProcessLookupError):
+            import shutil
+
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+        except PermissionError:
+            pass                        # alive under another uid → keep
+    path = os.path.join(tmp, f"{prefix}{os.getpid()}", "store")
     vectorstore.ingest_chunks(out.chunks, path, mode="overwrite")
     store = vectorstore.read_store(spark, path)
 

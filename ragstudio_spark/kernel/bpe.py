@@ -113,13 +113,18 @@ _ESCAPE_RE = re.compile(r"\\\\|\\u[0-9a-fA-F]{4}")
 
 def escape_merge_token(tok: str) -> str:
     """Whitespace-safe merges.txt token: backslash → ``\\\\``, every
-    whitespace char → ``\\uXXXX``. The GPT-2-style pre-tokenizer makes
-    space-prefixed pieces dominant, so top trained merges like
-    ``(' ', 't')`` are near-certain on real corpora — written raw they
-    would corrupt the space-separated line format (and newline tokens the
-    file itself). All whitespace is in the BMP, so 4 hex digits suffice."""
+    whitespace char and ``#`` → ``\\uXXXX``. The GPT-2-style
+    pre-tokenizer makes space-prefixed pieces dominant, so top trained
+    merges like ``(' ', 't')`` are near-certain on real corpora — written
+    raw they would corrupt the space-separated line format (and newline
+    tokens the file itself). ``#`` must be escaped too: a merge like
+    ``('#', '#')`` (markdown headings) would otherwise serialize to a
+    line the comment-skipping parser silently drops, shifting every later
+    merge's rank (review-found, reproduced). All escaped chars are in the
+    BMP, so 4 hex digits suffice."""
     out = tok.replace("\\", "\\\\")
-    return "".join(f"\\u{ord(c):04x}" if c.isspace() else c for c in out)
+    return "".join(f"\\u{ord(c):04x}" if (c.isspace() or c == "#") else c
+                   for c in out)
 
 
 def unescape_merge_token(tok: str) -> str:
@@ -185,14 +190,16 @@ def resolve_tokenizer(merges_path: str | None) -> BPETokenizer | None:
 
     * ``"auto"`` (the pipeline default) — the shipped trained vocabulary,
       or None (char-window fallback) when no artifact is packaged;
-    * ``None`` / ``"none"`` / ``"window"`` — explicitly no tokenizer: the
-      char-window fallback (the string forms exist for the CLI, whose
-      config layering drops literal None);
+    * ``None`` / ``""`` / ``"none"`` / ``"window"`` — explicitly no
+      tokenizer: the char-window fallback (the string forms exist for
+      config layers that cannot express literal None; empty string means
+      "unset", matching the pre-"auto" truthiness contract — it must not
+      silently activate the embedded fallback table);
     * anything else — a merges.txt path, loaded once per worker.
     """
     if merges_path == "auto":
         return default_tokenizer()
-    if merges_path in (None, "none", "window"):
+    if not merges_path or merges_path in ("none", "window"):
         return None
     return tokenizer_from(merges_path)
 

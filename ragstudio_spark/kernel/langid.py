@@ -52,8 +52,13 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
            "hvor", "ved", "blev", "af", "på", "mens"),
     "ro": ("și", "să", "nu", "din", "este", "sunt", "care", "pentru",
            "după", "când", "în", "că", "cu", "dar", "unde"),
+    # NB no single-letter tokens anywhere in the table: Polish "w"/"z"
+    # are high-frequency but standalone 'w'/'z' also occur in English
+    # enumerations ("options w, x, y, z"), which would flip predictions
+    # and wrongly DROP allowed documents (review-found); multi-letter
+    # function words carry the discrimination instead
     "pl": ("nie", "się", "jest", "ale", "jak", "tak", "przez", "tym",
-           "być", "oraz", "że", "w", "z", "aby", "przed"),
+           "być", "oraz", "że", "dla", "już", "aby", "przed"),
 }
 
 _PATTERNS = {

@@ -191,12 +191,19 @@ def incremental_near_dedup_stream(
     caveat). Crash-retry semantics, stated honestly: if a crash lands
     AFTER the corpus append but BEFORE the checkpoint commit, the re-run
     batch reads a corpus that already contains its own rows. Self-matches
-    (left_id = right_id) are filtered below so the batch does not flag
-    itself wholesale and the accepted set is re-derived against the prior
-    prefix plus genuine near-dups — but the corpus (and pairs) appends
-    are then duplicated: both tables are at-least-once, and readers
-    should dedup on doc_id / (left_id, right_id) respectively. The
-    corpus still converges to the same accepted membership."""
+    (left_id = right_id) are filtered below so a document never flags
+    itself against its own committed copy, and accepted rows re-append
+    (both tables are at-least-once; readers dedup on doc_id /
+    (left_id, right_id)). One divergence remains and is inherent to
+    non-transactional appends: a WITHIN-batch near-dup pair (both novel
+    → both accepted on a clean run, the documented semantics) is demoted
+    on retry if the crash landed after its partner's rows were appended —
+    the retry sees the partner as committed and flags the pair. Accepted
+    membership therefore converges for everything except within-batch
+    near-dups caught by an unlucky crash window; eliminating that window
+    requires an atomic commit of (corpus append + offset), i.e. the
+    Iceberg-snapshot sink pipeline/lineage.py documents the mapping
+    for."""
     from ragstudio_spark.operators import dedupe
 
     stream = (

@@ -146,11 +146,16 @@ def main():
         if os.path.exists(json_out):
             with open(json_out) as f:
                 merged = json.load(f)
-        merged[sf_key] = records
+        # merge WITHIN the SF key too: a subset re-check must update its
+        # own queries without wiping the rest of the full-battery proof
+        # (review-found — `merged[sf] = records` destroyed 67 records to
+        # record 1)
+        merged.setdefault(sf_key, {}).update(records)
         with open(json_out, "w") as f:
             json.dump(merged, f, indent=2, sort_keys=True)
             f.write("\n")
-        print(f"wrote {json_out} [{sf_key}]: {len(records)} queries")
+        print(f"wrote {json_out} [{sf_key}]: {len(records)} queries "
+              f"({len(merged[sf_key])} total at this SF)")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {[n for n, _ in failures]}")

@@ -167,16 +167,25 @@ class TestCurationFamilyOnHostileInputs:
         from ragstudio_spark.operators import curation, dedupe, sft
 
         rows = []
-        for i in range(40):
+        for i in range(42):
+            # conv-local CONSECUTIVE turn indices (i // 7) — sft_pairs
+            # requires adjacency, so a fixture without consecutive
+            # indices mines zero pairs and tests nothing (review-found:
+            # the first version used turn_idx = i and was vacuous)
             conv = f"c{i % 7}"
-            role = [None, "user", "assistant", "tool"][i % 4]
+            turn = i // 7
+            role = [None, "user", "assistant", "tool"][
+                (turn + (i % 7) % 3) % 4]
             text = None if i % 11 == 5 else _nasty_text(2000 + i)
-            rows.append((conv, i, role, text))
+            rows.append((conv, turn, role, text))
         rows.append(("solo", 0, "user", "a single lonely user turn"))
         turns = spark.createDataFrame(
             rows, "conv_id string, turn_idx int, role string, text string")
         bench = nasty_docs.select("doc_id", "text")
+        mined_pairs = sft.sft_pairs(turns).collect()
+        assert mined_pairs, "fixture must actually mine user→assistant pairs"
         out = curation.curate_sft(turns, bench, budget=64).collect()
+        assert out, "fixture must keep at least one curated example"
         keys = [(r["conv_id"], r["turn_idx"]) for r in out]
         assert len(keys) == len(set(keys))
         for r in out:
@@ -185,12 +194,11 @@ class TestCurationFamilyOnHostileInputs:
             assert len(r["shard"]) == 1
         # composition honesty: survivors ⊆ mined pairs, and no survivor
         # shares a 13-gram with the benchmark
-        mined = {(r["conv_id"], r["turn_idx"])
-                 for r in sft.sft_pairs(turns).collect()}
+        mined = {(r["conv_id"], r["turn_idx"]) for r in mined_pairs}
         assert set(keys) <= mined
         ex = spark.createDataFrame(
             [(f"{r['conv_id']}:{r['turn_idx']}", r["example_text"])
-             for r in out] or [("none", "x")],
+             for r in out],
             "doc_id string, text string")
         assert dedupe.ngram_decontaminate(ex, bench, n=13).count() == 0
 

@@ -112,11 +112,24 @@ class TestComposition:
         """Escaping itself: backslashes, literal '\\u0041' text, tabs,
         newlines, non-breaking space — all identity under load∘save."""
         cases = ["\\", "\\\\", "\\u0041", " t", "\t", "\n\n", " x",
-                 "plain", " ", "a b"]
+                 "plain", " ", "a b", "#", "##", "#version", "a#b"]
         for tok in cases:
             esc = bpe.escape_merge_token(tok)
             assert " " not in esc and "\n" not in esc and "\t" not in esc
+            assert "#" not in esc    # would read back as a comment line
             assert bpe.unescape_merge_token(esc) == tok
+
+    def test_hash_tokens_survive_the_file_round_trip(self, tmp_path):
+        """A merge of markdown-heading tokens must not serialize to a
+        line the comment-skipping parser drops (review-found: ('#','#')
+        vanished and every later rank shifted)."""
+        merges = [("#", "#"), ("a", "b"), ("ab", "c")]
+        path = str(tmp_path / "m.txt")
+        bpe_trainer.save_merges(merges, path)
+        tok = bpe.load_merges(path)
+        assert [tuple(pair) for pair in sorted(tok.ranks, key=tok.ranks.get)] \
+            == merges
+        assert tok._bpe("##") == ("##",)
 
     def test_train_from_corpus_end_to_end(self, spark):
         df = spark.createDataFrame(

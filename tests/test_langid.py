@@ -40,6 +40,20 @@ class TestLangidTable:
         # tie-break), never crash
         assert langid.detect_language("som") in ("da", "sv")
 
+    def test_no_single_letter_stopwords_and_enumerations_stay_english(self):
+        """Single-letter profile tokens are banned: standalone 'w'/'z'
+        occur in English enumerations and would flip en → pl, wrongly
+        DROPPING allowed documents (review-found). The enumeration
+        fixture pins the behavior."""
+        # scoped to the round-5 additions: pt's pre-existing "o"/"é" are
+        # part of the long-standing profile (and "é"/"è" are non-ASCII,
+        # absent from English text)
+        for lang in ("nl", "sv", "da", "ro", "pl"):
+            assert all(len(w) >= 2 for w in langid.STOPWORDS[lang]), lang
+        text = ("The appendix lists the options w, x, y, z and it is "
+                "clear that the first of them is the one to pick.")
+        assert langid.detect_language(text) == "en"
+
     def test_original_six_languages_unchanged(self):
         """The extension must not have disturbed the pre-existing
         profiles (their token sets are part of the oracle-adjacent

@@ -76,11 +76,17 @@ class TestIncrementalNearDedupStream:
     def test_crash_retry_does_not_self_flag(self, spark, tmp_path):
         """Simulated crash-after-append retry: the corpus already holds
         the batch's own rows when the batch re-runs. The self-match guard
-        (left_id != right_id) must keep the batch from flagging itself
-        against its own copies — the audit table carries no (x, x) rows,
-        genuine near-dups are still flagged, and the accepted MEMBERSHIP
-        matches the no-crash run (rows are at-least-once: the retried
-        append duplicates them, which readers dedup on doc_id)."""
+        (left_id != right_id) must keep each document from flagging
+        itself against its own copy — the audit table carries no (x, x)
+        rows and truly-novel rows stay accepted (at-least-once: the
+        retried append duplicates them; readers dedup on doc_id). The
+        scenario DELIBERATELY includes the documented divergence window:
+        13 is a within-batch near-dup of 11 (a clean run accepts both —
+        see test_within_batch_near_dups_both_commit), but with 11's rows
+        already appended pre-crash the retry flags (13, 11) and rejects
+        13. That demotion is the stated crash-window semantics
+        (incremental_near_dedup_stream docstring), pinned here so a
+        future change to it is a conscious one."""
         inp = str(tmp_path / "in")
         corpus = str(tmp_path / "corpus")
         pairs = str(tmp_path / "pairs")
