@@ -133,6 +133,38 @@ def _pipeline_index_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy("rank").limit(10)
 
 
+def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-document token counts under the SHIPPED trained
+    vocabulary (ragstudio_spark/data/merges.txt via
+    kernel/bpe.default_tokenizer) next to the char-window estimate —
+    ties the packaged artifact to the driver contract. The tokenizer
+    loads once per worker (lru-cached); the hop is one pandas batch
+    (iterative BPE merges are not SQL-expressible, hence rows-only —
+    the trainer's pair-count aggregate is the oracle-gated surface,
+    `bpe_pair_counts`)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+
+    def count(batches):
+        from ragstudio_spark.kernel import bpe
+
+        tok = bpe.default_tokenizer() or bpe.BPETokenizer()
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_tokens": [tok.encode_len(t or "")
+                             for t in pdf["text"]],
+                "n_window_est": [(len(t or "") + 3) // 4
+                                 for t in pdf["text"]],
+            })
+
+    return docs.mapInPandas(
+        count, "doc_id bigint, n_tokens bigint, n_window_est bigint"
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extract+chunk pipeline over sf0.001 documents shaped
     as transcripts; returns the chunks DataFrame."""
@@ -147,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["streaming_transform_chunks"] = _streaming_transform_chunks  # rows-only
     qs["pipeline_near_dedup_chunks"] = _pipeline_near_dedup_chunks  # rows-only
     qs["pipeline_index_and_search"] = _pipeline_index_and_search    # rows-only
+    qs["bpe_token_counts"] = _bpe_token_counts                      # rows-only
     return qs
 
 

@@ -150,7 +150,9 @@ def main() -> None:
                  "sample_mixture", "repeated_span_mining", "c4_clean",
                  "sft_pairs", "preference_pairs",
                  # round-5 operators
-                 "ann_ivfpq_residual_topk", "curate_sft"):
+                 "ann_ivfpq_residual_topk", "curate_sft",
+                 "conversation_lint", "truncate_history",
+                 "quality_model_scores"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

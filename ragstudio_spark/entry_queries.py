@@ -3455,6 +3455,206 @@ FROM cum
 _def("curate_sft", (_curate_sft_fn, _curate_sft_duck_sql()))
 
 
+# -- 45d. conversation lint (operators/convlint.py lint_conversations):
+#         transcript-table integrity before mining — index gaps (seeded
+#         by dropping doc_id % 37 == 1 AFTER indexing), NULL roles
+#         (% 41 == 2), NULL texts (% 43 == 3), and role-transition
+#         validity against the documented chat state machine (the
+#         user→assistant→tool cycle makes tool→user transitions bad by
+#         construction, so the branch is non-vacuous corpus-wide).
+def _lint_turns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    _register(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    idx = (F.row_number().over(w) - 1).cast("int")
+    role = F.when(F.col("doc_id") % 41 == 2, F.lit(None).cast("string")) \
+        .otherwise(F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (idx % 3 + 1).cast("int")))
+    text = F.when(F.col("doc_id") % 43 == 3,
+                  F.lit(None).cast("string")).otherwise(F.col("text"))
+    return (spark.table("documents")
+            .select(F.col("source").alias("conv_id"),
+                    idx.alias("turn_idx"), role.alias("role"),
+                    text.alias("text"), "doc_id")
+            .filter(F.col("doc_id") % 37 != 1)     # index gaps
+            .drop("doc_id"))
+
+
+def _lint_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import convlint
+
+    return convlint.lint_conversations(_lint_turns_df(spark, sf_dir))
+
+
+def _lint_duck_sql() -> str:
+    from ragstudio_spark.operators.convlint import ROLES, VALID_TRANSITIONS
+
+    roles = ", ".join(f"'{r}'" for r in ROLES)
+    pairs = ", ".join(f"'{a}>{b}'" for a, b in VALID_TRANSITIONS)
+    return f"""
+WITH shaped AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER w - 1 AS INT) AS turn_idx,
+         CASE WHEN doc_id % 41 = 2 THEN NULL
+              ELSE (['user', 'assistant', 'tool'])[
+                CAST((row_number() OVER w - 1) % 3 + 1 AS INT)] END AS role,
+         CASE WHEN doc_id % 43 = 3 THEN NULL ELSE text END AS text,
+         doc_id
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC)
+), kept AS (
+  SELECT conv_id, turn_idx, role, text FROM shaped WHERE doc_id % 37 <> 1
+), lagged AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER w2 AS prev_role,
+         row_number() OVER w2 AS rn
+  FROM kept
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx ASC)
+), marked AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN text IS NULL THEN 1 ELSE 0 END AS null_text,
+         CASE WHEN role IN ({roles}) THEN 0 ELSE 1 END AS bad_role,
+         CASE WHEN rn = 1 THEN 0
+              WHEN role IN ({roles}) AND prev_role IN ({roles})
+                   AND (prev_role || '>' || role) IN ({pairs}) THEN 0
+              ELSE 1 END AS bad_trans,
+         CASE WHEN rn = 1 THEN
+           (CASE WHEN role IN ('system', 'user') THEN 1 ELSE 0 END)
+         END AS starts_valid
+  FROM lagged
+), agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_dup_idx,
+         CAST(max(turn_idx) - min(turn_idx) + 1
+              - count(DISTINCT turn_idx) AS BIGINT) AS index_gaps,
+         CAST(sum(null_text) AS BIGINT) AS n_null_text,
+         CAST(sum(bad_role) AS BIGINT) AS n_bad_role,
+         CAST(sum(bad_trans) AS BIGINT) AS n_bad_transitions,
+         (max(starts_valid) = 1) AS starts_valid
+  FROM marked GROUP BY conv_id
+)
+SELECT *,
+       (n_dup_idx = 0 AND index_gaps = 0 AND n_null_text = 0
+        AND n_bad_role = 0 AND n_bad_transitions = 0 AND starts_valid)
+         AS lint_ok
+FROM agg
+"""
+
+
+_def("conversation_lint", (_lint_fn, _lint_duck_sql()))
+
+
+# -- 45e. context-budget truncation (operators/convlint.py
+#         truncate_history): newest-first running token sum per
+#         conversation; rows annotated with kept (suffix fits budget OR
+#         newest turn). Budget 96 makes the flag flip mid-conversation
+#         at sf0.01's text lengths.
+_TRUNC_BUDGET = 96
+
+
+def _trunc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import convlint
+
+    out = convlint.truncate_history(_sft_turns_df(spark, sf_dir),
+                                    budget_tokens=_TRUNC_BUDGET)
+    return out.select("conv_id", "turn_idx", "turn_tokens",
+                      "suffix_tokens", "kept")
+
+
+def _trunc_duck_sql() -> str:
+    toks = "COALESCE(length(text), 0) // 4"
+    return f"""
+WITH {_SFT_TURNS_CTE}
+SELECT conv_id, turn_idx,
+       CAST({toks} AS BIGINT) AS turn_tokens,
+       CAST(SUM({toks}) OVER w3 AS BIGINT) AS suffix_tokens,
+       (SUM({toks}) OVER w3 <= {_TRUNC_BUDGET}
+        OR row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+           = 1) AS kept
+FROM turns
+WINDOW w3 AS (PARTITION BY conv_id ORDER BY turn_idx DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+_def("truncate_history", (_trunc_fn, _trunc_duck_sql()))
+
+
+# -- 45f. learned quality filter (operators/quality_model.py): the
+#         shipped linear model's integer score over every document —
+#         model-based curation (GPT-3/LLaMA-style classifier filtering)
+#         with the engine's integer-only oracle discipline. Garbage is
+#         seeded (digit/punct noise on doc_id % 23 == 6, >15-char token
+#         runs on % 29 == 8) so the drop branch is non-vacuous.
+_QM_NOISE = " 0x9A$@! 77##%% 123456 @@@)(*&^ 999 $$$"
+_QM_LONGTOK = " pneumonoultramicroscopicsilicovolcanoconiosis" * 3
+
+
+def _qm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import quality_model
+
+    _register(spark, sf_dir, "documents")
+    seeded = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 6,
+               F.concat(F.col("text"), F.lit(_QM_NOISE * 4)))
+        .when(F.col("doc_id") % 29 == 8,
+              F.concat(F.col("text"), F.lit(_QM_LONGTOK)))
+        .otherwise(F.col("text")).alias("text"))
+    return quality_model.with_quality_score(seeded).select(
+        "doc_id", "qm_score", "qm_keep")
+
+
+def _qm_duck_sql() -> str:
+    from ragstudio_spark.operators.quality_model import (
+        PUBLISHED_WEIGHTS, QM_STOPWORDS,
+    )
+
+    stop_body = "|".join(QM_STOPWORDS)
+    w = PUBLISHED_WEIGHTS
+    noise = (_QM_NOISE * 4).replace("'", "''")
+    longtok = _QM_LONGTOK.replace("'", "''")
+    feats = {
+        "bias": "1",
+        "n_words": ("len(list_filter(regexp_split_to_array(t, '\\s+'), "
+                    "x -> x != ''))"),
+        "n_stop": (f"len(regexp_extract_all(lower(t), "
+                   f"'\\b(?:{stop_body})\\b'))"),
+        "n_terminal": "len(regexp_extract_all(t, '[.!?]'))",
+        "n_punct": r"len(regexp_extract_all(t, '[^A-Za-z0-9\s]'))",
+        "n_digit": "len(regexp_extract_all(t, '[0-9]'))",
+        "n_upper": "len(regexp_extract_all(t, '[A-Z]'))",
+        "n_long": ("len(list_filter(regexp_split_to_array(t, '\\s+'), "
+                   "x -> length(x) > 15))"),
+    }
+    score = " + ".join(f"({w[n]}) * CAST({feats[n]} AS BIGINT)"
+                       for n in ("bias", "n_words", "n_stop", "n_terminal",
+                                 "n_punct", "n_digit", "n_upper", "n_long")
+                       if w[n])
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 6 THEN text || '{noise}'
+              WHEN doc_id % 29 = 8 THEN text || '{longtok}'
+              ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM seeded
+)
+SELECT doc_id, CAST({score} AS BIGINT) AS qm_score,
+       (CAST({score} AS BIGINT) > 0) AS qm_keep
+FROM base
+"""
+
+
+_def("quality_model_scores", (_qm_fn, _qm_duck_sql()))
+
+
 # -- 45c. preference-pair mining (operators/sft.py preference_pairs): the
 #         DPO data-prep step over the synthetic feedback frame — per
 #         query, chosen = max-rated candidate, rejected = min-rated,

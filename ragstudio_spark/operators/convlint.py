@@ -1,0 +1,144 @@
+"""Conversation integrity + context-budget operators — the transcript-
+table hygiene a training-data pipeline runs BEFORE mining (SFT/DPO
+extraction assumes well-formed conversations; these operators make that
+assumption checkable and enforceable at corpus scale).
+
+* ``lint_conversations`` — one integrity row per conversation: turn-index
+  contiguity, duplicate indices, NULL text/role accounting, and
+  role-transition validity against the standard chat state machine.
+* ``truncate_history`` — per-conversation context-window enforcement:
+  keep the LAST turns whose cumulative token estimate fits a budget
+  (newest-first, the standard truncated-history trainer shape).
+
+Rule set, stated exactly (ours — the reference has no transcript linter;
+the state machine is the de-facto chat-ML convention):
+
+    roles        = {system, user, assistant, tool}
+    valid START  = system or user
+    valid transitions:
+        system    → user
+        user      → assistant
+        assistant → user | tool
+        tool      → assistant | tool
+    a NULL/unknown role invalidates its two adjacent transitions.
+
+Scale shape: everything is ONE per-conversation window (lag over turn
+order) plus a per-conversation partial aggregate — the same partitioning
+the pipeline already buckets by, so on a conv_id-bucketed table this is
+shuffle-free. No Python, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+ROLES = ("system", "user", "assistant", "tool")
+
+#: allowed (prev_role, role) adjacencies — shared data with the oracle twin
+VALID_TRANSITIONS = (
+    ("system", "user"),
+    ("user", "assistant"),
+    ("assistant", "user"),
+    ("assistant", "tool"),
+    ("tool", "assistant"),
+    ("tool", "tool"),
+)
+
+#: chars-per-token heuristic (the reference's 1 token ≈ 4 chars,
+#: defaults.py — same constant as packing/curation)
+CHARS_PER_TOKEN = 4
+
+
+def lint_conversations(df: DataFrame, conv_col: str = "conv_id",
+                       idx_col: str = "turn_idx", role_col: str = "role",
+                       text_col: str = "text") -> DataFrame:
+    """Per-conversation integrity report: (conv_id, n_turns, n_dup_idx,
+    index_gaps, n_null_text, n_bad_role, n_bad_transitions,
+    starts_valid, lint_ok).
+
+    ``index_gaps`` = (max_idx − min_idx + 1) − distinct indices (0 for a
+    contiguous conversation regardless of its starting index);
+    ``n_dup_idx`` counts rows beyond the first per index. ``lint_ok``
+    is the conjunction every miner wants: contiguous, no dups, no NULL
+    text, known roles, valid start, zero invalid transitions."""
+    w = Window.partitionBy(conv_col).orderBy(F.asc(idx_col))
+    valid_pairs = F.array(*[
+        F.lit(f"{a}>{b}") for a, b in VALID_TRANSITIONS])
+    role_known = F.col(role_col).isin(*ROLES)
+    prev_role = F.lag(role_col).over(w)
+    # a transition exists for every row but the first; it is bad when
+    # either side is NULL/unknown or the pair is not in the allowed set.
+    # First-row detection is by row_number, NOT prev_role.isNull() — a
+    # NULL-role PREDECESSOR also lags NULL and must count as bad
+    transition_bad = F.when(
+        F.row_number().over(w) == 1, F.lit(0)
+    ).otherwise(
+        F.when(
+            role_known & prev_role.isin(*ROLES)
+            & F.array_contains(
+                valid_pairs, F.concat(prev_role, F.lit(">"),
+                                      F.col(role_col))),
+            F.lit(0),
+        ).otherwise(F.lit(1)))
+    turns = df.select(
+        F.col(conv_col), F.col(idx_col),
+        F.col(text_col).isNull().cast("int").alias("_null_text"),
+        # when/otherwise, NOT (~isin).cast: a NULL role makes ~isin NULL
+        # and the sum would silently skip it (the ml_trainer NULL-label
+        # lesson applied to counting)
+        F.when(role_known, F.lit(0)).otherwise(F.lit(1)).alias("_bad_role"),
+        transition_bad.alias("_bad_trans"),
+        # NULL-role first turn → 0 (invalid start), never NULL-poisoned
+        F.when(F.row_number().over(w) == 1,
+               F.coalesce(
+                   F.col(role_col).isin("system", "user").cast("int"),
+                   F.lit(0)))
+        .otherwise(None).alias("_starts_valid"),
+    )
+    return (turns.groupBy(conv_col).agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        (F.count("*") - F.countDistinct(idx_col)).cast("bigint")
+        .alias("n_dup_idx"),
+        (F.max(idx_col) - F.min(idx_col) + 1
+         - F.countDistinct(idx_col)).cast("bigint").alias("index_gaps"),
+        F.sum("_null_text").cast("bigint").alias("n_null_text"),
+        F.sum("_bad_role").cast("bigint").alias("n_bad_role"),
+        F.sum("_bad_trans").cast("bigint").alias("n_bad_transitions"),
+        (F.max(F.col("_starts_valid")) == 1).alias("starts_valid"),
+    ).withColumn(
+        "lint_ok",
+        (F.col("n_dup_idx") == 0) & (F.col("index_gaps") == 0)
+        & (F.col("n_null_text") == 0) & (F.col("n_bad_role") == 0)
+        & (F.col("n_bad_transitions") == 0) & F.col("starts_valid")))
+
+
+def truncate_history(df: DataFrame, budget_tokens: int = 2048,
+                     conv_col: str = "conv_id", idx_col: str = "turn_idx",
+                     text_col: str = "text") -> DataFrame:
+    """Context-window enforcement: per conversation, keep the suffix of
+    turns whose cumulative token estimate (newest-first, len/4) fits
+    ``budget_tokens``; the newest turn always survives even if it alone
+    exceeds the budget (a trainer truncates within the turn, it does not
+    drop the example). Returns the input rows plus ``turn_tokens``,
+    ``suffix_tokens`` (this turn + everything newer) and ``kept``.
+
+    Shape: one descending per-conversation running sum — the same single
+    window family as the linter; rows are annotated, not dropped, so the
+    caller can audit what a budget costs before filtering on ``kept``."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    # integral `div`, never a double division + cast (the packing
+    # operator's documented portability rule)
+    toks = F.expr(
+        f"coalesce(length({text_col}), 0) div {CHARS_PER_TOKEN}"
+    ).cast("bigint")
+    w_desc = (Window.partitionBy(conv_col).orderBy(F.desc(idx_col))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (df.withColumn("turn_tokens", toks)
+           .withColumn("suffix_tokens",
+                       F.sum("turn_tokens").over(w_desc).cast("bigint")))
+    newest = Window.partitionBy(conv_col).orderBy(F.desc(idx_col))
+    return out.withColumn(
+        "kept",
+        (F.col("suffix_tokens") <= budget_tokens)
+        | (F.row_number().over(newest) == 1))

@@ -97,6 +97,22 @@ def curate_sft(transcripts: DataFrame, benchmark: DataFrame,
         "prompt", "response",
         F.concat(F.col("prompt"), F.lit("\n\n"), F.col("response"))
         .alias("example_text"))
+    # Two measured scale guards (bench-found, 67 s → ~1 s at sf0.1):
+    # (1) REPARTITION before the checkpoint — the mining window's output
+    #     is keyed by conversation, and with few conversations AQE
+    #     coalesces the tiny shuffle to ONE partition; every downstream
+    #     stage (the 13-gram explode above all) would then run
+    #     single-core. Spreading by example_id restores the fan-out.
+    # (2) localCheckpoint — the example frame feeds BOTH decontamination
+    #     legs and `clean` feeds the repetition filter, whose signal
+    #     computation references its input three times; Spark does not
+    #     dedupe common subplans across joins, so without
+    #     materialization the mining window + gram join re-execute ~6×.
+    #     This is the single-job equivalent of what a production run
+    #     does anyway: persist the mined/cleaned example table between
+    #     curation stages. NB curate_sft is therefore EAGER.
+    sc = ex.sparkSession.sparkContext
+    ex = ex.repartition(sc.defaultParallelism, "example_id").localCheckpoint()
     flagged = dedupe.ngram_decontaminate(
         ex.select(F.col("example_id").alias("doc_id"),
                   F.col("example_text").alias("text")),
@@ -105,7 +121,7 @@ def curate_sft(transcripts: DataFrame, benchmark: DataFrame,
         n=ngram_n, min_shared=min_shared)
     clean = ex.join(
         flagged.select(F.col("corpus_id").alias("example_id")).distinct(),
-        on="example_id", how="left_anti")
+        on="example_id", how="left_anti").localCheckpoint()
     kept = quality_signals.repetition_filter(
         clean, text_col="example_text", id_col="example_id",
         max_dup_line_frac=max_dup_line_frac, max_top2_frac=max_top2_frac)

@@ -63,9 +63,22 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def _bound_words(df: DataFrame, text_col: str, id_col: str,
+                 out: str = "_w") -> DataFrame:
+    """(id, words-array) with the split BOUND to a column attribute.
+    shingles_col references its words input k times per position, and
+    Catalyst inlines an in-expression words_col into every reference —
+    at k=13 that re-splits the text 13× per position (measured 58×
+    slower on the decontamination gram pass). CollapseProject keeps a
+    multi-referenced projection un-inlined, so one intermediate select
+    is the whole fix (the schema_extract bind-once lesson)."""
+    return df.select(F.col(id_col), words_col(F.col(text_col)).alias(out))
+
+
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     return (
-        df.select(F.col(id_col), shingles_col(words_col(F.col(text_col)), k).alias("sh"))
+        _bound_words(df, text_col, id_col)
+        .select(F.col(id_col), shingles_col(F.col("_w"), k).alias("sh"))
         .select(id_col, F.explode("sh").alias("shingle"))
     )
 
@@ -185,12 +198,14 @@ def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     and broadcasts; the corpus side streams through one explode. n=13
     follows the published convention; documents shorter than n words
     have no grams and can never be flagged."""
-    cg = (corpus.select(F.col(id_col).alias("corpus_id"),
-                        F.explode(F.array_distinct(shingles_col(
-                            words_col(F.col(text_col)), n))).alias("gram")))
-    bg = (benchmark.select(F.col(id_col).alias("benchmark_id"),
-                           F.explode(F.array_distinct(shingles_col(
-                               words_col(F.col(text_col)), n))).alias("gram")))
+    cg = (_bound_words(corpus, text_col, id_col)
+          .select(F.col(id_col).alias("corpus_id"),
+                  F.explode(F.array_distinct(
+                      shingles_col(F.col("_w"), n))).alias("gram")))
+    bg = (_bound_words(benchmark, text_col, id_col)
+          .select(F.col(id_col).alias("benchmark_id"),
+                  F.explode(F.array_distinct(
+                      shingles_col(F.col("_w"), n))).alias("gram")))
     return (cg.join(F.broadcast(bg), on="gram")
             .groupBy("corpus_id", "benchmark_id")
             .agg(F.count("*").cast("bigint").alias("n_shared"))
@@ -214,7 +229,9 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
     from the report*, which at curation time means "handle ubiquitous
     boilerplate with a dedicated rule, not this table". One explode, one
     (gram → df) aggregate, one hash-keyed join back to positions."""
-    w = words_col(F.col(text_col))
+    # words bound once (_bound_words rationale): the slice-per-position
+    # transform would otherwise re-split the text once per position
+    w = F.col("_w")
     positioned = F.when(
         F.size(w) >= n,
         F.transform(
@@ -223,7 +240,8 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
                 i.alias("p"),
                 F.array_join(F.slice(w, i + 1, n), " ").alias("g"))),
     ).otherwise(F.array())
-    occ = (df.select(F.col(id_col), F.explode(positioned).alias("s"))
+    occ = (_bound_words(df, text_col, id_col)
+           .select(F.col(id_col), F.explode(positioned).alias("s"))
            .select(id_col, F.col("s.p").alias("word_pos"),
                    F.md5(F.col("s.g")).alias("gram_md5")))
     dfreq = occ.groupBy("gram_md5").agg(
@@ -627,8 +645,9 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``na``/``nb`` stay exact either way — only candidate generation and the
     intersection count are approximated by the cap."""
     distinct_sh = (
-        df.select(F.col(id_col),
-                  F.array_distinct(shingles_col(words_col(F.col(text_col)), k)).alias("sh"))
+        _bound_words(df, text_col, id_col)
+        .select(F.col(id_col),
+                F.array_distinct(shingles_col(F.col("_w"), k)).alias("sh"))
         .select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     )
     if max_shingle_df is not None:

@@ -60,8 +60,12 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     )
 
     gram_groups = (
-        base.select(id_col, F.explode(
-            shingles_col(words_col(F.col("_t")), 2)).alias("gram"))
+        # words bound to an attribute before shingling — shingles_col
+        # references its input k times per position and an inline
+        # words_col would re-split per reference (dedupe._bound_words)
+        base.select(id_col, words_col(F.col("_t")).alias("_w"))
+        .select(id_col,
+                F.explode(shingles_col(F.col("_w"), 2)).alias("gram"))
         .groupBy(id_col, "gram").agg(F.count("*").alias("c"))
     )
     # argmax by (count desc, gram asc), portably: max count per doc,

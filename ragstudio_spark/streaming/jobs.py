@@ -247,21 +247,28 @@ def incremental_near_dedup_stream(
 
 
 def curate_stream_batch(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        benchmark: DataFrame | None = None,
+                        ngram_n: int = 13) -> DataFrame:
     """The row-local curation stages (the non-dedup legs of
     operators/curation.py curate_corpus) applied to ONE batch of
     documents: PII redaction with per-category audit counts, the Gopher
-    repetition keep-flag, and C4 page signals. Every stage is a function
-    of the single document row, so applying this per micro-batch is
-    EXACT — the streamed output over any partitioning of the corpus into
-    batches equals the batch operator over the whole corpus
-    (fold-equality tested). Rows are annotated (rep_keep / c4_keep), not
-    dropped — curation keeps the audit trail; downstream filters on the
-    flags.
+    repetition keep-flag, C4 page signals, and — when a ``benchmark``
+    table is supplied — the 13-gram contamination flag (``contaminated``:
+    the document shares a verbatim n-gram with the STATIC benchmark
+    suite; the benchmark side is broadcast, so this stage is also a pure
+    per-document function and stays fold-exact). Every stage is a
+    function of the single document row against fixed side data, so
+    applying this per micro-batch is EXACT — the streamed output over
+    any partitioning of the corpus into batches equals the batch
+    operator over the whole corpus (fold-equality tested). Rows are
+    annotated (rep_keep / c4_keep / contaminated), not dropped —
+    curation keeps the audit trail; downstream filters on the flags.
 
     The repetition keep predicate is quality_signals.repetition_keep_cond
     — the same Column the batch repetition_filter applies, so flag and
-    filter can never diverge."""
+    filter can never diverge; contamination reuses
+    dedupe.ngram_decontaminate, the oracle-gated batch operator."""
     from ragstudio_spark.operators import quality_signals
     from ragstudio_spark.operators import redact as redact_op
 
@@ -271,7 +278,19 @@ def curate_stream_batch(df: DataFrame, text_col: str = "text",
         quality_signals.repetition_keep_cond().alias("rep_keep"))
     c4 = quality_signals.c4_clean(df, text_col, id_col).select(
         id_col, "n_kept", "n_sentences", "c4_keep")
-    return red.join(sig, on=id_col).join(c4, on=id_col)
+    out = red.join(sig, on=id_col).join(c4, on=id_col)
+    if benchmark is not None:
+        from ragstudio_spark.operators import dedupe
+
+        flagged = dedupe.ngram_decontaminate(
+            df.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("text")),
+            benchmark, n=ngram_n,
+        ).select(F.col("corpus_id").alias(id_col)).distinct() \
+            .withColumn("contaminated", F.lit(True))
+        out = out.join(flagged, on=id_col, how="left").withColumn(
+            "contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))
+    return out
 
 
 def curation_stream(
@@ -279,24 +298,33 @@ def curation_stream(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    benchmark_dir: str | None = None,
     trigger_available_now: bool = True,
 ):
     """Streaming curation: new document files are redacted and
     quality-flagged incrementally (``curate_stream_batch`` per
     micro-batch via foreachBatch — the signals' explode→groupBy shapes
     are per-document aggregations, legal inside a micro-batch without
-    any watermark state because no group ever spans batches). Offsets
-    are checkpointed: a restarted query never re-reads processed files;
-    the parquet append is at-least-once under mid-batch crash retry
-    (standard foreachBatch caveat — readers dedup on doc_id)."""
+    any watermark state because no group ever spans batches).
+    ``benchmark_dir`` (optional, a static (doc_id, text) parquet dir)
+    additionally stamps the 13-gram ``contaminated`` flag against that
+    fixed benchmark suite — localCheckpointed ONCE at query start, not
+    re-read per batch. Offsets are checkpointed: a restarted query never
+    re-reads processed files; the parquet append is at-least-once under
+    mid-batch crash retry (standard foreachBatch caveat — readers dedup
+    on doc_id)."""
     stream = (
         spark.readStream.schema(DEDUP_DOC_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
+    bench = None
+    if benchmark_dir is not None:
+        bench = spark.read.parquet(benchmark_dir).localCheckpoint()
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
-        curate_stream_batch(batch_df).write.mode("append").parquet(output_dir)
+        curate_stream_batch(batch_df, benchmark=bench).write.mode(
+            "append").parquet(output_dir)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir)

@@ -1,0 +1,113 @@
+"""Conversation lint + context-budget truncation (operators/convlint.py)."""
+
+from pyspark.sql import functions as F
+
+from ragstudio_spark.operators import convlint
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+
+
+class TestLintConversations:
+    def test_clean_conversation_passes(self, spark):
+        rows = [("c", 0, "system", "be helpful"),
+                ("c", 1, "user", "hi"),
+                ("c", 2, "assistant", "hello"),
+                ("c", 3, "tool", "{}"),
+                ("c", 4, "assistant", "done"),
+                ("c", 5, "user", "thanks")]
+        r = convlint.lint_conversations(_turns(spark, rows)).first()
+        assert r["lint_ok"] is True
+        assert r["n_turns"] == 6 and r["index_gaps"] == 0
+        assert r["n_bad_transitions"] == 0 and r["starts_valid"] is True
+
+    def test_each_defect_is_counted(self, spark):
+        rows = [
+            # gap: 0 then 2; dup: two idx-2 rows; NULL text at 3;
+            # bad transition user->user; unknown role at 4
+            ("d", 0, "user", "a"),
+            ("d", 2, "assistant", "b"),
+            ("d", 2, "assistant", "b2"),
+            ("d", 3, "user", None),
+            ("d", 4, "wizard", "c"),
+        ]
+        r = convlint.lint_conversations(_turns(spark, rows)).first()
+        assert r["lint_ok"] is False
+        assert r["n_dup_idx"] == 1
+        assert r["index_gaps"] == 1          # idx 1 missing in [0..4]
+        assert r["n_null_text"] == 1
+        assert r["n_bad_role"] == 1
+        # assistant->assistant (dup), assistant->user ok, user->wizard bad
+        assert r["n_bad_transitions"] >= 2
+        assert r["starts_valid"] is True
+
+    def test_invalid_start_and_null_first_role(self, spark):
+        a = convlint.lint_conversations(
+            _turns(spark, [("a", 0, "assistant", "x")])).first()
+        assert a["starts_valid"] is False and a["lint_ok"] is False
+        b = convlint.lint_conversations(
+            _turns(spark, [("b", 0, None, "x"), ("b", 1, "user", "y")])
+        ).first()
+        assert b["starts_valid"] is False
+        assert b["n_bad_role"] == 1
+        # NULL-role row invalidates its adjacent transition
+        assert b["n_bad_transitions"] == 1
+
+    def test_null_predecessor_transition_is_bad(self, spark):
+        """lag(role) is NULL both for the first row and after a NULL-role
+        row — only the first row is exempt (review-guard: first-row
+        detection must use row_number, not prev_role.isNull())."""
+        rows = [("c", 0, "user", "a"), ("c", 1, None, "b"),
+                ("c", 2, "assistant", "c")]
+        r = convlint.lint_conversations(_turns(spark, rows)).first()
+        # user->NULL bad, NULL->assistant bad
+        assert r["n_bad_transitions"] == 2
+
+    def test_contiguous_but_offset_indices_have_no_gap(self, spark):
+        rows = [("c", 5, "user", "a"), ("c", 6, "assistant", "b")]
+        r = convlint.lint_conversations(_turns(spark, rows)).first()
+        assert r["index_gaps"] == 0 and r["lint_ok"] is True
+
+    def test_deterministic_across_partitionings(self, spark):
+        rows = [(f"c{i % 5}", i // 5,
+                 ["user", "assistant", "tool"][(i // 5) % 3],
+                 f"text {i}") for i in range(60)]
+        df = _turns(spark, rows)
+        a = sorted(map(repr, convlint.lint_conversations(df).collect()))
+        b = sorted(map(repr, convlint.lint_conversations(
+            df.repartition(7)).collect()))
+        assert a == b
+
+
+class TestTruncateHistory:
+    def test_suffix_budget_keeps_newest(self, spark):
+        rows = [("c", i, "user", "x" * 40) for i in range(10)]  # 10 tok each
+        out = convlint.truncate_history(
+            _turns(spark, rows), budget_tokens=35).collect()
+        kept = sorted(r["turn_idx"] for r in out if r["kept"])
+        assert kept == [7, 8, 9]            # 3×10 ≤ 35 < 4×10
+        by_idx = {r["turn_idx"]: r for r in out}
+        assert by_idx[9]["suffix_tokens"] == 10
+        assert by_idx[0]["suffix_tokens"] == 100
+
+    def test_oversized_newest_turn_survives(self, spark):
+        rows = [("c", 0, "user", "x" * 40), ("c", 1, "assistant", "y" * 4000)]
+        out = {r["turn_idx"]: r["kept"] for r in convlint.truncate_history(
+            _turns(spark, rows), budget_tokens=50).collect()}
+        assert out == {0: False, 1: True}
+
+    def test_null_text_counts_zero_tokens(self, spark):
+        rows = [("c", 0, "user", None), ("c", 1, "assistant", "z" * 8)]
+        out = {r["turn_idx"]: r for r in convlint.truncate_history(
+            _turns(spark, rows), budget_tokens=5).collect()}
+        assert out[0]["turn_tokens"] == 0
+        assert out[0]["kept"] is True       # 0 + 2 ≤ 5
+        assert out[1]["suffix_tokens"] == 2
+
+    def test_rejects_nonpositive_budget(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="budget_tokens"):
+            convlint.truncate_history(_turns(spark, []), budget_tokens=0)

@@ -179,3 +179,26 @@ class TestCurationStream:
         assert got[2]["n_email"] == 1 and "bob@example.com" not in \
             got[2]["redacted_text"]
         assert got[0]["c4_keep"] is True and got[1]["c4_keep"] is False
+
+    def test_contamination_flag_against_static_benchmark(self, spark,
+                                                         tmp_path):
+        """With a benchmark_dir, the stream stamps the 13-gram
+        contamination flag per micro-batch against the STATIC suite —
+        and the flag equals the batch decontamination operator's
+        verdict (shared code, fixed side data ⇒ fold-exact)."""
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        bdir = str(tmp_path / "bench")
+        _df(spark, [(100, GOOD)]).write.parquet(bdir)
+        batch = [(0, GOOD), (2, PIIFUL)]
+        _df(spark, batch).write.parquet(inp)
+        q = stream_jobs.curation_stream(spark, inp, out, ckpt,
+                                        benchmark_dir=bdir)
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r["contaminated"]
+               for r in spark.read.parquet(out).collect()}
+        assert got == {0: True, 2: False}
+        batch_flags = {r["corpus_id"] for r in dedupe.ngram_decontaminate(
+            _df(spark, batch), _df(spark, [(100, GOOD)])).collect()}
+        assert {i for i, c in got.items() if c} == batch_flags
