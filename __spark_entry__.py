@@ -156,8 +156,9 @@ def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "n_tokens": [tok.encode_len(t or "")
                              for t in pdf["text"]],
-                "n_window_est": [(len(t or "") + 3) // 4
-                                 for t in pdf["text"]],
+                # floor, matching the engine-wide len div 4 convention
+                # (kernel/chunk.py, curation, convlint — never ceiling)
+                "n_window_est": [len(t or "") // 4 for t in pdf["text"]],
             })
 
     return docs.mapInPandas(

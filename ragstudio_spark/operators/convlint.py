@@ -26,11 +26,19 @@ Scale shape: everything is ONE per-conversation window (lag over turn
 order) plus a per-conversation partial aggregate — the same partitioning
 the pipeline already buckets by, so on a conv_id-bucketed table this is
 shuffle-free. No Python, no collect.
+
+Window order is (turn_idx, role, text) — duplicate indices are a
+first-class input (n_dup_idx reports them), and an idx-only order would
+break ties by physical row order, flipping transition counts and the
+kept flag across partitionings (review-found; the engine's
+determinism-across-parallelism discipline forbids it).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from ragstudio_spark.operators.curation import CHARS_PER_TOKEN
 
 ROLES = ("system", "user", "assistant", "tool")
 
@@ -44,11 +52,6 @@ VALID_TRANSITIONS = (
     ("tool", "tool"),
 )
 
-#: chars-per-token heuristic (the reference's 1 token ≈ 4 chars,
-#: defaults.py — same constant as packing/curation)
-CHARS_PER_TOKEN = 4
-
-
 def lint_conversations(df: DataFrame, conv_col: str = "conv_id",
                        idx_col: str = "turn_idx", role_col: str = "role",
                        text_col: str = "text") -> DataFrame:
@@ -61,7 +64,9 @@ def lint_conversations(df: DataFrame, conv_col: str = "conv_id",
     ``n_dup_idx`` counts rows beyond the first per index. ``lint_ok``
     is the conjunction every miner wants: contiguous, no dups, no NULL
     text, known roles, valid start, zero invalid transitions."""
-    w = Window.partitionBy(conv_col).orderBy(F.asc(idx_col))
+    w = Window.partitionBy(conv_col).orderBy(
+        F.asc(idx_col), F.asc_nulls_first(role_col),
+        F.asc_nulls_first(text_col))
     valid_pairs = F.array(*[
         F.lit(f"{a}>{b}") for a, b in VALID_TRANSITIONS])
     role_known = F.col(role_col).isin(*ROLES)
@@ -132,12 +137,13 @@ def truncate_history(df: DataFrame, budget_tokens: int = 2048,
     toks = F.expr(
         f"coalesce(length({text_col}), 0) div {CHARS_PER_TOKEN}"
     ).cast("bigint")
-    w_desc = (Window.partitionBy(conv_col).orderBy(F.desc(idx_col))
+    order = (F.desc(idx_col), F.desc_nulls_last(text_col))
+    w_desc = (Window.partitionBy(conv_col).orderBy(*order)
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = (df.withColumn("turn_tokens", toks)
            .withColumn("suffix_tokens",
                        F.sum("turn_tokens").over(w_desc).cast("bigint")))
-    newest = Window.partitionBy(conv_col).orderBy(F.desc(idx_col))
+    newest = Window.partitionBy(conv_col).orderBy(*order)
     return out.withColumn(
         "kept",
         (F.col("suffix_tokens") <= budget_tokens)

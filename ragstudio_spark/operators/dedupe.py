@@ -182,10 +182,24 @@ def cross_corpus_minhash_pairs(left: DataFrame, right: DataFrame,
     )
 
 
-def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+def distinct_ngrams(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 13,
+                    out_id: str = "doc_id") -> DataFrame:
+    """(out_id, gram): each document's DISTINCT n-word grams, exploded —
+    the shared building block of decontamination. Exposed so a long-lived
+    consumer (the streaming curation job) can compute the STATIC
+    benchmark side once, localCheckpoint it, and reuse it across
+    micro-batches instead of re-exploding + re-broadcasting per batch."""
+    return (_bound_words(df, text_col, id_col)
+            .select(F.col(id_col).alias(out_id),
+                    F.explode(F.array_distinct(
+                        shingles_col(F.col("_w"), n))).alias("gram")))
+
+
+def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame | None,
                         text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 13,
-                        min_shared: int = 1) -> DataFrame:
+                        n: int = 13, min_shared: int = 1,
+                        benchmark_grams: DataFrame | None = None) -> DataFrame:
     """EXACT n-gram eval-decontamination — the GPT-3-style complement of
     the MinHash candidate pass (cross_corpus_minhash_pairs): a training
     doc is contaminated when it shares at least ``min_shared`` verbatim
@@ -197,15 +211,18 @@ def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     per pair. The benchmark side is tiny by construction (eval suites)
     and broadcasts; the corpus side streams through one explode. n=13
     follows the published convention; documents shorter than n words
-    have no grams and can never be flagged."""
-    cg = (_bound_words(corpus, text_col, id_col)
-          .select(F.col(id_col).alias("corpus_id"),
-                  F.explode(F.array_distinct(
-                      shingles_col(F.col("_w"), n))).alias("gram")))
-    bg = (_bound_words(benchmark, text_col, id_col)
-          .select(F.col(id_col).alias("benchmark_id"),
-                  F.explode(F.array_distinct(
-                      shingles_col(F.col("_w"), n))).alias("gram")))
+    have no grams and can never be flagged. ``benchmark_grams`` (a
+    precomputed ``distinct_ngrams(..., out_id="benchmark_id")`` frame,
+    SAME n) takes precedence over ``benchmark`` — repeated callers
+    materialize the static side once."""
+    cg = distinct_ngrams(corpus, text_col, id_col, n, out_id="corpus_id")
+    if benchmark_grams is not None:
+        bg = benchmark_grams
+    elif benchmark is not None:
+        bg = distinct_ngrams(benchmark, text_col, id_col, n,
+                             out_id="benchmark_id")
+    else:
+        raise ValueError("one of benchmark / benchmark_grams is required")
     return (cg.join(F.broadcast(bg), on="gram")
             .groupBy("corpus_id", "benchmark_id")
             .agg(F.count("*").cast("bigint").alias("n_shared"))

@@ -27,14 +27,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ragstudio_spark.kernel import langid
+
 #: feature order is part of the model contract
 QM_FEATURES = ("bias", "n_words", "n_stop", "n_terminal", "n_punct",
                "n_digit", "n_upper", "n_long")
 
-#: high-frequency English function words (the langid 'en' profile —
-#: shared data so the signals agree engine-wide)
-QM_STOPWORDS = ("the", "and", "of", "to", "is", "in", "that", "it",
-                "with", "for", "was", "this", "are", "not", "have")
+#: high-frequency English function words — IMPORTED from the langid 'en'
+#: profile (genuinely shared data: editing the language table cannot
+#: silently desynchronize the quality model's n_stop feature from the
+#: language-id signal; the DuckDB twin derives from this name too)
+QM_STOPWORDS = langid.STOPWORDS["en"]
 
 #: the shipped model: prose signals (function words, sentence terminals,
 #: plain words) vote keep; OCR/boilerplate signals (punctuation runs,

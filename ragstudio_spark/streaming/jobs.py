@@ -249,7 +249,8 @@ def incremental_near_dedup_stream(
 def curate_stream_batch(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         benchmark: DataFrame | None = None,
-                        ngram_n: int = 13) -> DataFrame:
+                        ngram_n: int = 13,
+                        benchmark_grams: DataFrame | None = None) -> DataFrame:
     """The row-local curation stages (the non-dedup legs of
     operators/curation.py curate_corpus) applied to ONE batch of
     documents: PII redaction with per-category audit counts, the Gopher
@@ -279,13 +280,13 @@ def curate_stream_batch(df: DataFrame, text_col: str = "text",
     c4 = quality_signals.c4_clean(df, text_col, id_col).select(
         id_col, "n_kept", "n_sentences", "c4_keep")
     out = red.join(sig, on=id_col).join(c4, on=id_col)
-    if benchmark is not None:
+    if benchmark is not None or benchmark_grams is not None:
         from ragstudio_spark.operators import dedupe
 
         flagged = dedupe.ngram_decontaminate(
             df.select(F.col(id_col).alias("doc_id"),
                       F.col(text_col).alias("text")),
-            benchmark, n=ngram_n,
+            benchmark, n=ngram_n, benchmark_grams=benchmark_grams,
         ).select(F.col("corpus_id").alias(id_col)).distinct() \
             .withColumn("contaminated", F.lit(True))
         out = out.join(flagged, on=id_col, how="left").withColumn(
@@ -308,8 +309,11 @@ def curation_stream(
     any watermark state because no group ever spans batches).
     ``benchmark_dir`` (optional, a static (doc_id, text) parquet dir)
     additionally stamps the 13-gram ``contaminated`` flag against that
-    fixed benchmark suite — localCheckpointed ONCE at query start, not
-    re-read per batch. Offsets are checkpointed: a restarted query never
+    fixed benchmark suite — its DISTINCT-GRAM explode is computed and
+    localCheckpointed ONCE at query start (dedupe.distinct_ngrams), so
+    per batch only the broadcast-join against the materialized gram
+    table runs, never the benchmark's split/shingle work.
+    Offsets are checkpointed: a restarted query never
     re-reads processed files; the parquet append is at-least-once under
     mid-batch crash retry (standard foreachBatch caveat — readers dedup
     on doc_id)."""
@@ -318,12 +322,16 @@ def curation_stream(
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
-    bench = None
+    bench_grams = None
     if benchmark_dir is not None:
-        bench = spark.read.parquet(benchmark_dir).localCheckpoint()
+        from ragstudio_spark.operators import dedupe
+
+        bench_grams = dedupe.distinct_ngrams(
+            spark.read.parquet(benchmark_dir),
+            out_id="benchmark_id").localCheckpoint()
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
-        curate_stream_batch(batch_df, benchmark=bench).write.mode(
+        curate_stream_batch(batch_df, benchmark_grams=bench_grams).write.mode(
             "append").parquet(output_dir)
 
     writer = stream.writeStream.foreachBatch(process).option(

@@ -39,8 +39,11 @@ class TestLintConversations:
         assert r["index_gaps"] == 1          # idx 1 missing in [0..4]
         assert r["n_null_text"] == 1
         assert r["n_bad_role"] == 1
-        # assistant->assistant (dup), assistant->user ok, user->wizard bad
-        assert r["n_bad_transitions"] >= 2
+        # deterministic order under the (idx, role, text) tiebreak:
+        # (assistant,"b") then (assistant,"b2") at idx 2 →
+        # user→assistant ok, assistant→assistant BAD, assistant→user ok,
+        # user→wizard BAD — exactly 2
+        assert r["n_bad_transitions"] == 2
         assert r["starts_valid"] is True
 
     def test_invalid_start_and_null_first_role(self, spark):
@@ -71,14 +74,23 @@ class TestLintConversations:
         assert r["index_gaps"] == 0 and r["lint_ok"] is True
 
     def test_deterministic_across_partitionings(self, spark):
-        rows = [(f"c{i % 5}", i // 5,
-                 ["user", "assistant", "tool"][(i // 5) % 3],
-                 f"text {i}") for i in range(60)]
+        """Including DUPLICATE turn indices: an idx-only window order
+        would break ties by physical row order and flip transition
+        counts across partitionings (review-found; fixed with the
+        (idx, role, text) tiebreak)."""
+        rows = [(f"c{i % 5}", (i // 5) % 7,          # dup indices per conv
+                 ["user", "assistant", "tool", None][i % 4],
+                 f"text {i}" if i % 9 else None) for i in range(120)]
         df = _turns(spark, rows)
         a = sorted(map(repr, convlint.lint_conversations(df).collect()))
         b = sorted(map(repr, convlint.lint_conversations(
-            df.repartition(7)).collect()))
+            df.repartition(11)).collect()))
         assert a == b
+        ta = sorted(map(repr, convlint.truncate_history(
+            df, budget_tokens=10).collect()))
+        tb = sorted(map(repr, convlint.truncate_history(
+            df.repartition(11), budget_tokens=10).collect()))
+        assert ta == tb
 
 
 class TestTruncateHistory:
