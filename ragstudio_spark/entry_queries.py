@@ -3655,6 +3655,68 @@ FROM base
 _def("quality_model_scores", (_qm_fn, _qm_duck_sql()))
 
 
+# -- 45g. reference-corpus familiarity (operators/lm_filter.py): the
+#         CCNet-style LM quality step with integer discipline — the
+#         doc_id % 5 == 0 subset plays the trusted reference corpus, the
+#         rest is scored against its bigram table. OOV garbage is seeded
+#         on doc_id % 19 == 4 so the n_known = 0 branch is non-vacuous.
+_LM_GARBAGE = "zqx9 vvk2 qqj7 xxp3 zzr8 wwm1 kkt4 yyn6"
+
+
+def _lmfam_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import lm_filter
+
+    _register(spark, sf_dir, "documents")
+    seeded = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 4, F.lit(_LM_GARBAGE))
+        .otherwise(F.col("text")).alias("text"))
+    ref = lm_filter.bigram_counts(seeded.filter("doc_id % 5 = 0"))
+    return lm_filter.lm_familiarity(seeded.filter("doc_id % 5 <> 0"), ref)
+
+
+def _lmfam_duck_sql() -> str:
+    words = _words_expr("text", "duckdb")
+    grams2 = ("CASE WHEN len(w) >= 2 THEN "
+              "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) "
+              "ELSE [] END")
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 4 THEN '{_LM_GARBAGE}'
+              ELSE text END AS text
+  FROM documents
+), refw AS (
+  SELECT doc_id, {words} AS w FROM seeded WHERE doc_id % 5 = 0
+), refg AS (
+  SELECT unnest({grams2}) AS bigram FROM refw
+), ref AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM refg GROUP BY bigram
+), docw AS (
+  SELECT doc_id, {words} AS w FROM seeded WHERE doc_id % 5 <> 0
+), docg AS (
+  SELECT doc_id, unnest({grams2}) AS bigram FROM docw
+), sc AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN r.cnt IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_known,
+         CAST(SUM(COALESCE(LEAST(r.cnt, 1000), 0)) AS BIGINT)
+           AS known_hits
+  FROM docg d LEFT JOIN ref r USING (bigram) GROUP BY d.doc_id
+)
+SELECT s.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       COALESCE(sc.n_known, 0) AS n_known,
+       COALESCE(sc.known_hits, 0) AS known_hits
+FROM (SELECT doc_id FROM seeded WHERE doc_id % 5 <> 0) s
+LEFT JOIN sc ON s.doc_id = sc.doc_id
+"""
+
+
+_def("lm_familiarity", (_lmfam_fn, _lmfam_duck_sql()))
+
+
 # -- 45c. preference-pair mining (operators/sft.py preference_pairs): the
 #         DPO data-prep step over the synthetic feedback frame — per
 #         query, chosen = max-rated candidate, rejected = min-rated,

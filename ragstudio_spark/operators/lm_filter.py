@@ -1,0 +1,100 @@
+"""Reference-corpus familiarity filtering — the CCNet-style "language
+model" quality step (Wenzek et al. 2020, public technique) re-expressed
+under the engine's integer-only oracle discipline: instead of a KenLM
+perplexity (float log-probs, engine-unportable), a document is scored by
+how much of its word-bigram mass appears in a REFERENCE corpus's bigram
+table — the same signal direction (text that looks like the trusted
+corpus scores high; OOV garbage scores low) with exact integer
+arithmetic end to end.
+
+    reference corpus ──(one explode + groupBy)──▶ (bigram, cnt) table
+    documents ──(one explode, duplicates kept)──▶ join on bigram
+             ──▶ per-doc (n_bigrams, n_known, known_hits)
+
+* ``n_bigrams``  — the doc's total bigram occurrences (duplicates count:
+  familiarity is about mass, not vocabulary);
+* ``n_known``    — occurrences whose bigram exists in the reference;
+* ``known_hits`` — Σ reference-count of matched occurrences, each term
+  capped at ``hit_cap`` so one stop-bigram cannot dominate the score.
+
+The filter rule is cross-multiplied integers (``n_known / n_bigrams >=
+min_known_frac`` with 6-decimal scaling), the repetition_filter
+convention — no float near a keep boundary.
+
+Scale shape: the reference table is model-like side data (CCNet ships a
+trained LM the same way) — broadcast when small, hash-join otherwise
+(``broadcast_ref``); the corpus streams through ONE explode. Documents
+with fewer than 2 words have no bigrams and zero-fill (never NULL, never
+dropped from the report).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ragstudio_spark.operators.dedupe import _bound_words, shingles_col
+
+
+def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, bigram) with duplicate occurrences KEPT."""
+    return (_bound_words(df, text_col, id_col)
+            .select(F.col(id_col),
+                    shingles_col(F.col("_w"), 2).alias("sh"))
+            .select(id_col, F.explode("sh").alias("bigram")))
+
+
+def bigram_counts(reference: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(bigram, cnt): the reference corpus's bigram table — train once,
+    reuse everywhere (localCheckpoint/persist it before repeated use)."""
+    return (_bigrams(reference, text_col, id_col)
+            .groupBy("bigram")
+            .agg(F.count("*").cast("bigint").alias("cnt")))
+
+
+def lm_familiarity(df: DataFrame, ref_bigrams: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   hit_cap: int = 1000,
+                   broadcast_ref: bool = True) -> DataFrame:
+    """Per-doc familiarity accounting vs the reference table:
+    (id, n_bigrams, n_known, known_hits) — all bigint, zero-filled."""
+    ref = ref_bigrams.select("bigram", F.col("cnt").alias("_ref_cnt"))
+    if broadcast_ref:
+        ref = F.broadcast(ref)
+    scored = (_bigrams(df, text_col, id_col)
+              .join(ref, on="bigram", how="left")
+              .groupBy(id_col)
+              .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                   F.sum(F.when(F.col("_ref_cnt").isNotNull(), 1)
+                         .otherwise(0)).cast("bigint").alias("n_known"),
+                   F.sum(F.coalesce(F.least(F.col("_ref_cnt"),
+                                            F.lit(hit_cap)),
+                                    F.lit(0))).cast("bigint")
+                   .alias("known_hits")))
+    zero = F.lit(0).cast("bigint")
+    return (df.select(id_col).distinct()
+            .join(scored, on=id_col, how="left")
+            .select(id_col,
+                    *[F.coalesce(F.col(c), zero).alias(c)
+                      for c in ("n_bigrams", "n_known", "known_hits")]))
+
+
+def familiarity_filter(df: DataFrame, ref_bigrams: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       min_known_frac: float = 0.5,
+                       hit_cap: int = 1000,
+                       broadcast_ref: bool = True) -> DataFrame:
+    """Rows of ``df`` whose known-bigram fraction reaches the threshold
+    (docs with zero bigrams are DROPPED — no evidence of familiarity;
+    the CCNet convention sends unknown-language/too-short text to the
+    lowest bucket). Cross-multiplied integer comparison; one semi-join
+    back onto the corpus."""
+    scale = 1_000_000
+    sig = lm_familiarity(df, ref_bigrams, text_col, id_col,
+                         hit_cap=hit_cap, broadcast_ref=broadcast_ref)
+    keep = sig.filter(
+        (F.col("n_bigrams") > 0)
+        & (F.col("n_known") * scale
+           >= F.lit(round(min_known_frac * scale)) * F.col("n_bigrams"))
+    ).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")

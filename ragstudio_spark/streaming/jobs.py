@@ -341,6 +341,54 @@ def curation_stream(
     return writer.start()
 
 
+EMBEDDING_SCHEMA = "vec_id bigint, embedding array<float>"
+
+
+def ivfpq_stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    centroids_dir: str,
+    codebooks_dir: str,
+    checkpoint_dir: str,
+    m: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Streaming ANN index ingestion: new embedding files are assigned to
+    their coarse cell and PQ-encoded against the FROZEN model artifacts
+    (centroids + codebooks read and localCheckpointed once at query
+    start — the production pattern: the quantizer trains offline, the
+    index grows online), then appended to the cell-partitioned on-disk
+    index (write_ivfpq_index layout, so the probe path's dynamic
+    partition pruning keeps holding as the index grows).
+
+    Assignment/encoding is a pure per-vector function of the frozen
+    model, so micro-batching is EXACT: the streamed index over any batch
+    arrival order equals ivfpq_index over the full corpus (equality
+    tested). Appends are at-least-once under mid-batch crash retry —
+    readers dedup on vec_id, and a compaction pass can rewrite a cell
+    partition without touching the rest."""
+    from ragstudio_spark.operators import similarity
+
+    cents = spark.read.parquet(centroids_dir).localCheckpoint()
+    books = spark.read.parquet(codebooks_dir).localCheckpoint()
+    stream = (
+        spark.readStream.schema(EMBEDDING_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        idx = similarity.ivfpq_index(batch_df, cents, books, m=m)
+        idx.write.partitionBy("cell").mode("append").parquet(index_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_chunk_counts(
     stream_df: DataFrame,
     window: str = "1 minute",

@@ -126,6 +126,61 @@ class TestIncrementalNearDedupStream:
         assert got == {0, 1, 2}  # both in-batch near-dups accepted
 
 
+class TestIvfpqStreamIngest:
+    def test_streamed_index_equals_batch_index_and_searches(
+            self, spark, tmp_path):
+        """Two micro-batches of vectors against frozen model artifacts:
+        the on-disk cell-partitioned index must row-equal the batch
+        ivfpq_index over the full corpus (assignment/encoding is a pure
+        per-vector function of the frozen quantizer), restart must not
+        re-ingest, and a search over the streamed index must match one
+        over the batch index."""
+        import random
+
+        from ragstudio_spark.operators import similarity
+
+        rng = random.Random(7)
+        centers = [[8.0, 0, 0, 0], [0, 8.0, 0, 0],
+                   [0, 0, 8.0, 0], [0, 0, 0, 8.0]]
+        rows = [(i, [c + rng.uniform(-0.4, 0.4) for c in centers[i % 4]])
+                for i in range(48)]
+        full = spark.createDataFrame(rows, stream_jobs.EMBEDDING_SCHEMA)
+        cents = similarity.kmeans_centroids(full, k=4, iters=2)
+        books = similarity.pq_train(full, m=2, k=4, iters=1)
+        cdir, bdir = str(tmp_path / "cents"), str(tmp_path / "books")
+        cents.write.parquet(cdir)
+        books.write.parquet(bdir)
+
+        inp = str(tmp_path / "in")
+        idx_dir = str(tmp_path / "index")
+        ckpt = str(tmp_path / "ckpt")
+        b1, b2 = rows[:20], rows[20:]
+        spark.createDataFrame(b1, stream_jobs.EMBEDDING_SCHEMA) \
+            .write.parquet(inp)
+        q = stream_jobs.ivfpq_stream_ingest(
+            spark, inp, idx_dir, cdir, bdir, ckpt, m=2)
+        q.awaitTermination(120)
+        spark.createDataFrame(b2, stream_jobs.EMBEDDING_SCHEMA) \
+            .write.mode("append").parquet(inp)
+        q = stream_jobs.ivfpq_stream_ingest(
+            spark, inp, idx_dir, cdir, bdir, ckpt, m=2)
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(idx_dir)
+        batch = similarity.ivfpq_index(full, cents, books, m=2)
+        key = lambda r: (r["vec_id"], r["cell"], tuple(r["codes"]))  # noqa: E731
+        assert sorted(map(key, streamed.collect())) \
+            == sorted(map(key, batch.collect()))     # restart: no dups
+
+        queries = full.filter("vec_id < 2")
+        s_res = similarity.ivfpq_topk(streamed, cents, books, queries,
+                                      k=3, nprobe=2, m=2)
+        b_res = similarity.ivfpq_topk(batch, cents, books, queries,
+                                      k=3, nprobe=2, m=2)
+        assert sorted(map(tuple, s_res.collect())) \
+            == sorted(map(tuple, b_res.collect()))
+
+
 GOOD = ("A first proper sentence right here. Another complete sentence "
         "follows now. A third one arrives. The fourth one lands. And a "
         "fifth closes the page.")
