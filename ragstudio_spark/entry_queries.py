@@ -1709,6 +1709,68 @@ def _emb_near_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _def("embedding_near_dup", (_emb_near_fn, _emb_near_sql("duckdb")))
 
+
+# -- 24c. SemDeDup-style semantic dedup (operators/dedupe.semantic_dedup):
+#         the COMPOSED action on 24b's pairs — connected components over
+#         the cosine near-dup graph, keep the min-id member per cluster.
+#         Spark runs log-round label propagation; DuckDB proves it with
+#         the same recursive-CTE transitive closure as dedup_clusters.
+def _sem_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    planes = vectors.filter("vec_id BETWEEN 8 AND 15").select(
+        (F.col("vec_id") - 8).alias("plane"), "embedding")
+    out = dedupe.semantic_dedup(vectors, planes,
+                                threshold=_EMB_NEAR_THRESHOLD)
+    return out.select("vec_id")
+
+
+def _sem_dedup_duck_sql() -> str:
+    dot_vp = _dot_duck("v.embedding", "p.embedding")
+    cos = _cosine("duckdb", "a2.embedding", "b2.embedding")
+    return f"""
+WITH RECURSIVE bits AS (
+  SELECT v.vec_id, p.vec_id - 8 AS plane,
+         CASE WHEN ({dot_vp}) > 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings v JOIN embeddings p ON p.vec_id BETWEEN 8 AND 15
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(bit * CAST(pow(2, plane) AS BIGINT)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+), cand AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM buckets x JOIN buckets y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+), prs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN embeddings a2 ON a2.vec_id = id_a
+  JOIN embeddings b2 ON b2.vec_id = id_b
+  WHERE ({cos}) >= {_EMB_NEAR_THRESHOLD}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+), reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+), lab AS (
+  SELECT id, min(r) AS root FROM reach GROUP BY id
+), drops AS (
+  SELECT id FROM lab WHERE id <> root
+)
+SELECT v.vec_id FROM embeddings v
+ANTI JOIN drops ON v.vec_id = drops.id
+"""
+
+
+_def("semantic_dedup", (_sem_dedup_fn, _sem_dedup_duck_sql()))
+
 # -- 25. chunk-table eval stats (eval.py:144-181 over the SQL window
 #        chunker's output — per-document chunk counts and span coverage)
 def _chunk_stats_sql(engine: str) -> str:

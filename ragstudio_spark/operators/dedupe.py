@@ -637,6 +637,25 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         "component diameter)")
 
 
+def semantic_dedup(vectors: DataFrame, planes: DataFrame,
+                   threshold: float = 0.9, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    technique): embedding-cosine near-dup pairs (sign-LSH candidates +
+    exact cosine gate, ``embedding_near_pairs``) resolved into connected
+    components, keeping the minimum-id member per cluster — returns the
+    SURVIVING rows of ``vectors``. Pure composition of three
+    already-gated operators (pairs → clusters → canonical anti-join), so
+    every scale property is inherited: bucketed candidate generation,
+    log-round label propagation, one anti-join against the (small) drop
+    set."""
+    pairs = embedding_near_pairs(
+        vectors, planes, threshold=threshold,
+        id_col=id_col, vec_col=vec_col
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return keep_canonical(vectors, pairs, id_col=id_col)
+
+
 def keep_canonical(df: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Corpus minus duplicates: for every near-dup cluster keep only the

@@ -492,6 +492,28 @@ class TestEmbeddingNearDup:
         tight = dedupe.embedding_near_pairs(vecs, planes, threshold=0.99).count()
         assert loose == 1 and tight == 0
 
+    def test_semantic_dedup_keeps_min_id_per_cluster(self, spark):
+        """SemDeDup composition: {0,1} and {2,3} collapse to their min
+        ids; the orthogonal/opposite vectors survive untouched."""
+        from ragstudio_spark.operators import dedupe
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.98, 0.02, 0.0]),
+            (4, [-1.0, 0.0, 0.0, 0.0]),
+        ]
+        vecs = spark.createDataFrame(rows,
+                                     "vec_id int, embedding array<float>")
+        planes = spark.createDataFrame(
+            [(0, [1.0, 0.2, 0.0, 0.0]), (1, [0.2, 1.0, 0.0, 0.0]),
+             (2, [1.0, -1.0, 0.5, 0.0])],
+            "plane int, embedding array<float>")
+        kept = {r["vec_id"] for r in dedupe.semantic_dedup(
+            vecs, planes, threshold=0.95).collect()}
+        assert kept == {0, 2, 4}
+
 
 class TestRepeatedSpans:
     def test_locates_shared_span_with_positions(self, spark):
