@@ -1694,17 +1694,22 @@ WHERE ({cos}) >= {_EMB_NEAR_THRESHOLD}
 """
 
 
-def _emb_near_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb_planes(vectors: DataFrame) -> DataFrame:
+    """The fixture hyperplane set (vec_id 8..15) — single-sourced across
+    the near-dup pair and semantic-dedup entries."""
     from pyspark.sql import functions as F
 
+    return vectors.filter("vec_id BETWEEN 8 AND 15").select(
+        (F.col("vec_id") - 8).alias("plane"), "embedding")
+
+
+def _emb_near_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragstudio_spark.operators import dedupe
 
     _register(spark, sf_dir, "embeddings")
     vectors = spark.table("embeddings")
-    planes = vectors.filter("vec_id BETWEEN 8 AND 15").select(
-        (F.col("vec_id") - 8).alias("plane"), "embedding")
     return dedupe.embedding_near_pairs(
-        vectors, planes, threshold=_EMB_NEAR_THRESHOLD)
+        vectors, _emb_planes(vectors), threshold=_EMB_NEAR_THRESHOLD)
 
 
 _def("embedding_near_dup", (_emb_near_fn, _emb_near_sql("duckdb")))
@@ -1715,42 +1720,23 @@ _def("embedding_near_dup", (_emb_near_fn, _emb_near_sql("duckdb")))
 #         the cosine near-dup graph, keep the min-id member per cluster.
 #         Spark runs log-round label propagation; DuckDB proves it with
 #         the same recursive-CTE transitive closure as dedup_clusters.
+#         The pair-generation SQL is EMBEDDED from _emb_near_sql (one
+#         source — a bucketing/threshold change cannot silently fork the
+#         two twins), as is the Spark-side plane set (_emb_planes).
 def _sem_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from ragstudio_spark.operators import dedupe
 
     _register(spark, sf_dir, "embeddings")
     vectors = spark.table("embeddings")
-    planes = vectors.filter("vec_id BETWEEN 8 AND 15").select(
-        (F.col("vec_id") - 8).alias("plane"), "embedding")
-    out = dedupe.semantic_dedup(vectors, planes,
+    out = dedupe.semantic_dedup(vectors, _emb_planes(vectors),
                                 threshold=_EMB_NEAR_THRESHOLD)
     return out.select("vec_id")
 
 
 def _sem_dedup_duck_sql() -> str:
-    dot_vp = _dot_duck("v.embedding", "p.embedding")
-    cos = _cosine("duckdb", "a2.embedding", "b2.embedding")
     return f"""
-WITH RECURSIVE bits AS (
-  SELECT v.vec_id, p.vec_id - 8 AS plane,
-         CASE WHEN ({dot_vp}) > 0 THEN 1 ELSE 0 END AS bit
-  FROM embeddings v JOIN embeddings p ON p.vec_id BETWEEN 8 AND 15
-), buckets AS (
-  SELECT vec_id,
-         CAST(sum(bit * CAST(pow(2, plane) AS BIGINT)) AS BIGINT) AS bucket
-  FROM bits GROUP BY vec_id
-), cand AS (
-  SELECT x.vec_id AS id_a, y.vec_id AS id_b
-  FROM buckets x JOIN buckets y
-    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-), prs AS (
-  SELECT id_a, id_b
-  FROM cand
-  JOIN embeddings a2 ON a2.vec_id = id_a
-  JOIN embeddings b2 ON b2.vec_id = id_b
-  WHERE ({cos}) >= {_EMB_NEAR_THRESHOLD}
+WITH RECURSIVE prs AS (
+  SELECT id_a, id_b FROM ({_emb_near_sql("duckdb")}) emb_pairs
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM prs
   UNION

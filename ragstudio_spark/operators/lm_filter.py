@@ -52,25 +52,38 @@ def bigram_counts(reference: DataFrame, text_col: str = "text",
             .agg(F.count("*").cast("bigint").alias("cnt")))
 
 
+def _familiarity_scores(df: DataFrame, ref_bigrams: DataFrame,
+                        text_col: str, id_col: str, hit_cap: int,
+                        broadcast_ref: bool) -> DataFrame:
+    """The grouped accounting WITHOUT the zero-fill join — docs with no
+    bigrams are simply absent. The filter consumes this directly (it
+    drops zero-bigram docs anyway, so paying a corpus-wide distinct +
+    left join to materialize rows it would immediately discard is pure
+    waste on the hot path); the reporting entry wraps it with zero-fill."""
+    ref = ref_bigrams.select("bigram", F.col("cnt").alias("_ref_cnt"))
+    if broadcast_ref:
+        ref = F.broadcast(ref)
+    return (_bigrams(df, text_col, id_col)
+            .join(ref, on="bigram", how="left")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                 F.sum(F.when(F.col("_ref_cnt").isNotNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_known"),
+                 F.sum(F.coalesce(F.least(F.col("_ref_cnt"),
+                                          F.lit(hit_cap)),
+                                  F.lit(0))).cast("bigint")
+                 .alias("known_hits")))
+
+
 def lm_familiarity(df: DataFrame, ref_bigrams: DataFrame,
                    text_col: str = "text", id_col: str = "doc_id",
                    hit_cap: int = 1000,
                    broadcast_ref: bool = True) -> DataFrame:
     """Per-doc familiarity accounting vs the reference table:
-    (id, n_bigrams, n_known, known_hits) — all bigint, zero-filled."""
-    ref = ref_bigrams.select("bigram", F.col("cnt").alias("_ref_cnt"))
-    if broadcast_ref:
-        ref = F.broadcast(ref)
-    scored = (_bigrams(df, text_col, id_col)
-              .join(ref, on="bigram", how="left")
-              .groupBy(id_col)
-              .agg(F.count("*").cast("bigint").alias("n_bigrams"),
-                   F.sum(F.when(F.col("_ref_cnt").isNotNull(), 1)
-                         .otherwise(0)).cast("bigint").alias("n_known"),
-                   F.sum(F.coalesce(F.least(F.col("_ref_cnt"),
-                                            F.lit(hit_cap)),
-                                    F.lit(0))).cast("bigint")
-                   .alias("known_hits")))
+    (id, n_bigrams, n_known, known_hits) — all bigint, zero-filled (the
+    REPORT keeps every document, including bigram-less ones)."""
+    scored = _familiarity_scores(df, ref_bigrams, text_col, id_col,
+                                 hit_cap, broadcast_ref)
     zero = F.lit(0).cast("bigint")
     return (df.select(id_col).distinct()
             .join(scored, on=id_col, how="left")
@@ -88,13 +101,14 @@ def familiarity_filter(df: DataFrame, ref_bigrams: DataFrame,
     (docs with zero bigrams are DROPPED — no evidence of familiarity;
     the CCNet convention sends unknown-language/too-short text to the
     lowest bucket). Cross-multiplied integer comparison; one semi-join
-    back onto the corpus."""
+    back onto the corpus. Consumes the pre-zero-fill scores directly —
+    absent (bigram-less) docs are exactly the ones the filter drops, so
+    the report's distinct + left-join zero-fill is skipped."""
     scale = 1_000_000
-    sig = lm_familiarity(df, ref_bigrams, text_col, id_col,
-                         hit_cap=hit_cap, broadcast_ref=broadcast_ref)
+    sig = _familiarity_scores(df, ref_bigrams, text_col, id_col,
+                              hit_cap, broadcast_ref)
     keep = sig.filter(
-        (F.col("n_bigrams") > 0)
-        & (F.col("n_known") * scale
-           >= F.lit(round(min_known_frac * scale)) * F.col("n_bigrams"))
+        F.col("n_known") * scale
+        >= F.lit(round(min_known_frac * scale)) * F.col("n_bigrams")
     ).select(id_col)
     return df.join(keep, on=id_col, how="left_semi")

@@ -9,24 +9,37 @@ small-file compaction a long-running stream needs anyway (hundreds of
 micro-batches → hundreds of sub-MB files → the task-granularity tax
 CLAUDE.md documents at 1.4×):
 
-    read dir → (optional) deterministic key-dedup → coalesce to
-    target_files → write to a sibling tmp dir → swap + _COMMITTED marker
+    recover any interrupted previous attempt → read dir → (optional)
+    deterministic key-dedup → re-layout to bounded files → write to a
+    sibling tmp dir → swap + _COMMITTED marker
 
-The swap is the engine's documented Iceberg-snapshot emulation (the
-lineage.py pattern): on a real deployment this operation is
-``rewrite_data_files`` / ``REPLACE TABLE AS SELECT`` in one snapshot
-commit; here the _COMMITTED marker plus directory swap gives the same
-observable contract — a reader either sees the whole old state or the
-whole new state, and an interrupted compaction leaves the original
-directory untouched (the half-written tmp dir has no marker and is
-swept by the next attempt).
+Crash contract, stated exactly (plain filesystems cannot replace a
+directory atomically; on a real deployment this whole operation is ONE
+Iceberg ``rewrite_data_files`` snapshot commit — the lineage.py
+emulation note applies):
+
+* the swap is two renames (path → ._old_, tmp → path). A crash anywhere
+  leaves AT LEAST one complete copy on disk: before the first rename the
+  live dir is untouched; between the renames the data lives complete in
+  ``._old_`` (and ``tmp``); after the second it lives at ``path``.
+* ``_recover`` (called automatically by both public entry points)
+  restores ``path`` from ``._old_`` when a crash landed inside the
+  window, THEN sweeps leftovers — recovery never deletes the only copy.
+* SINGLE WRITER: like every compaction system, at most one maintenance
+  process per table directory. Running two concurrently, or compacting
+  a directory a LIVE stream is appending to, is out of contract — the
+  emulation has no snapshot-conflict detection, so rows appended between
+  the read and the swap would be lost silently. Stop the stream (or run
+  between triggers) first; Iceberg's conflict retry is exactly what the
+  real sink buys you here.
 
 Dedup determinism: ``dropDuplicates`` keeps an ARBITRARY row per key —
 fine for byte-identical retry copies, wrong the moment two versions of
-a key differ. The dedup here keeps the row that sorts FIRST over all
-non-key columns (row_number window), so repeated compactions of the
-same directory state produce byte-identical results regardless of
-partitioning.
+a key differ. The dedup here keeps the row that sorts FIRST over the
+ORDERABLE non-key columns (row_number window; map-typed columns cannot
+participate in a sort and are excluded from the version pick), so
+repeated compactions of the same directory state produce identical
+results regardless of partitioning.
 """
 
 from __future__ import annotations
@@ -36,8 +49,47 @@ import shutil
 import uuid
 
 from pyspark.sql import SparkSession, Window, functions as F
+from pyspark.sql.types import AtomicType
 
 from ragstudio_spark.pipeline.lineage import COMMIT_MARKER
+
+
+def _siblings(path: str, kind: str) -> list[str]:
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    base = os.path.basename(path.rstrip("/"))
+    prefix = f"{base}.{kind}_"
+    return sorted(
+        os.path.join(parent, e) for e in os.listdir(parent)
+        if e.startswith(prefix))
+
+
+def _recover(path: str) -> bool:
+    """Restore ``path`` from a ``._old_`` sibling if a previous attempt
+    crashed between the two swap renames (path absent). Returns True if
+    a restore happened. Never deletes anything while ``path`` is
+    missing."""
+    if os.path.exists(path):
+        return False
+    olds = _siblings(path, "_old")
+    if not olds:
+        return False
+    os.rename(olds[0], path)
+    return True
+
+
+def sweep_stale_compactions(path: str) -> int:
+    """Recover first (never delete the only copy), then remove leftover
+    ``._compact_*`` / ``._old_*`` siblings of a HEALTHY table. Safe under
+    the module's single-writer contract (no other maintenance process
+    can be mid-write on this path). Returns the number removed."""
+    _recover(path)
+    if not os.path.exists(path):
+        return 0        # nothing restorable and no live dir: touch nothing
+    removed = 0
+    for stale in _siblings(path, "_compact") + _siblings(path, "_old"):
+        shutil.rmtree(stale, ignore_errors=True)
+        removed += 1
+    return removed
 
 
 def compact_parquet_dir(
@@ -48,29 +100,43 @@ def compact_parquet_dir(
     partition_by: str | None = None,
 ) -> dict:
     """Compact (and optionally key-dedup) a parquet directory in place.
-    Returns {"rows", "files_before", "files_after"}.
+    Returns {"rows", "files_before", "files_after", "recovered"}.
 
     ``partition_by`` preserves a partitioned layout (e.g. the IVF-PQ
-    index's cell directories) — ``target_files`` then applies PER
-    PARTITION via repartition on the partition column."""
+    index's cell directories): rows are spread over (partition value,
+    deterministic salt) so each partition value lands in AT MOST
+    ``target_files`` files — large cells split, small cells get one."""
+    recovered = _recover(path)
+    sweep_stale_compactions(path)
     df = spark.read.parquet(path)
     files_before = sum(
         1 for _r, _d, fs in os.walk(path) for f in fs
         if f.endswith(".parquet"))
+
+    def orderable(cols):
+        return [c for c in cols
+                if isinstance(df.schema[c].dataType, AtomicType)]
+
     if dedup_keys:
-        others = [c for c in df.columns if c not in dedup_keys]
+        others = orderable([c for c in df.columns if c not in dedup_keys])
         w = Window.partitionBy(*dedup_keys).orderBy(
             *[F.asc_nulls_first(c) for c in others] or [F.lit(1)])
         df = (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
 
     tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
-    writer = df.repartition(target_files, partition_by) if partition_by \
-        else df.coalesce(target_files)
     if partition_by:
-        writer.write.partitionBy(partition_by).parquet(tmp)
+        salt_src = orderable([c for c in df.columns if c != partition_by])
+        salt = (F.pmod(F.hash(*salt_src), F.lit(target_files))
+                if salt_src else F.lit(0))
+        n_parts = max(target_files,
+                      spark.sparkContext.defaultParallelism)
+        (df.withColumn("_salt", salt)
+           .repartition(n_parts, F.col(partition_by), F.col("_salt"))
+           .drop("_salt")
+           .write.partitionBy(partition_by).parquet(tmp))
     else:
-        writer.write.parquet(tmp)
+        df.coalesce(target_files).write.parquet(tmp)
     with open(os.path.join(tmp, COMMIT_MARKER), "w") as f:
         f.write("compacted\n")
 
@@ -83,18 +149,4 @@ def compact_parquet_dir(
         1 for _r, _d, fs in os.walk(path) for f in fs
         if f.endswith(".parquet"))
     return {"rows": rows, "files_before": files_before,
-            "files_after": files_after}
-
-
-def sweep_stale_compactions(path: str) -> int:
-    """Remove abandoned ``._compact_*`` / ``._old_*`` siblings (a crash
-    between write and swap leaves them; they carry no commit marker or
-    are already superseded). Returns the number removed."""
-    parent = os.path.dirname(path.rstrip("/")) or "."
-    base = os.path.basename(path.rstrip("/"))
-    removed = 0
-    for entry in os.listdir(parent):
-        if entry.startswith((f"{base}._compact_", f"{base}._old_")):
-            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
-            removed += 1
-    return removed
+            "files_after": files_after, "recovered": recovered}

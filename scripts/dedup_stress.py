@@ -18,6 +18,16 @@ Round-5 additions (the round-4 join surfaces, stressed the same way):
   shaped into conversations 10× LONGER (same conv keys), so a
   whole-transcript re-ship would grow ~100×, the bounded ROWS frame ~10×.
 
+Round-5 follow-ups:
+
+* ``lm_familiarity``      — the bigram join against a FIXED reference
+  table (like the decontamination shape, but duplicates kept: mass not
+  vocabulary);
+* ``semantic_dedup``      — vectors copied VERBATIM 10× (every base
+  vector becomes a 10-member cosine-identical cluster: ~45 true pairs
+  each), so candidate generation, label propagation, and the canonical
+  anti-join all carry ~1,000× true-pair volume.
+
 Usage: python scripts/dedup_stress.py [op ...]  (default: all ops)
 Output: markdown table (for BASELINE.md) + one JSON line.
 """
@@ -37,7 +47,7 @@ def main() -> None:
 
     from pyspark.sql import Window, functions as F
 
-    from ragstudio_spark.operators import dedupe, sft
+    from ragstudio_spark.operators import dedupe, lm_filter, sft
     from ragstudio_spark.session import get_spark
 
     spark = get_spark("dedup-stress", master="local[32]", shuffle_partitions=64)
@@ -46,6 +56,26 @@ def main() -> None:
     # fixed benchmark side for decontamination — at a real deployment the
     # benchmark suite does not grow with the crawl
     bench = base.filter("doc_id % 50 = 3").localCheckpoint()
+    # fixed reference bigram table for familiarity (trained-model side data)
+    ref_bigrams = lm_filter.bigram_counts(
+        base.filter("doc_id % 5 = 0")).localCheckpoint()
+    base_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    planes = base_vecs.filter("vec_id BETWEEN 8 AND 15").select(
+        (F.col("vec_id") - 8).alias("plane"), "embedding").localCheckpoint()
+
+    def vectors_of(d):
+        """Copy the embedding table once per corpus copy (verbatim —
+        cosine-identical 10-member clusters at 10×), sized to match the
+        doc corpus's copy count."""
+        copies = max(1, d.count() // 5000)
+        parts = [base_vecs.select(
+            (F.col("vec_id") + i * 1_000_000).alias("vec_id"), "embedding")
+            for i in range(copies)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.repartition(64)
 
     def transcripts_of(d):
         """Shape the corpus into conversations keyed by base doc id % 500:
@@ -89,6 +119,10 @@ def main() -> None:
             d, bench, n=13).count(),
         "sft_multiturn_ctx8": lambda d: sft.sft_multiturn(
             transcripts_of(d)).count(),
+        "lm_familiarity": lambda d: lm_filter.lm_familiarity(
+            d, ref_bigrams).count(),
+        "semantic_dedup": lambda d: dedupe.semantic_dedup(
+            vectors_of(d), planes, threshold=0.25).count(),
     }
     only = set(sys.argv[1:])
     if only:

@@ -86,3 +86,48 @@ class TestCompaction:
         assert maintenance.sweep_stale_compactions(path) == 2
         assert not os.path.exists(f"{path}._compact_dead00")
         assert spark.read.parquet(path).count() == 1
+
+    def test_crash_between_renames_recovers_not_deletes(self, spark,
+                                                        tmp_path):
+        """The exact crash window the swap has: path renamed away, the
+        new dir not yet renamed in. Recovery (run by BOTH public entry
+        points) must restore the original — never delete the only copy
+        (review-found: the first sweep implementation rmtree'd both
+        sides)."""
+        path = str(tmp_path / "out")
+        _append_batches(spark, path, [[(i, f"t{i}") for i in range(5)]])
+        os.rename(path, f"{path}._old_crash1")          # simulate crash
+        os.makedirs(f"{path}._compact_crash2", exist_ok=True)
+        assert maintenance.sweep_stale_compactions(path) >= 1
+        assert {r["doc_id"] for r in spark.read.parquet(path).collect()} \
+            == set(range(5))
+        assert not os.path.exists(f"{path}._compact_crash2")
+
+    def test_compact_after_crash_recovers_then_compacts(self, spark,
+                                                        tmp_path):
+        path = str(tmp_path / "out")
+        _append_batches(spark, path, [[(i, f"t{i}") for i in range(6)]])
+        os.rename(path, f"{path}._old_crashA")
+        stats = maintenance.compact_parquet_dir(
+            spark, path, dedup_keys=["doc_id"], target_files=1)
+        assert stats["recovered"] is True
+        assert stats["rows"] == 6
+        assert not os.path.exists(f"{path}._old_crashA")
+
+    def test_partitioned_target_files_bounds_files_per_cell(self, spark,
+                                                            tmp_path):
+        """A LARGE partition value must split into up to target_files
+        files (the salt), not collapse to one file per cell."""
+        path = str(tmp_path / "big")
+        rows = [(i, i % 2, f"text {i}") for i in range(400)]
+        spark.createDataFrame(
+            rows, "doc_id bigint, cell int, text string"
+        ).repartition(16).write.partitionBy("cell").parquet(path)
+        maintenance.compact_parquet_dir(spark, path, target_files=4,
+                                        partition_by="cell")
+        for cell in (0, 1):
+            n = sum(1 for f in os.listdir(os.path.join(path, f"cell={cell}"))
+                    if f.endswith(".parquet"))
+            assert 1 < n <= 4, (cell, n)
+        got = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+        assert got == set(range(400))
