@@ -152,7 +152,8 @@ def main() -> None:
                  # round-5 operators
                  "ann_ivfpq_residual_topk", "curate_sft",
                  "conversation_lint", "truncate_history",
-                 "quality_model_scores", "lm_familiarity", "semantic_dedup"):
+                 "quality_model_scores", "lm_familiarity", "semantic_dedup",
+                 "mixture_plan"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

@@ -3765,6 +3765,57 @@ LEFT JOIN sc ON s.doc_id = sc.doc_id
 _def("lm_familiarity", (_lmfam_fn, _lmfam_duck_sql()))
 
 
+# -- 45h. mixture epoch plan (operators/sampling.py mixture_plan): the
+#         integer accounting that precedes mixture_sample — how many
+#         full passes + remainder tokens a budget buys per domain under
+#         ppm weights. 'zh' is deliberately absent from the weights
+#         (planned out → zeros), covering the weight-0 branch.
+_PLAN_WEIGHTS = {"en": 500000, "fr": 200000, "es": 200000, "de": 100000}
+_PLAN_BUDGET = 40_000
+
+
+def _plan_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import sampling
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id", "lang",
+        F.expr("length(text) div 4").cast("bigint").alias("token_count"))
+    return sampling.mixture_plan(docs, "lang", _PLAN_WEIGHTS, _PLAN_BUDGET)
+
+
+def _plan_duck_sql() -> str:
+    w = " ".join(f"WHEN lang = '{k}' THEN {v}"
+                 for k, v in sorted(_PLAN_WEIGHTS.items()))
+    return f"""
+WITH totals AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(COALESCE(length(text) // 4, 0)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), weighted AS (
+  SELECT *, CAST(CASE {w} ELSE 0 END AS BIGINT) AS weight_ppm
+  FROM totals
+), alloc AS (
+  SELECT *,
+         CAST((CAST({_PLAN_BUDGET} AS BIGINT) * weight_ppm) // 1000000
+              AS BIGINT) AS allocated_tokens
+  FROM weighted
+)
+SELECT lang, n_docs, n_tokens, weight_ppm, allocated_tokens,
+       CAST(CASE WHEN n_tokens > 0 THEN allocated_tokens // n_tokens
+                 ELSE 0 END AS BIGINT) AS full_epochs,
+       CAST(allocated_tokens
+            - (CASE WHEN n_tokens > 0 THEN allocated_tokens // n_tokens
+                    ELSE 0 END) * n_tokens AS BIGINT) AS remainder_tokens
+FROM alloc
+"""
+
+
+_def("mixture_plan", (_plan_fn, _plan_duck_sql()))
+
+
 # -- 45c. preference-pair mining (operators/sft.py preference_pairs): the
 #         DPO data-prep step over the synthetic feedback frame — per
 #         query, chosen = max-rated candidate, rejected = min-rated,

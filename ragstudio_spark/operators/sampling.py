@@ -108,6 +108,51 @@ def cap_per_key(df: DataFrame, key_col: str, n: int,
             .filter(F.col("_rn") <= n).drop("_rn"))
 
 
+def mixture_plan(df: DataFrame, key_col: str, weights_ppm: dict[str, int],
+                 token_budget: int,
+                 token_col: str = "token_count") -> DataFrame:
+    """Epoch-accounting for a weighted training mixture (the planning
+    step BEFORE mixture_sample executes it — how many passes over each
+    domain a token budget buys): per domain,
+
+        allocated  = token_budget · weight_ppm div 1_000_000
+        epochs     = allocated div domain_tokens   (full passes)
+        remainder  = allocated - epochs · domain_tokens  (partial-pass
+                     tokens, what mixture_sample's rate draws)
+
+    Everything is INTEGER (weights as parts-per-million — the caller's
+    shares quantized once, not re-divided per row), so the plan is
+    engine-portable and exactly reproducible. Domains absent from
+    ``weights_ppm`` get weight 0 (planned out). One per-domain
+    aggregate; the output is domain-sized (tiny)."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive: {token_budget}")
+    totals = df.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.coalesce(F.col(token_col), F.lit(0))).cast("bigint")
+        .alias("n_tokens"))
+    w = F.lit(0).cast("bigint")
+    for k, ppm in sorted(weights_ppm.items()):
+        w = F.when(F.col(key_col) == k,
+                   F.lit(int(ppm)).cast("bigint")).otherwise(w)
+    return (totals
+            .withColumn("weight_ppm", w)
+            .withColumn(
+                "allocated_tokens",
+                F.expr(f"(CAST({int(token_budget)} AS BIGINT) * weight_ppm) "
+                       f"div 1000000").cast("bigint"))
+            .withColumn(
+                "full_epochs",
+                F.when(F.col("n_tokens") > 0,
+                       F.expr("allocated_tokens div n_tokens"))
+                .otherwise(F.lit(0)).cast("bigint"))
+            .withColumn(
+                "remainder_tokens",
+                (F.col("allocated_tokens")
+                 - F.col("full_epochs") * F.col("n_tokens"))
+                .cast("bigint")))
+
+
 def mixture_sample(df: DataFrame, key_col: str, shares: dict[str, float],
                    budget: int, key_cols=("doc_id",),
                    salt: str = "") -> DataFrame:

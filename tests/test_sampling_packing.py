@@ -208,6 +208,45 @@ class TestNgramDecontaminate:
         assert len(got) == 1 and got[0]["n_shared"] == 1  # distinct grams
 
 
+class TestMixturePlan:
+    def test_integer_epoch_accounting(self, spark):
+        from ragstudio_spark.operators import sampling
+
+        rows = ([(i, "en", 10) for i in range(100)]        # 1000 tokens
+                + [(1000 + i, "fr", 10) for i in range(30)]  # 300 tokens
+                + [(2000 + i, "zh", 10) for i in range(5)])  # unweighted
+        docs = spark.createDataFrame(
+            rows, "doc_id int, lang string, token_count int")
+        plan = {r["lang"]: r for r in sampling.mixture_plan(
+            docs, "lang", {"en": 700000, "fr": 300000},
+            token_budget=10_000).collect()}
+        en, fr, zh = plan["en"], plan["fr"], plan["zh"]
+        assert en["allocated_tokens"] == 7000
+        assert en["full_epochs"] == 7 and en["remainder_tokens"] == 0
+        assert fr["allocated_tokens"] == 3000
+        assert fr["full_epochs"] == 10 and fr["remainder_tokens"] == 0
+        assert zh["weight_ppm"] == 0 and zh["allocated_tokens"] == 0
+        assert zh["full_epochs"] == 0
+
+    def test_remainder_and_zero_token_domain(self, spark):
+        from ragstudio_spark.operators import sampling
+
+        docs = spark.createDataFrame(
+            [(0, "en", 7), (1, "en", 6), (2, "empty", None)],
+            "doc_id int, lang string, token_count int")
+        plan = {r["lang"]: r for r in sampling.mixture_plan(
+            docs, "lang", {"en": 1000000, "empty": 500000},
+            token_budget=100).collect()}
+        assert plan["en"]["allocated_tokens"] == 100
+        assert plan["en"]["full_epochs"] == 7      # 100 div 13
+        assert plan["en"]["remainder_tokens"] == 100 - 7 * 13
+        # NULL token counts coalesce to 0; a zero-token domain never
+        # divides by zero and carries its allocation as remainder
+        assert plan["empty"]["n_tokens"] == 0
+        assert plan["empty"]["full_epochs"] == 0
+        assert plan["empty"]["remainder_tokens"] == 50
+
+
 class TestMixtureSample:
     def test_composition_tracks_targets(self, spark):
         from ragstudio_spark.operators import sampling
