@@ -127,6 +127,106 @@ def conversation_state_aggregator(stream_df, timeout: str = "NoTimeout"):
     )
 
 
+LINT_STATE_SCHEMA = (
+    "last_idx bigint, last_role string, has_last_role boolean, "
+    "n_turns bigint, n_dup_idx bigint, index_gaps bigint, "
+    "n_null_text bigint, n_bad_role bigint, n_bad_transitions bigint, "
+    "starts_valid boolean"
+)
+LINT_OUT_SCHEMA = (
+    "conv_id string, n_turns bigint, n_dup_idx bigint, index_gaps bigint, "
+    "n_null_text bigint, n_bad_role bigint, n_bad_transitions bigint, "
+    "starts_valid boolean, lint_ok boolean"
+)
+
+
+def conversation_lint_aggregator(stream_df, timeout: str = "NoTimeout"):
+    """Stateful streaming conversation lint: the batch linter
+    (operators/convlint.lint_conversations) as an incremental automaton
+    over ``applyInPandasWithState`` — per conversation the state store
+    keeps (last index, last role, running counters), so integrity totals
+    accumulate across micro-batches and survive checkpoint restarts.
+
+    Exactness contract, stated precisely: totals equal the batch linter
+    whenever each conversation's turns arrive in NON-DECREASING turn_idx
+    order across batches (the transcript table's stable-ordering
+    contract; within a batch rows are sorted by the same (idx, role,
+    text) tiebreak the batch window uses). Under out-of-order arrival
+    the gap/dup split between counters is undefined (a bounded state
+    cannot reconstruct the full index set) — the automaton still never
+    crashes and never under-counts total turns. Emits the UPDATED lint
+    row per conversation per batch (update mode; readers keep the last
+    row per conv)."""
+    import pandas as pd
+
+    from ragstudio_spark.operators.convlint import ROLES, VALID_TRANSITIONS
+
+    valid = {f"{a}>{b}" for a, b in VALID_TRANSITIONS}
+    role_set = set(ROLES)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            (last_idx, last_role, has_last_role, n_turns, n_dup, gaps,
+             n_null, n_bad_role, n_bad_trans, starts_valid) = state.get
+        else:
+            last_idx = None
+            last_role, has_last_role = None, False
+            n_turns = n_dup = gaps = n_null = n_bad_role = n_bad_trans = 0
+            starts_valid = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(
+                ["turn_idx", "role", "text"], na_position="first")
+            for idx, role, text in zip(pdf["turn_idx"], pdf["role"],
+                                       pdf["text"]):
+                idx = int(idx)
+                role = None if pd.isna(role) else role
+                text = None if (not isinstance(text, str)
+                                and pd.isna(text)) else text
+                if n_turns == 0:
+                    starts_valid = role in ("system", "user")
+                else:
+                    if idx == last_idx:
+                        n_dup += 1
+                    elif idx > last_idx + 1:
+                        gaps += idx - last_idx - 1
+                    ok = (role in role_set
+                          and (has_last_role and last_role in role_set)
+                          and f"{last_role}>{role}" in valid)
+                    if not ok:
+                        n_bad_trans += 1
+                if text is None:
+                    n_null += 1
+                if role not in role_set:
+                    n_bad_role += 1
+                n_turns += 1
+                last_idx = idx
+                last_role, has_last_role = role, role is not None
+        state.update((last_idx, last_role, has_last_role, n_turns, n_dup,
+                      gaps, n_null, n_bad_role, n_bad_trans,
+                      bool(starts_valid)))
+        lint_ok = (n_dup == 0 and gaps == 0 and n_null == 0
+                   and n_bad_role == 0 and n_bad_trans == 0
+                   and bool(starts_valid))
+        yield pd.DataFrame({
+            "conv_id": [key[0]], "n_turns": [n_turns],
+            "n_dup_idx": [n_dup], "index_gaps": [gaps],
+            "n_null_text": [n_null], "n_bad_role": [n_bad_role],
+            "n_bad_transitions": [n_bad_trans],
+            "starts_valid": [bool(starts_valid)], "lint_ok": [lint_ok],
+        })
+
+    return (
+        stream_df.groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=LINT_OUT_SCHEMA,
+            stateStructType=LINT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
 def tool_calls_stream(
     spark: SparkSession,
     input_dir: str,

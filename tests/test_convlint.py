@@ -93,6 +93,66 @@ class TestLintConversations:
         assert ta == tb
 
 
+class TestStatefulStreamingLint:
+    def test_incremental_equals_batch_for_ordered_arrival(self, spark,
+                                                          tmp_path):
+        """Two in-order triggers with a restart between them: the final
+        per-conversation lint rows (state accumulated across batches and
+        a checkpoint restart) must equal the batch linter over the full
+        input — defects included (gaps, dups, NULL roles/texts, bad
+        transitions, invalid starts)."""
+        from pyspark.sql import functions as F
+
+        from ragstudio_spark.streaming import jobs as stream_jobs
+
+        rows = []
+        for c in range(6):
+            for t in range(8):
+                idx = t + (1 if (c == 1 and t >= 4) else 0)   # gap in c1
+                role = [None, "user", "assistant", "tool"][
+                    (t + c) % 4] if c != 2 else ["user", "assistant"][t % 2]
+                text = None if (c == 3 and t == 5) else f"text {c} {t}"
+                rows.append((f"c{c}", idx, role, text))
+        rows.append(("c4", 3, "assistant", "dup idx row"))    # dup in c4
+        schema = "conv_id string, turn_idx int, role string, text string"
+        full = spark.createDataFrame(rows, schema)
+
+        inp = str(tmp_path / "in")
+        outp = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        full.filter("turn_idx < 4").coalesce(1).write.parquet(inp)
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(inp)
+            agg = stream_jobs.conversation_lint_aggregator(stream)
+
+            def sink(batch_df, batch_id):
+                batch_df.withColumn("_b", F.lit(batch_id)).write.mode(
+                    "append").parquet(outp)
+
+            q = (agg.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("update").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run_once()
+        full.filter("turn_idx >= 4").coalesce(1).write.mode(
+            "append").parquet(inp)
+        run_once()
+
+        raw = spark.read.parquet(outp).toPandas()
+        latest = raw.sort_values("_b").groupby("conv_id").last()
+        expected = convlint.lint_conversations(full).toPandas() \
+            .set_index("conv_id")
+        cols = ["n_turns", "n_dup_idx", "index_gaps", "n_null_text",
+                "n_bad_role", "n_bad_transitions", "starts_valid",
+                "lint_ok"]
+        for conv in expected.index:
+            for c in cols:
+                assert latest.loc[conv, c] == expected.loc[conv, c], \
+                    (conv, c, latest.loc[conv, c], expected.loc[conv, c])
+
+
 class TestTruncateHistory:
     def test_suffix_budget_keeps_newest(self, spark):
         rows = [("c", i, "user", "x" * 40) for i in range(10)]  # 10 tok each
