@@ -3750,8 +3750,8 @@ WITH seeded AS (
   SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          CAST(SUM(CASE WHEN r.cnt IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_known,
-         CAST(SUM(COALESCE(LEAST(r.cnt, 1000), 0)) AS BIGINT)
-           AS known_hits
+         CAST(SUM(CASE WHEN r.cnt IS NOT NULL THEN LEAST(r.cnt, 1000)
+                       ELSE 0 END) AS BIGINT) AS known_hits
   FROM docg d LEFT JOIN ref r USING (bigram) GROUP BY d.doc_id
 )
 SELECT s.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,

@@ -69,9 +69,15 @@ def _familiarity_scores(df: DataFrame, ref_bigrams: DataFrame,
             .agg(F.count("*").cast("bigint").alias("n_bigrams"),
                  F.sum(F.when(F.col("_ref_cnt").isNotNull(), 1)
                        .otherwise(0)).cast("bigint").alias("n_known"),
-                 F.sum(F.coalesce(F.least(F.col("_ref_cnt"),
-                                          F.lit(hit_cap)),
-                                  F.lit(0))).cast("bigint")
+                 # guard the NULL branch EXPLICITLY: least() skips NULL
+                 # arguments in both engines, so coalesce(least(NULL,
+                 # cap), 0) is cap, not 0 — every UNmatched bigram would
+                 # credit the full cap (property-test-found; the DuckDB
+                 # twin shared the identical bug, so the oracle gate
+                 # could not see it)
+                 F.sum(F.when(F.col("_ref_cnt").isNotNull(),
+                              F.least(F.col("_ref_cnt"), F.lit(hit_cap)))
+                       .otherwise(0)).cast("bigint")
                  .alias("known_hits")))
 
 

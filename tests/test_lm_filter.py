@@ -23,6 +23,10 @@ class TestLmFamiliarity:
                lm_filter.lm_familiarity(docs, ref).collect()}
         assert out[10]["n_bigrams"] == 3 and out[10]["n_known"] == 3
         assert out[11]["n_bigrams"] == 3 and out[11]["n_known"] == 0
+        # property-test-found regression pin: unmatched bigrams credit
+        # ZERO hits (least() skips NULLs, so an unguarded least(NULL,
+        # cap) paid the cap per miss)
+        assert out[11]["known_hits"] == 0
         assert out[12]["n_bigrams"] == 0 and out[12]["known_hits"] == 0
         assert out[13]["n_bigrams"] == 0
         # 'the quick' occurs twice in the reference → hits weight 2+1+1

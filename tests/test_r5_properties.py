@@ -1,0 +1,124 @@
+"""Seeded randomized property tests for the round-5 operator tier:
+invariants asserted over one generated corpus per test (deterministic
+seed, single Spark job — the distributed analogue of the kernel's
+hypothesis suites)."""
+
+import random
+import re
+import string
+
+from pyspark.sql import functions as F
+
+from ragstudio_spark.operators import convlint, lm_filter
+from ragstudio_spark.operators import quality_model as qm
+
+_RNG = random.Random(20240817)
+
+
+def _word(rng):
+    return "".join(rng.choice(string.ascii_lowercase)
+                   for _ in range(rng.randint(1, 9)))
+
+
+def _text(rng, max_words=40):
+    n = rng.randint(0, max_words)
+    parts = []
+    for _ in range(n):
+        w = _word(rng)
+        if rng.random() < 0.1:
+            w = w.upper()
+        if rng.random() < 0.1:
+            w += rng.choice(".!?,;#")
+        if rng.random() < 0.05:
+            w = str(rng.randint(0, 99999))
+        parts.append(w)
+    return " ".join(parts) if parts else rng.choice(["", " "])
+
+
+class TestTruncateHistoryProperties:
+    def test_kept_is_a_budgeted_suffix_everywhere(self, spark):
+        rng = random.Random(_RNG.random())
+        rows = []
+        for c in range(30):
+            for t in range(rng.randint(1, 25)):
+                rows.append((f"c{c}", t,
+                             None if rng.random() < 0.05 else _text(rng)))
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string")
+        budget = 40
+        out = convlint.truncate_history(df, budget_tokens=budget).collect()
+        by_conv: dict[str, list] = {}
+        for r in out:
+            by_conv.setdefault(r["conv_id"], []).append(r)
+        for conv, rs in by_conv.items():
+            rs.sort(key=lambda r: r["turn_idx"])
+            kept = [r for r in rs if r["kept"]]
+            # (a) newest turn always kept
+            assert rs[-1]["kept"] is True
+            # (b) kept set is a SUFFIX by turn index
+            if kept:
+                cut = min(r["turn_idx"] for r in kept)
+                assert all(r["kept"] for r in rs if r["turn_idx"] >= cut)
+                assert all(not r["kept"] for r in rs if r["turn_idx"] < cut)
+            # (c) kept token mass fits the budget, unless the newest
+            #     turn alone exceeds it
+            mass = sum(r["turn_tokens"] for r in kept)
+            assert mass <= budget or kept == [rs[-1]]
+            # (d) suffix_tokens really is the newest-first running sum
+            running = 0
+            for r in reversed(rs):
+                running += r["turn_tokens"]
+                assert r["suffix_tokens"] == running
+
+
+class TestLmFamiliarityProperties:
+    def test_accounting_bounds_hold(self, spark):
+        rng = random.Random(_RNG.random())
+        ref = spark.createDataFrame(
+            [(i, _text(rng)) for i in range(40)], "doc_id int, text string")
+        docs = spark.createDataFrame(
+            [(i, None if rng.random() < 0.05 else _text(rng))
+             for i in range(120)], "doc_id int, text string")
+        cap = 5
+        table = lm_filter.bigram_counts(ref)
+        out = lm_filter.lm_familiarity(docs, table, hit_cap=cap).collect()
+        assert len(out) == 120                       # zero-fill: every doc
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        for r in out:
+            words = (texts[r["doc_id"]] or "").lower().split()
+            words = [w for w in words if w]
+            assert r["n_bigrams"] == max(len(words) - 1, 0)
+            assert 0 <= r["n_known"] <= r["n_bigrams"]
+            assert r["n_known"] <= r["known_hits"] \
+                <= r["n_known"] * cap
+
+
+class TestQualityModelProperties:
+    def test_score_matches_pure_python_on_ascii(self, spark):
+        """The JVM feature/score expressions equal a pure-Python
+        recomputation (same regexes, ASCII corpus — the dialect-shared
+        subset) for every generated document."""
+        rng = random.Random(_RNG.random())
+        rows = [(i, None if rng.random() < 0.05 else _text(rng))
+                for i in range(150)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r["qm_score"]
+               for r in qm.with_quality_score(df).collect()}
+        stop_re = re.compile(
+            r"\b(?:" + "|".join(qm.QM_STOPWORDS) + r")\b")
+        for i, text in rows:
+            t = text or ""
+            words = [w for w in re.split(r"\s+", t) if w]
+            feats = {
+                "bias": 1,
+                "n_words": len(words),
+                "n_stop": len(stop_re.findall(t.lower())),
+                "n_terminal": len(re.findall(r"[.!?]", t)),
+                "n_punct": len(re.findall(r"[^A-Za-z0-9\s]", t)),
+                "n_digit": len(re.findall(r"[0-9]", t)),
+                "n_upper": len(re.findall(r"[A-Z]", t)),
+                "n_long": sum(1 for w in words if len(w) > 15),
+            }
+            expected = sum(qm.PUBLISHED_WEIGHTS[k] * v
+                           for k, v in feats.items())
+            assert got[i] == expected, (i, text, feats, got[i], expected)
