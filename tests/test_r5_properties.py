@@ -93,6 +93,98 @@ class TestLmFamiliarityProperties:
                 <= r["n_known"] * cap
 
 
+class TestConversationLintProperties:
+    def test_matches_pure_python_recomputation(self, spark):
+        """Full parity: the distributed linter equals a pure-Python
+        automaton over the same (idx, role, text) sorted rows — random
+        transcripts with duplicate indices, gaps, NULL roles/texts and
+        arbitrary role sequences."""
+        rng = random.Random(_RNG.random())
+        roles = ["system", "user", "assistant", "tool", "wizard", None]
+        rows = []
+        for c in range(40):
+            idx = 0
+            for _ in range(rng.randint(1, 15)):
+                idx += rng.choice([0, 1, 1, 1, 2, 5])   # dups and gaps
+                rows.append((f"c{c}", idx, rng.choice(roles),
+                             None if rng.random() < 0.1 else _text(rng, 6)))
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+        got = {r["conv_id"]: r
+               for r in convlint.lint_conversations(df).collect()}
+
+        valid = {f"{a}>{b}" for a, b in convlint.VALID_TRANSITIONS}
+        by_conv: dict[str, list] = {}
+        for conv, idx, role, text in rows:
+            by_conv.setdefault(conv, []).append((idx, role, text))
+        for conv, turns in by_conv.items():
+            turns.sort(key=lambda t: (t[0], t[1] is not None, t[1] or "",
+                                      t[2] is not None, t[2] or ""))
+            seen = [t[0] for t in turns]
+            n_dup = len(seen) - len(set(seen))
+            gaps = (max(seen) - min(seen) + 1) - len(set(seen))
+            n_null = sum(1 for t in turns if t[2] is None)
+            n_bad_role = sum(1 for t in turns
+                             if t[1] not in convlint.ROLES)
+            n_bad_trans = sum(
+                1 for prev, cur in zip(turns, turns[1:])
+                if not (prev[1] in convlint.ROLES
+                        and cur[1] in convlint.ROLES
+                        and f"{prev[1]}>{cur[1]}" in valid))
+            starts = turns[0][1] in ("system", "user")
+            r = got[conv]
+            assert (r["n_turns"], r["n_dup_idx"], r["index_gaps"],
+                    r["n_null_text"], r["n_bad_role"],
+                    r["n_bad_transitions"], r["starts_valid"]) == \
+                (len(turns), n_dup, gaps, n_null, n_bad_role,
+                 n_bad_trans, starts), conv
+
+
+class TestSemanticDedupProperties:
+    def test_survivors_are_cluster_minima(self, spark):
+        """semantic_dedup's kept set equals {min id per connected
+        component of the near-dup pair graph} ∪ {unpaired vectors} —
+        verified with a pure-Python union-find over the operator's own
+        pair output."""
+        from ragstudio_spark.operators import dedupe
+
+        rng = random.Random(_RNG.random())
+        rows = []
+        for i in range(60):
+            base = [0.0] * 8
+            base[i % 8] = 1.0
+            rows.append((i, [v + rng.uniform(-0.05, 0.05) for v in base]))
+        vecs = spark.createDataFrame(rows,
+                                     "vec_id int, embedding array<float>")
+        planes = spark.createDataFrame(
+            [(p, [1.0 if d == p else -0.3 for d in range(8)])
+             for p in range(4)],
+            "plane int, embedding array<float>")
+        pairs = dedupe.embedding_near_pairs(
+            vecs, planes, threshold=0.9).collect()
+        kept = {r["vec_id"] for r in dedupe.semantic_dedup(
+            vecs, planes, threshold=0.9).collect()}
+
+        parent = {i: i for i in range(60)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for p in pairs:
+            a, b = find(p["id_a"]), find(p["id_b"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        comps: dict[int, list[int]] = {}
+        for i in range(60):
+            comps.setdefault(find(i), []).append(i)
+        expected = {min(members) for members in comps.values()}
+        assert kept == expected
+        assert len(pairs) > 0                       # non-vacuous fixture
+
+
 class TestQualityModelProperties:
     def test_score_matches_pure_python_on_ascii(self, spark):
         """The JVM feature/score expressions equal a pure-Python
