@@ -3787,16 +3787,23 @@ def _plan_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _plan_duck_sql() -> str:
-    w = " ".join(f"WHEN lang = '{k}' THEN {v}"
-                 for k, v in sorted(_PLAN_WEIGHTS.items()))
+    vals = ", ".join(f"('{k}', {v})"
+                     for k, v in sorted(_PLAN_WEIGHTS.items()))
     return f"""
 WITH totals AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(COALESCE(length(text) // 4, 0)) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang
+), wtable(lang, ppm) AS (
+  VALUES {vals}
 ), weighted AS (
-  SELECT *, CAST(CASE {w} ELSE 0 END AS BIGINT) AS weight_ppm
-  FROM totals
+  -- FULL OUTER, matching the operator: a weighted domain with zero
+  -- corpus rows still surfaces as a zero-supply plan row
+  SELECT COALESCE(t.lang, w.lang) AS lang,
+         CAST(COALESCE(t.n_docs, 0) AS BIGINT) AS n_docs,
+         CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(w.ppm, 0) AS BIGINT) AS weight_ppm
+  FROM totals t FULL OUTER JOIN wtable w ON t.lang = w.lang
 ), alloc AS (
   SELECT *,
          CAST((CAST({_PLAN_BUDGET} AS BIGINT) * weight_ppm) // 1000000

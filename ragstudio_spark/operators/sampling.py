@@ -123,20 +123,39 @@ def mixture_plan(df: DataFrame, key_col: str, weights_ppm: dict[str, int],
     Everything is INTEGER (weights as parts-per-million — the caller's
     shares quantized once, not re-divided per row), so the plan is
     engine-portable and exactly reproducible. Domains absent from
-    ``weights_ppm`` get weight 0 (planned out). One per-domain
-    aggregate; the output is domain-sized (tiny)."""
+    ``weights_ppm`` get weight 0 (planned out); weighted domains ABSENT
+    FROM THE CORPUS still get a plan row (zero docs/tokens, their full
+    allocation as remainder) — a missing domain must surface as a
+    visible zero-supply row, never as budget silently vanishing from
+    the plan (review-found). Weights summing past 1,000,000 ppm are a
+    caller error and raise. One per-domain aggregate outer-joined with
+    the (tiny, literal) weight table."""
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive: {token_budget}")
+    total_ppm = sum(int(v) for v in weights_ppm.values())
+    if total_ppm > 1_000_000:
+        raise ValueError(
+            f"weights_ppm sum to {total_ppm} > 1,000,000 — an "
+            "over-allocated plan")
     totals = df.groupBy(key_col).agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.coalesce(F.col(token_col), F.lit(0))).cast("bigint")
         .alias("n_tokens"))
-    w = F.lit(0).cast("bigint")
-    for k, ppm in sorted(weights_ppm.items()):
-        w = F.when(F.col(key_col) == k,
-                   F.lit(int(ppm)).cast("bigint")).otherwise(w)
+    if weights_ppm:
+        wtable = df.sparkSession.createDataFrame(
+            sorted((k, int(v)) for k, v in weights_ppm.items()),
+            f"{key_col} string, weight_ppm bigint")
+        totals = (totals.join(wtable, on=key_col, how="full_outer")
+                  .select(key_col,
+                          F.coalesce("n_docs", F.lit(0)).cast("bigint")
+                          .alias("n_docs"),
+                          F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+                          .alias("n_tokens"),
+                          F.coalesce("weight_ppm", F.lit(0)).cast("bigint")
+                          .alias("weight_ppm")))
+    else:
+        totals = totals.withColumn("weight_ppm", F.lit(0).cast("bigint"))
     return (totals
-            .withColumn("weight_ppm", w)
             .withColumn(
                 "allocated_tokens",
                 F.expr(f"(CAST({int(token_budget)} AS BIGINT) * weight_ppm) "

@@ -128,7 +128,7 @@ def conversation_state_aggregator(stream_df, timeout: str = "NoTimeout"):
 
 
 LINT_STATE_SCHEMA = (
-    "last_idx bigint, last_role string, has_last_role boolean, "
+    "last_idx bigint, last_role string, "
     "n_turns bigint, n_dup_idx bigint, index_gaps bigint, "
     "n_null_text bigint, n_bad_role bigint, n_bad_transitions bigint, "
     "starts_valid boolean"
@@ -150,13 +150,20 @@ def conversation_lint_aggregator(stream_df, timeout: str = "NoTimeout"):
     Exactness contract, stated precisely: totals equal the batch linter
     whenever each conversation's turns arrive in NON-DECREASING turn_idx
     order across batches (the transcript table's stable-ordering
-    contract; within a batch rows are sorted by the same (idx, role,
-    text) tiebreak the batch window uses). Under out-of-order arrival
-    the gap/dup split between counters is undefined (a bounded state
-    cannot reconstruct the full index set) — the automaton still never
-    crashes and never under-counts total turns. Emits the UPDATED lint
-    row per conversation per batch (update mode; readers keep the last
-    row per conv)."""
+    contract — the whole group's batch rows are concatenated and sorted
+    by the same (idx, role, text) tiebreak the batch window uses before
+    the fold, so chunked Arrow delivery cannot reorder within a batch)
+    AND no duplicated index straddles a batch boundary (the tiebreak
+    cannot sort rows it has already folded — a tie split across batches
+    is processed in arrival order, which can shift the transition count
+    by the tie's permutation). NULL turn_idx rows never crash the
+    automaton: each counts toward n_dup_idx (the batch formula
+    count − countDistinct does the same) and leaves last_idx unchanged.
+    Under out-of-order arrival the gap/dup split between counters is
+    undefined (a bounded state cannot reconstruct the full index set) —
+    the automaton never crashes and never under-counts total turns.
+    Emits the UPDATED lint row per conversation per batch (update mode;
+    readers keep the last row per conv)."""
     import pandas as pd
 
     from ragstudio_spark.operators.convlint import ROLES, VALID_TRANSITIONS
@@ -166,42 +173,51 @@ def conversation_lint_aggregator(stream_df, timeout: str = "NoTimeout"):
 
     def update(key, pdfs, state):
         if state.exists:
-            (last_idx, last_role, has_last_role, n_turns, n_dup, gaps,
+            (last_idx, last_role, n_turns, n_dup, gaps,
              n_null, n_bad_role, n_bad_trans, starts_valid) = state.get
         else:
             last_idx = None
-            last_role, has_last_role = None, False
+            last_role = None
             n_turns = n_dup = gaps = n_null = n_bad_role = n_bad_trans = 0
             starts_valid = None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(
+        # ONE concat + sort over the whole group-batch: the group arrives
+        # as an iterator of Arrow-sized chunks, and per-chunk sorts would
+        # let a later chunk's smaller index slip behind an earlier
+        # chunk's larger one (review-found)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 ["turn_idx", "role", "text"], na_position="first")
             for idx, role, text in zip(pdf["turn_idx"], pdf["role"],
                                        pdf["text"]):
-                idx = int(idx)
+                idx = None if pd.isna(idx) else int(idx)
                 role = None if pd.isna(role) else role
                 text = None if (not isinstance(text, str)
                                 and pd.isna(text)) else text
                 if n_turns == 0:
                     starts_valid = role in ("system", "user")
                 else:
-                    if idx == last_idx:
+                    if idx is None or idx == last_idx:
+                        # batch parity: count − countDistinct counts
+                        # every NULL-idx row as a duplicate too
                         n_dup += 1
-                    elif idx > last_idx + 1:
+                    elif last_idx is not None and idx > last_idx + 1:
                         gaps += idx - last_idx - 1
-                    ok = (role in role_set
-                          and (has_last_role and last_role in role_set)
+                    ok = (role in role_set and last_role in role_set
                           and f"{last_role}>{role}" in valid)
                     if not ok:
                         n_bad_trans += 1
+                if n_turns == 0 and idx is None:
+                    n_dup += 1          # a lone NULL idx is a dup in batch
                 if text is None:
                     n_null += 1
                 if role not in role_set:
                     n_bad_role += 1
                 n_turns += 1
-                last_idx = idx
-                last_role, has_last_role = role, role is not None
-        state.update((last_idx, last_role, has_last_role, n_turns, n_dup,
+                if idx is not None:
+                    last_idx = idx
+                last_role = role
+        state.update((last_idx, last_role, n_turns, n_dup,
                       gaps, n_null, n_bad_role, n_bad_trans,
                       bool(starts_valid)))
         lint_ok = (n_dup == 0 and gaps == 0 and n_null == 0

@@ -133,7 +133,10 @@ class TestStatefulStreamingLint:
             q = (agg.writeStream.foreachBatch(sink)
                  .option("checkpointLocation", ckpt)
                  .outputMode("update").trigger(availableNow=True).start())
-            q.awaitTermination(120)
+            # awaitTermination(timeout) returns False on timeout without
+            # raising — an unchecked return would let a second query
+            # start against the same checkpoint (review-found)
+            assert q.awaitTermination(180), "streaming trigger timed out"
 
         run_once()
         full.filter("turn_idx >= 4").coalesce(1).write.mode(
@@ -151,6 +154,37 @@ class TestStatefulStreamingLint:
             for c in cols:
                 assert latest.loc[conv, c] == expected.loc[conv, c], \
                     (conv, c, latest.loc[conv, c], expected.loc[conv, c])
+
+
+    def test_null_turn_idx_never_crashes_the_stream(self, spark, tmp_path):
+        """NULL turn_idx rows flow through the automaton (counted as
+        duplicates, matching the batch count − countDistinct formula)
+        instead of killing the query with int(NaN) (review-found)."""
+        from pyspark.sql import functions as F
+
+        from ragstudio_spark.streaming import jobs as stream_jobs
+
+        schema = "conv_id string, turn_idx int, role string, text string"
+        rows = [("c0", 0, "user", "a"), ("c0", None, "assistant", "b"),
+                ("c0", 1, "assistant", "c")]
+        inp = str(tmp_path / "in")
+        outp = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(inp)
+        stream = spark.readStream.schema(schema).parquet(inp)
+        agg = stream_jobs.conversation_lint_aggregator(stream)
+        q = (agg.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(outp))
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+        got = spark.read.parquet(outp).first()
+        assert got["n_turns"] == 3
+        assert got["n_dup_idx"] == 1            # the NULL-idx row
+        batch = convlint.lint_conversations(
+            spark.createDataFrame(rows, schema)).first()
+        assert batch["n_dup_idx"] == got["n_dup_idx"]
+        assert batch["n_turns"] == got["n_turns"]
 
 
 class TestTruncateHistory:

@@ -235,16 +235,46 @@ class TestMixturePlan:
             [(0, "en", 7), (1, "en", 6), (2, "empty", None)],
             "doc_id int, lang string, token_count int")
         plan = {r["lang"]: r for r in sampling.mixture_plan(
-            docs, "lang", {"en": 1000000, "empty": 500000},
+            docs, "lang", {"en": 600000, "empty": 400000},
             token_budget=100).collect()}
-        assert plan["en"]["allocated_tokens"] == 100
-        assert plan["en"]["full_epochs"] == 7      # 100 div 13
-        assert plan["en"]["remainder_tokens"] == 100 - 7 * 13
+        assert plan["en"]["allocated_tokens"] == 60
+        assert plan["en"]["full_epochs"] == 4      # 60 div 13
+        assert plan["en"]["remainder_tokens"] == 60 - 4 * 13
         # NULL token counts coalesce to 0; a zero-token domain never
         # divides by zero and carries its allocation as remainder
         assert plan["empty"]["n_tokens"] == 0
         assert plan["empty"]["full_epochs"] == 0
-        assert plan["empty"]["remainder_tokens"] == 50
+        assert plan["empty"]["remainder_tokens"] == 40
+
+    def test_weighted_domain_missing_from_corpus_surfaces(self, spark):
+        """A weighted domain with ZERO corpus rows must appear as a
+        zero-supply plan row — budget must never silently vanish
+        (review-found)."""
+        from ragstudio_spark.operators import sampling
+
+        docs = spark.createDataFrame([(0, "en", 10)],
+                                     "doc_id int, lang string, "
+                                     "token_count int")
+        plan = {r["lang"]: r for r in sampling.mixture_plan(
+            docs, "lang", {"en": 500000, "ja": 500000},
+            token_budget=1000).collect()}
+        assert plan["ja"]["n_docs"] == 0 and plan["ja"]["n_tokens"] == 0
+        assert plan["ja"]["allocated_tokens"] == 500
+        assert plan["ja"]["remainder_tokens"] == 500
+        total_alloc = sum(r["allocated_tokens"] for r in plan.values())
+        assert total_alloc == 1000          # nothing vanished
+
+    def test_over_allocated_weights_raise(self, spark):
+        import pytest
+
+        from ragstudio_spark.operators import sampling
+
+        docs = spark.createDataFrame([(0, "en", 10)],
+                                     "doc_id int, lang string, "
+                                     "token_count int")
+        with pytest.raises(ValueError, match="1,000,000"):
+            sampling.mixture_plan(docs, "lang",
+                                  {"en": 700000, "fr": 600000}, 100)
 
 
 class TestMixtureSample:
