@@ -153,7 +153,7 @@ def main() -> None:
                  "ann_ivfpq_residual_topk", "curate_sft",
                  "conversation_lint", "truncate_history",
                  "quality_model_scores", "lm_familiarity", "semantic_dedup",
-                 "mixture_plan"):
+                 "mixture_plan", "ann_recall_report", "curate_sft_report"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)

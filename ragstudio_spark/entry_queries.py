@@ -630,6 +630,60 @@ def _ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _def("ann_ivf_topk", (_ivf_fn, _ivf_sql("duckdb")))
 
+
+# -- 10-bis. ANN recall evaluation (operators/similarity.py
+#            ann_recall_report): the IVF path graded against exact
+#            brute-force top-3 per query — integer hit counts only.
+#            The twin AGGREGATES the two existing twins as subqueries
+#            (one source each; the brute-force twin's top-5 is
+#            re-filtered to top-3, a strict prefix under the shared
+#            (sim desc, id asc) total order).
+def _ann_recall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import similarity
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    centroids = vectors.filter("vec_id < 16").select(
+        F.col("vec_id").alias("cid"), "embedding")
+    queries_df = vectors.filter("vec_id < 8")
+    approx = similarity.ivf_topk(vectors, queries_df, centroids, k=3)
+    exact = similarity.brute_force_topk(vectors, queries_df, k=3)
+    return similarity.ann_recall_report(approx, exact)
+
+
+def _ann_recall_duck_sql() -> str:
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({_ann_sql("duckdb")}) e
+  WHERE rank <= 3
+), approx AS (
+  SELECT query_id, neighbor_id FROM ({_ivf_sql("duckdb")}) a
+), hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact e
+  JOIN approx a ON a.query_id = e.query_id
+              AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+), ec AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM exact GROUP BY query_id
+), ac AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+  FROM approx GROUP BY query_id
+)
+SELECT ec.query_id, ec.n_exact,
+       CAST(COALESCE(ac.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM ec
+LEFT JOIN ac ON ac.query_id = ec.query_id
+LEFT JOIN hits h ON h.query_id = ec.query_id
+"""
+
+
+_def("ann_recall_report", (_ann_recall_fn, _ann_recall_duck_sql()))
+
 # -- 10b. k-means IVF quantizer training (deterministic Lloyd, exact mode:
 #         order-fixed member folds so centroid doubles — and therefore the
 #         final assignments — are bit-identical across engines). Output is
@@ -3501,6 +3555,36 @@ FROM cum
 
 
 _def("curate_sft", (_curate_sft_fn, _curate_sft_duck_sql()))
+
+
+# -- 45c-bis. SFT curation manifest (operators/curation.py
+#             sft_curation_report): the per-shard audit rollup of 45c —
+#             the twin AGGREGATES the full curate_sft twin as a
+#             subquery (one source, the semantic_dedup embedding rule).
+def _curate_sft_report_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import curation
+
+    _register(spark, sf_dir, "documents")
+    bench = spark.table("documents").filter("doc_id % 31 = 7")
+    out = curation.curate_sft(_sft_turns_df(spark, sf_dir), bench,
+                              ngram_n=_CSFT_N, budget=_CSFT_BUDGET)
+    return curation.sft_curation_report(out)
+
+
+def _curate_sft_report_duck_sql() -> str:
+    return f"""
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversations,
+       CAST(SUM(token_count) AS BIGINT) AS n_tokens,
+       CAST(MAX(seq_index) + 1 AS BIGINT) AS n_sequences
+FROM ({_curate_sft_duck_sql()}) ex
+GROUP BY shard
+"""
+
+
+_def("curate_sft_report",
+     (_curate_sft_report_fn, _curate_sft_report_duck_sql()))
 
 
 # -- 45d. conversation lint (operators/convlint.py lint_conversations):

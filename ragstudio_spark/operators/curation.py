@@ -135,6 +135,19 @@ def curate_sft(transcripts: DataFrame, benchmark: DataFrame,
         order_cols=("example_id",), token_col="token_count")
 
 
+def sft_curation_report(curated: DataFrame) -> DataFrame:
+    """Per-shard manifest of a ``curate_sft`` run: kept examples,
+    conversations covered, exact token totals, sequences — the audit
+    table an RLHF data-prep run keeps next to its output. One
+    partial-aggregated groupBy over the (small) curated table."""
+    return curated.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_examples"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_conversations"),
+        F.sum("token_count").cast("bigint").alias("n_tokens"),
+        (F.max("seq_index") + 1).cast("bigint").alias("n_sequences"),
+    )
+
+
 def curation_report(curated: DataFrame,
                     shard_col: str = "lang") -> DataFrame:
     """Per-shard curation manifest: kept docs, total tokens, sequences,

@@ -423,6 +423,32 @@ def ivfpq_topk_residual(index: DataFrame, centroids: DataFrame,
             .select("query_id", "neighbor_id", "rank"))
 
 
+def ann_recall_report(approx: DataFrame, exact: DataFrame,
+                      query_col: str = "query_id",
+                      neighbor_col: str = "neighbor_id") -> DataFrame:
+    """Evaluation harness for ANN results against exact ground truth:
+    per query, (n_exact, n_approx, n_hits) — INTEGER counts only, the
+    oracle discipline; callers derive recall = n_hits / n_exact. The
+    exact side defines the query universe (a query the approximate
+    index returned nothing for still reports, with zeros). Both inputs
+    are top-k tables (tiny); one distinct per side + one key join."""
+    e = exact.select(F.col(query_col), F.col(neighbor_col)).distinct()
+    a = approx.select(F.col(query_col), F.col(neighbor_col)).distinct()
+    hits = (e.join(a, on=[query_col, neighbor_col])
+            .groupBy(query_col)
+            .agg(F.count("*").cast("bigint").alias("n_hits")))
+    ec = e.groupBy(query_col).agg(
+        F.count("*").cast("bigint").alias("n_exact"))
+    ac = a.groupBy(query_col).agg(
+        F.count("*").cast("bigint").alias("n_approx"))
+    zero = F.lit(0).cast("bigint")
+    return (ec.join(ac, on=query_col, how="left")
+            .join(hits, on=query_col, how="left")
+            .select(query_col, "n_exact",
+                    F.coalesce("n_approx", zero).alias("n_approx"),
+                    F.coalesce("n_hits", zero).alias("n_hits")))
+
+
 def write_ivfpq_index(index: DataFrame, path: str,
                       mode: str = "overwrite") -> None:
     """Persist the IVF-PQ index PARTITIONED BY CELL — the physical layout

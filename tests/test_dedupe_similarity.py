@@ -514,6 +514,27 @@ class TestEmbeddingNearDup:
             vecs, planes, threshold=0.95).collect()}
         assert kept == {0, 2, 4}
 
+    def test_ann_recall_report_counts(self, spark):
+        """Hit accounting: exact defines the query universe; a query the
+        approximate side missed entirely reports zeros, partial overlap
+        counts exactly."""
+        from ragstudio_spark.operators import similarity
+
+        exact = spark.createDataFrame(
+            [(0, 10), (0, 11), (0, 12), (1, 20), (1, 21), (2, 30)],
+            "query_id int, neighbor_id int")
+        approx = spark.createDataFrame(
+            [(0, 10), (0, 12), (0, 99), (1, 77)],
+            "query_id int, neighbor_id int")
+        got = {r["query_id"]: r for r in
+               similarity.ann_recall_report(approx, exact).collect()}
+        assert (got[0]["n_exact"], got[0]["n_approx"],
+                got[0]["n_hits"]) == (3, 3, 2)
+        assert (got[1]["n_exact"], got[1]["n_approx"],
+                got[1]["n_hits"]) == (2, 1, 0)
+        assert (got[2]["n_exact"], got[2]["n_approx"],
+                got[2]["n_hits"]) == (1, 0, 0)
+
 
 class TestRepeatedSpans:
     def test_locates_shared_span_with_positions(self, spark):
