@@ -639,27 +639,25 @@ _def("ann_ivf_topk", (_ivf_fn, _ivf_sql("duckdb")))
 #            re-filtered to top-3, a strict prefix under the shared
 #            (sim desc, id asc) total order).
 def _ann_recall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from ragstudio_spark.operators import similarity
 
-    _register(spark, sf_dir, "embeddings")
-    vectors = spark.table("embeddings")
-    centroids = vectors.filter("vec_id < 16").select(
-        F.col("vec_id").alias("cid"), "embedding")
-    queries_df = vectors.filter("vec_id < 8")
-    approx = similarity.ivf_topk(vectors, queries_df, centroids, k=3)
-    exact = similarity.brute_force_topk(vectors, queries_df, k=3)
+    # REUSE the two sibling entries (one source each — drifting either
+    # original would otherwise silently desynchronize this entry from
+    # the twins its SQL aggregates): exact = the brute-force entry's
+    # top-5 prefix-filtered to top-3 (a strict prefix under the shared
+    # (sim desc, id asc) total order), approx = the IVF entry verbatim.
+    exact = _ann_fn(spark, sf_dir).filter("rank <= 3")
+    approx = _ivf_fn(spark, sf_dir)
     return similarity.ann_recall_report(approx, exact)
 
 
 def _ann_recall_duck_sql() -> str:
     return f"""
 WITH exact AS (
-  SELECT query_id, neighbor_id FROM ({_ann_sql("duckdb")}) e
+  SELECT DISTINCT query_id, neighbor_id FROM ({_ann_sql("duckdb")}) e
   WHERE rank <= 3
 ), approx AS (
-  SELECT query_id, neighbor_id FROM ({_ivf_sql("duckdb")}) a
+  SELECT DISTINCT query_id, neighbor_id FROM ({_ivf_sql("duckdb")}) a
 ), hits AS (
   SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
   FROM exact e
@@ -3564,11 +3562,10 @@ _def("curate_sft", (_curate_sft_fn, _curate_sft_duck_sql()))
 def _curate_sft_report_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragstudio_spark.operators import curation
 
-    _register(spark, sf_dir, "documents")
-    bench = spark.table("documents").filter("doc_id % 31 = 7")
-    out = curation.curate_sft(_sft_turns_df(spark, sf_dir), bench,
-                              ngram_n=_CSFT_N, budget=_CSFT_BUDGET)
-    return curation.sft_curation_report(out)
+    # REUSE the curate_sft entry verbatim (its projection keeps every
+    # column the report needs) — a parameter change there must grade
+    # this manifest too, never a silently different pipeline
+    return curation.sft_curation_report(_curate_sft_fn(spark, sf_dir))
 
 
 def _curate_sft_report_duck_sql() -> str:

@@ -135,29 +135,41 @@ def curate_sft(transcripts: DataFrame, benchmark: DataFrame,
         order_cols=("example_id",), token_col="token_count")
 
 
-def sft_curation_report(curated: DataFrame) -> DataFrame:
-    """Per-shard manifest of a ``curate_sft`` run: kept examples,
-    conversations covered, exact token totals, sequences — the audit
-    table an RLHF data-prep run keeps next to its output. One
-    partial-aggregated groupBy over the (small) curated table."""
-    return curated.groupBy("shard").agg(
-        F.count("*").cast("bigint").alias("n_examples"),
-        F.countDistinct("conv_id").cast("bigint").alias("n_conversations"),
+def _manifest_aggs(count_alias: str) -> list:
+    """The aggregation columns both manifests share (one definition —
+    a semantics fix must reach both). ``n_sequences`` counts
+    START-ASSIGNED sequence slots (``max(seq_index) + 1``): the packing
+    scheme (packing.pack_chunks) assigns each item WHOLLY to the
+    sequence containing its start, so an oversized tail item overflows
+    its slot and the trainer's wrap policy decides the physical split —
+    a token-exact physical count would be ``ceil(Σtokens / budget)``,
+    which this deliberately is not."""
+    return [
+        F.count("*").cast("bigint").alias(count_alias),
         F.sum("token_count").cast("bigint").alias("n_tokens"),
         (F.max("seq_index") + 1).cast("bigint").alias("n_sequences"),
+    ]
+
+
+def sft_curation_report(curated: DataFrame) -> DataFrame:
+    """Per-shard manifest of a ``curate_sft`` run: kept examples,
+    conversations covered, exact token totals, start-assigned sequence
+    slots (see ``_manifest_aggs`` for the n_sequences semantics) — the
+    audit table an RLHF data-prep run keeps next to its output. One
+    partial-aggregated groupBy over the (small) curated table."""
+    return curated.groupBy("shard").agg(
+        *_manifest_aggs("n_examples"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_conversations"),
     )
 
 
 def curation_report(curated: DataFrame,
                     shard_col: str = "lang") -> DataFrame:
-    """Per-shard curation manifest: kept docs, total tokens, sequences,
-    and redaction totals — the audit table a curation run keeps. One
+    """Per-shard curation manifest: kept docs, total tokens,
+    start-assigned sequence slots (``_manifest_aggs``), and redaction
+    totals — the audit table a curation run keeps. One
     partial-aggregated groupBy."""
-    aggs = [
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("token_count").cast("bigint").alias("n_tokens"),
-        (F.max("seq_index") + 1).cast("bigint").alias("n_sequences"),
-    ]
+    aggs = _manifest_aggs("n_docs")
     for cat, _p, _r in redact_op.REDACTIONS:
         aggs.append(F.sum(f"n_{cat}").cast("bigint").alias(f"n_{cat}"))
     return curated.groupBy(shard_col).agg(*aggs)

@@ -432,21 +432,25 @@ def ann_recall_report(approx: DataFrame, exact: DataFrame,
     exact side defines the query universe (a query the approximate
     index returned nothing for still reports, with zeros). Both inputs
     are top-k tables (tiny); one distinct per side + one key join."""
-    e = exact.select(F.col(query_col), F.col(neighbor_col)).distinct()
-    a = approx.select(F.col(query_col), F.col(neighbor_col)).distinct()
-    hits = (e.join(a, on=[query_col, neighbor_col])
-            .groupBy(query_col)
-            .agg(F.count("*").cast("bigint").alias("n_hits")))
-    ec = e.groupBy(query_col).agg(
-        F.count("*").cast("bigint").alias("n_exact"))
-    ac = a.groupBy(query_col).agg(
-        F.count("*").cast("bigint").alias("n_approx"))
-    zero = F.lit(0).cast("bigint")
-    return (ec.join(ac, on=query_col, how="left")
-            .join(hits, on=query_col, how="left")
-            .select(query_col, "n_exact",
-                    F.coalesce("n_approx", zero).alias("n_approx"),
-                    F.coalesce("n_hits", zero).alias("n_hits")))
+    # single-pass shape: ONE full-outer join of the two distinct pair
+    # sets, then one groupBy — each input's (possibly expensive) search
+    # lineage is referenced exactly once, never re-executed per counter
+    # (Spark does not dedupe common subplans across joins — the
+    # codebase's measured multi-consumer lesson)
+    e = (exact.select(F.col(query_col), F.col(neighbor_col)).distinct()
+         .withColumn("_e", F.lit(1)))
+    a = (approx.select(F.col(query_col), F.col(neighbor_col)).distinct()
+         .withColumn("_a", F.lit(1)))
+    joined = e.join(a, on=[query_col, neighbor_col], how="full_outer")
+    return (joined.groupBy(query_col)
+            .agg(F.sum(F.coalesce("_e", F.lit(0))).cast("bigint")
+                 .alias("n_exact"),
+                 F.sum(F.coalesce("_a", F.lit(0))).cast("bigint")
+                 .alias("n_approx"),
+                 F.sum(F.when(F.col("_e").isNotNull()
+                              & F.col("_a").isNotNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_hits"))
+            .filter(F.col("n_exact") > 0))
 
 
 def write_ivfpq_index(index: DataFrame, path: str,
