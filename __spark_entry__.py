@@ -141,7 +141,11 @@ def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     loads once per worker (lru-cached); the hop is one pandas batch
     (iterative BPE merges are not SQL-expressible, hence rows-only —
     the trainer's pair-count aggregate is the oracle-gated surface,
-    `bpe_pair_counts`)."""
+    `bpe_pair_counts`). A missing artifact degrades to the char-window
+    estimate (n_tokens = n_window_est via resolve_tokenizer('auto') →
+    None), matching the pipeline's degradation path — never the
+    embedded 26-merge fallback table, which would silently change what
+    n_tokens means (review-found)."""
     import pandas as pd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -150,15 +154,16 @@ def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def count(batches):
         from ragstudio_spark.kernel import bpe
 
-        tok = bpe.default_tokenizer() or bpe.BPETokenizer()
+        tok = bpe.resolve_tokenizer("auto")
         for pdf in batches:
+            # floor, matching the engine-wide len div 4 convention
+            # (kernel/chunk.py, curation, convlint — never ceiling)
+            win = [len(t or "") // 4 for t in pdf["text"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "n_tokens": [tok.encode_len(t or "")
-                             for t in pdf["text"]],
-                # floor, matching the engine-wide len div 4 convention
-                # (kernel/chunk.py, curation, convlint — never ceiling)
-                "n_window_est": [len(t or "") // 4 for t in pdf["text"]],
+                "n_tokens": ([tok.encode_len(t or "") for t in pdf["text"]]
+                             if tok is not None else win),
+                "n_window_est": win,
             })
 
     return docs.mapInPandas(

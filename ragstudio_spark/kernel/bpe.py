@@ -135,25 +135,40 @@ def unescape_merge_token(tok: str) -> str:
 
 def parse_merges(lines) -> list[tuple[str, str]]:
     """merges.txt lines → ordered merge list (shared by file and packaged-
-    resource loading)."""
+    resource loading).
+
+    The ``escape_merge_token`` escapes are a ragstudio-format feature,
+    identified by the ``#version: ragstudio_spark …`` header that
+    ``save_merges`` writes as its first line. Files without that header
+    (externally trained GPT-2-style vocabularies) parse their tokens RAW:
+    code-corpus pieces routinely contain literal ``\\\\`` or ``\\uXXXX``
+    substrings (Windows paths, JSON escapes) that unconditional unescaping
+    would silently rewrite into different pieces (review-found)."""
     merges: list[tuple[str, str]] = []
+    unescape: bool | None = None  # decided by the first non-empty line
     for line in lines:
         line = line.rstrip("\n")
+        if unescape is None and line:
+            unescape = line.startswith("#version:") and "ragstudio" in line
         if not line or line.startswith("#"):
             continue
         parts = line.split(" ")
         if len(parts) != 2:
             raise ValueError(f"bad merges line: {line!r}")
-        merges.append((unescape_merge_token(parts[0]),
-                       unescape_merge_token(parts[1])))
+        if unescape:
+            merges.append((unescape_merge_token(parts[0]),
+                           unescape_merge_token(parts[1])))
+        else:
+            merges.append((parts[0], parts[1]))
     return merges
 
 
 def load_merges(path: str) -> BPETokenizer:
     """Standard merges.txt: optional '#version' header, 'a b' per line.
-    Tokens may carry the ``escape_merge_token`` escapes (how save_merges
-    serializes whitespace-bearing tokens); unescaping is the identity on
-    conventional escape-free files."""
+    Tokens carry the ``escape_merge_token`` escapes only when the
+    ``#version: ragstudio_spark …`` header identifies the file as one
+    save_merges wrote; headerless / foreign files parse raw (see
+    parse_merges)."""
     with open(path, encoding="utf-8") as f:
         return BPETokenizer(parse_merges(f))
 

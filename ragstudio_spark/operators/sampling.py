@@ -132,6 +132,16 @@ def mixture_plan(df: DataFrame, key_col: str, weights_ppm: dict[str, int],
     the (tiny, literal) weight table."""
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive: {token_budget}")
+    if token_budget > 2**63 // 1_000_000:
+        # budget · weight_ppm is computed in bigint; past this bound the
+        # product overflows, and with spark.sql.ansi.enabled=false it
+        # wraps silently to NEGATIVE allocations instead of raising
+        # (review-found). 9.2e12 tokens is the bigint ceiling for a
+        # ppm-quantized plan; larger budgets need a decimal(38,0) plan.
+        raise ValueError(
+            f"token_budget {token_budget} exceeds {2**63 // 1_000_000} "
+            "(bigint overflow in the ppm product — split the plan or "
+            "use a coarser quantization)")
     total_ppm = sum(int(v) for v in weights_ppm.values())
     if total_ppm > 1_000_000:
         raise ValueError(

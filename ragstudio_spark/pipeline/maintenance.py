@@ -36,8 +36,9 @@ emulation note applies):
 Dedup determinism: ``dropDuplicates`` keeps an ARBITRARY row per key —
 fine for byte-identical retry copies, wrong the moment two versions of
 a key differ. The dedup here keeps the row that sorts FIRST over the
-ORDERABLE non-key columns (row_number window; map-typed columns cannot
-participate in a sort and are excluded from the version pick), so
+ORDERABLE non-key columns (row_number window; map-typed columns — at
+any nesting depth — cannot participate in a sort and are excluded from
+the version pick; atomic, array and struct columns all participate), so
 repeated compactions of the same directory state produce identical
 results regardless of partitioning.
 """
@@ -49,7 +50,7 @@ import shutil
 import uuid
 
 from pyspark.sql import SparkSession, Window, functions as F
-from pyspark.sql.types import AtomicType
+from pyspark.sql.types import ArrayType, AtomicType, StructType
 
 from ragstudio_spark.pipeline.lineage import COMMIT_MARKER
 
@@ -113,9 +114,22 @@ def compact_parquet_dir(
         1 for _r, _d, fs in os.walk(path) for f in fs
         if f.endswith(".parquet"))
 
+    def sortable(dt) -> bool:
+        # Spark orders atomic, array and struct types — maps (at any
+        # nesting depth) cannot participate in a sort. The tables this
+        # module targets differ per key exactly in array columns
+        # (embedding, PQ codes), so excluding them would make the
+        # version pick arbitrary again (review-found).
+        if isinstance(dt, AtomicType):
+            return True
+        if isinstance(dt, ArrayType):
+            return sortable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(sortable(f.dataType) for f in dt.fields)
+        return False
+
     def orderable(cols):
-        return [c for c in cols
-                if isinstance(df.schema[c].dataType, AtomicType)]
+        return [c for c in cols if sortable(df.schema[c].dataType)]
 
     if dedup_keys:
         others = orderable([c for c in df.columns if c not in dedup_keys])

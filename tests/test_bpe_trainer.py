@@ -131,6 +131,30 @@ class TestComposition:
             == merges
         assert tok._bpe("##") == ("##",)
 
+    def test_foreign_merges_file_parses_tokens_raw(self, tmp_path):
+        """Unescaping is gated on the '#version: ragstudio_spark …'
+        header save_merges writes. An externally trained GPT-2-style
+        file may legitimately contain pieces with literal '\\\\' or
+        '\\uXXXX' substrings (Windows paths, JSON escapes from code
+        corpora) — those must parse RAW, not be silently rewritten
+        (review-found: piece '\\u0041' became 'A')."""
+        foreign = str(tmp_path / "gpt2.txt")
+        with open(foreign, "w", encoding="utf-8") as f:
+            f.write("#version: 0.2\n\\ u0041\n\\\\ path\na b\n")
+        assert bpe.parse_merges(open(foreign, encoding="utf-8")) == [
+            ("\\", "u0041"), ("\\\\", "path"), ("a", "b")]
+        # headerless files are foreign too
+        bare = str(tmp_path / "bare.txt")
+        with open(bare, "w", encoding="utf-8") as f:
+            f.write("\\u0041 x\n")
+        assert bpe.parse_merges(open(bare, encoding="utf-8")) == [
+            ("\\u0041", "x")]
+        # while a save_merges round-trip still unescapes (our header)
+        ours = str(tmp_path / "ours.txt")
+        bpe_trainer.save_merges([("\\u0041", " t")], ours)
+        tok = bpe.load_merges(ours)
+        assert list(tok.ranks) == [("\\u0041", " t")]
+
     def test_train_from_corpus_end_to_end(self, spark):
         df = spark.createDataFrame(
             [("the thing then and the other thing",),

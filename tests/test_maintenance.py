@@ -41,6 +41,26 @@ class TestCompaction:
         # arbitrary-dropDuplicates
         assert got == {1: "aaa", 2: "zzz"}
 
+    def test_dedup_deterministic_when_only_array_columns_differ(
+            self, spark, tmp_path):
+        """Array columns participate in the version pick (Spark orders
+        arrays lexicographically) — the tables this module targets
+        (embedding, PQ codes) differ per key exactly there, and
+        excluding them made the survivor arbitrary (review-found)."""
+        path = str(tmp_path / "vecs")
+        schema = "vec_id bigint, embedding array<float>"
+        spark.createDataFrame(
+            [(1, [2.0, 9.0]), (2, [5.0, 5.0])], schema
+        ).repartition(3).write.mode("append").parquet(path)
+        spark.createDataFrame(
+            [(1, [1.0, 99.0])], schema
+        ).repartition(3).write.mode("append").parquet(path)
+        maintenance.compact_parquet_dir(spark, path, dedup_keys=["vec_id"])
+        got = {r["vec_id"]: r["embedding"]
+               for r in spark.read.parquet(path).collect()}
+        # keeps the array that sorts first, never an arbitrary survivor
+        assert got == {1: [1.0, 99.0], 2: [5.0, 5.0]}
+
     def test_partitioned_layout_preserved_for_ann_index(self, spark,
                                                         tmp_path):
         """Compacting the cell-partitioned IVF-PQ index must keep the

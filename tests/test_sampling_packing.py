@@ -276,6 +276,26 @@ class TestMixturePlan:
             sampling.mixture_plan(docs, "lang",
                                   {"en": 700000, "fr": 600000}, 100)
 
+    def test_budget_past_bigint_ppm_ceiling_raises(self, spark):
+        """budget·weight_ppm is a bigint product; a 15T-token budget
+        (realistic LLM scale) would wrap silently to NEGATIVE
+        allocations under ansi=false (review-found) — the entry check
+        must raise instead. The largest legal budget still plans."""
+        import pytest
+
+        from ragstudio_spark.operators import sampling
+
+        docs = spark.createDataFrame([(0, "en", 10)],
+                                     "doc_id int, lang string, "
+                                     "token_count int")
+        with pytest.raises(ValueError, match="overflow"):
+            sampling.mixture_plan(docs, "lang", {"en": 1_000_000},
+                                  token_budget=15_000_000_000_000)
+        cap = 2**63 // 1_000_000
+        plan = {r["lang"]: r for r in sampling.mixture_plan(
+            docs, "lang", {"en": 1_000_000}, token_budget=cap).collect()}
+        assert plan["en"]["allocated_tokens"] == cap
+
 
 class TestMixtureSample:
     def test_composition_tracks_targets(self, spark):
