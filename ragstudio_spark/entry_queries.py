@@ -15,6 +15,8 @@ values):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ragstudio_spark import sqlspec
@@ -3946,6 +3948,91 @@ ORDER BY query_id
 """
 
 _def("preference_pairs", (_dpo_fn, _DPO_DUCK))
+
+
+# -- 46. engine-native retrieval cache (pipeline/cache.py ↔ reference
+#        redis_cache.py:35-264): replay a deterministic event history —
+#        base sets, newer versions, bulk tombstones, a prefix clear with
+#        later revival — through the REAL parquet-backed cache, then
+#        as-of read at now=90. The twin resolves the same history in
+#        pure SQL (latest-event-per-key window with the del>set tie
+#        rank, TTL bound, clear/revive join). Values are md5 hex — no
+#        encoding or float hazards.
+def _cache_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.pipeline import cache
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="rs_cache_oracle_"),
+                        "store")
+    kc = cache.bulk_key_col("chunk", "doc_id")
+    ka = cache.bulk_key_col("aux", "doc_id")
+    cache.put_df(docs, path, "chunk", kc, F.md5("text"),
+                 ttl=60, now=F.col("doc_id") % 97)
+    cache.put_df(docs.filter("doc_id % 5 = 0"), path, "chunk", kc,
+                 F.md5(F.concat(F.col("text"), F.lit("v2"))),
+                 ttl=60, now=F.col("doc_id") % 97 + 40)
+    cache.delete_df(docs.filter("doc_id % 11 = 0"), path, "chunk", kc,
+                    now=120)
+    cache.put_df(docs.filter("doc_id < 50"), path, "aux", ka,
+                 F.md5("text"), ttl=60, now=10)
+    cache.clear_prefix_mark(spark, path, "aux", now=30)
+    cache.put_df(docs.filter("doc_id < 10"), path, "aux", ka,
+                 F.md5(F.concat(F.col("text"), F.lit("r"))),
+                 ttl=60, now=35)
+    return (cache.resolve(spark, path, now=90)
+            .select("key", "value", "ts").orderBy("key"))
+
+
+def _cache_duck_sql() -> str:
+    def k(prefix: str) -> str:
+        return (f"'rs:{prefix}:' || md5('{prefix}' || chr(31) || "
+                f"CAST(doc_id AS VARCHAR))")
+
+    return f"""
+WITH ev AS (
+  SELECT {k('chunk')} AS key, 'chunk' AS prefix, md5(text) AS value,
+         CAST(doc_id % 97 AS BIGINT) AS ts, CAST(60 AS BIGINT) AS ttl,
+         'set' AS op
+  FROM documents
+  UNION ALL
+  SELECT {k('chunk')}, 'chunk', md5(text || 'v2'),
+         CAST(doc_id % 97 + 40 AS BIGINT), 60, 'set'
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT {k('chunk')}, 'chunk', NULL, 120, 0, 'del'
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT {k('aux')}, 'aux', md5(text), 10, 60, 'set'
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT {k('aux')}, 'aux', md5(text || 'r'), 35, 60, 'set'
+  FROM documents WHERE doc_id < 10
+), clears AS (
+  SELECT 'aux' AS prefix, CAST(30 AS BIGINT) AS clear_ts
+), latest AS (
+  SELECT key, prefix, ts, ttl, value, op FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY key
+      ORDER BY ts DESC,
+               CASE WHEN op = 'del' THEN 1 ELSE 0 END DESC,
+               ttl DESC, value DESC) AS rn
+    FROM ev) t
+  WHERE rn = 1
+)
+SELECT l.key AS key, l.value AS value, l.ts AS ts
+FROM latest l LEFT JOIN clears c ON l.prefix = c.prefix
+WHERE l.op = 'set' AND l.ts + l.ttl > 90
+  AND (c.clear_ts IS NULL OR l.ts > c.clear_ts)
+ORDER BY key
+"""
+
+
+_def("cache_asof_read", (_cache_fn, _cache_duck_sql()))
 
 
 # --------------------------------------------------------------------------

@@ -59,6 +59,33 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     # function words carry the discrimination instead
     "pl": ("nie", "się", "jest", "ale", "jak", "tak", "przez", "tym",
            "być", "oraz", "że", "dla", "już", "aby", "przed"),
+    # Round-6 Latin-script extension (VERDICT r5 #2, toward langdetect's
+    # ~55-language breadth — reference normalize.py:46-54). Same
+    # discipline as the r5 rows: no token that is high-frequency in
+    # ANOTHER table language's natural text unless that language
+    # already owns it (shared tokens count for both owners). Norwegian
+    # is the hard row — bokmål shares most function words with Danish —
+    # so its profile leans on no-specific SPELLINGS (etter/mellom/
+    # gjennom/hva/noen/seg vs da efter/mellem/gennem/hvad/nogen/sig).
+    "no": ("etter", "mellom", "gjennom", "hva", "noen", "seg", "gjøre",
+           "vært", "bare", "ikke", "være", "eller", "også", "mye", "når"),
+    "fi": ("ja", "ei", "että", "mutta", "hän", "oli", "kun", "myös",
+           "niin", "kanssa", "jälkeen", "tämä", "ovat", "sekä", "kuin"),
+    "cs": ("že", "jsou", "byl", "jako", "však", "jsem", "podle", "které",
+           "když", "ještě", "může", "být", "pro", "této", "ale"),
+    "hu": ("és", "nem", "hogy", "egy", "az", "van", "volt", "meg", "már",
+           "csak", "mint", "még", "vagy", "lehet", "minden"),
+    # no Turkish "var": JS/C# source text ("var x = …") would cross-fire
+    # on it while hitting few English stopwords
+    "tr": ("bir", "ve", "bu", "için", "ile", "olarak", "daha", "çok",
+           "ama", "gibi", "sonra", "kadar", "olan", "değil", "ancak"),
+    # no Indonesian "di" (Italian's most frequent preposition would
+    # cross-fire), same reason the r5 rows dropped Dutch "de"/"en"
+    "id": ("yang", "dan", "untuk", "dengan", "ini", "itu", "tidak",
+           "dari", "akan", "pada", "adalah", "dalam", "juga", "atau",
+           "sebagai"),
+    "vi": ("và", "của", "có", "không", "được", "trong", "người",
+           "những", "với", "này", "cho", "các", "là", "đã", "một"),
 }
 
 _PATTERNS = {
@@ -91,10 +118,80 @@ def language_scores(text: str) -> dict[str, int]:
     return scores
 
 
+# ---------------------------------------------------------------------------
+# Script-range stage (round 6). Stopword profiles cannot cover languages
+# whose scripts have no whitespace-delimited function words (CJK) or
+# where one findall table per language would balloon; a character-class
+# census routes those the way langdetect's n-gram profiles do, with a
+# within-script discriminator where one script serves several table
+# languages (Cyrillic ru/uk, Arabic-script ar/fa, Han/kana zh/ja).
+# Counting uses findall lengths (C-speed single scans); the snippet's
+# dominant-script rule is: route to the largest non-Latin script class
+# iff it holds more letters than Latin does — mixed/quoted text with a
+# Latin majority still goes through the stopword scorer.
+_LATIN_RE = re.compile(r"[A-Za-zÀ-ɏ]")
+_SCRIPT_RES: dict[str, re.Pattern] = {
+    "cyrillic":   re.compile(r"[Ѐ-ӿ]"),
+    "arabic":     re.compile(r"[؀-ۿ]"),
+    "greek":      re.compile(r"[Ͱ-Ͽ]"),
+    "hebrew":     re.compile(r"[֐-׿]"),
+    "devanagari": re.compile(r"[ऀ-ॿ]"),
+    "thai":       re.compile(r"[฀-๿]"),
+    "hangul":     re.compile(r"[가-힯ᄀ-ᇿ]"),
+    "kana":       re.compile(r"[぀-ヿ]"),
+    "han":        re.compile(r"[一-鿿]"),
+}
+# single-language scripts resolve directly…
+_SCRIPT_LANG = {"greek": "el", "hebrew": "he", "devanagari": "hi",
+                "thai": "th", "hangul": "ko"}
+#: languages the script census can return (the table's non-Latin half)
+SCRIPT_LANGS = frozenset(
+    {"zh", "ja", "ru", "uk", "ar", "fa", *_SCRIPT_LANG.values()})
+
+
+def supported_languages() -> frozenset[str]:
+    """Every code detect_language can return (stopword + script rows)."""
+    return frozenset(STOPWORDS) | SCRIPT_LANGS
+# …multi-language scripts by letters EXCLUSIVE to one orthography:
+# uk і/ї/є/ґ vs ru ы/э/ъ/ё; fa پ/چ/ژ/گ added to the base Arabic alphabet
+_UK_RE = re.compile(r"[іїєґ]")
+_RU_RE = re.compile(r"[ыэъё]")
+_FA_RE = re.compile(r"[پچژگ]")
+
+
+def _script_language(snippet: str) -> str | None:
+    """Non-Latin routing, or None when Latin letters dominate."""
+    latin = len(_LATIN_RE.findall(snippet))
+    counts = {s: len(p.findall(snippet)) for s, p in _SCRIPT_RES.items()}
+    # Japanese mixes Han and kana in one text: they vote as one class,
+    # then ANY kana marks ja (Chinese text contains none)
+    cjk = counts["han"] + counts["kana"]
+    best = max(counts, key=lambda s: (counts[s], s))
+    if max(counts[best], cjk) <= latin:
+        return None
+    if cjk >= counts[best] and cjk > latin:
+        return "ja" if counts["kana"] > 0 else "zh"
+    if best == "cyrillic":
+        return "uk" if (len(_UK_RE.findall(snippet))
+                        > len(_RU_RE.findall(snippet))) else "ru"
+    if best == "arabic":
+        return "fa" if _FA_RE.search(snippet) else "ar"
+    return _SCRIPT_LANG[best]
+
+
 def detect_language(text: str) -> str | None:
-    """Best-scoring language, ties broken alphabetically; None if no hits."""
+    """Best-scoring language, ties broken alphabetically; None if no hits.
+
+    Non-Latin-dominant text routes through the script census first (the
+    all-ASCII fast path skips the census entirely — the common case in
+    the transcript corpus pays one ``str.isascii`` check)."""
     if not text:
         return None
+    snippet = text[:5000]
+    if not snippet.isascii():
+        by_script = _script_language(snippet.lower())
+        if by_script is not None:
+            return by_script
     scores = language_scores(text)
     best_lang = min(
         scores, key=lambda lang: (-scores[lang], lang)

@@ -138,7 +138,18 @@ def compact_parquet_dir(
         df = (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
 
-    tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
+    def write_tmp(tmp):
+        _write_layout(spark, df, tmp, target_files, partition_by, orderable)
+
+    rows = swap_in(spark, path, write_tmp)
+    files_after = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs
+        if f.endswith(".parquet"))
+    return {"rows": rows, "files_before": files_before,
+            "files_after": files_after, "recovered": recovered}
+
+
+def _write_layout(spark, df, tmp, target_files, partition_by, orderable):
     if partition_by:
         salt_src = orderable([c for c in df.columns if c != partition_by])
         salt = (F.pmod(F.hash(*salt_src), F.lit(target_files))
@@ -151,16 +162,21 @@ def compact_parquet_dir(
            .write.partitionBy(partition_by).parquet(tmp))
     else:
         df.coalesce(target_files).write.parquet(tmp)
+
+
+def swap_in(spark: SparkSession, path: str, write_tmp) -> int:
+    """Write a replacement table via ``write_tmp(tmp_dir)`` then swap it
+    over ``path`` under the module's crash contract (see the module
+    docstring: two renames, ``_recover`` restores the window). Shared by
+    compaction and by other single-writer rewriters (pipeline/cache.py's
+    vacuum). Returns the replacement's row count."""
+    tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
+    write_tmp(tmp)
     with open(os.path.join(tmp, COMMIT_MARKER), "w") as f:
         f.write("compacted\n")
-
     rows = spark.read.parquet(tmp).count()
     old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
-    files_after = sum(
-        1 for _r, _d, fs in os.walk(path) for f in fs
-        if f.endswith(".parquet"))
-    return {"rows": rows, "files_before": files_before,
-            "files_after": files_after, "recovered": recovered}
+    return rows

@@ -144,13 +144,176 @@ FIXTURE: dict[str, list[str]] = {
         "Część zespołu pojechała do stolicy, aby przedstawić raport "
         "przed komisją.",
     ],
+    # ---- round-6 Latin-script extension (VERDICT r5 #2) ----
+    "no": [
+        "Regjeringen har sagt at forhandlingene vil fortsette etter "
+        "sommeren, men ingen vet hva resultatet blir.",
+        "Det er ikke bare et enkelt spørsmål, og noen mener at svaret "
+        "kan være noe helt annet når man ser etter.",
+        "Mellom husene går det en smal sti, og barna liker å gjøre "
+        "turen gjennom parken når de har tid.",
+        "Vi har vært der mange ganger, og det har også gitt oss mye å "
+        "tenke på etter hvert besøk. Hva mer kan man ønske seg?",
+    ],
+    "fi": [
+        "Hallitus kertoi, että neuvottelut jatkuvat ensi viikolla, "
+        "mutta lopputulos ei ole vielä selvä.",
+        "Lapset leikkivät puistossa, kun vanhemmat istuvat penkillä ja "
+        "juttelevat naapureiden kanssa.",
+        "Tämä ei ole yksinkertainen kysymys, mutta vastaus löytyy "
+        "asiakirjoista, jotka saitte eilen.",
+        "Osa joukkueesta matkusti pääkaupunkiin, ja he ovat siellä "
+        "myös ensi viikon kokouksen jälkeen.",
+    ],
+    "cs": [
+        "Vláda oznámila, že jednání s odbory budou pokračovat příští "
+        "týden, ale podle mluvčího výsledek zatím není jasný.",
+        "Děti si hrají v parku a rodiče jsou rádi, že mohou být "
+        "venku, když je hezké počasí.",
+        "To není jednoduchá otázka, ale odpověď je v dokumentech, "
+        "které jste včera dostali, však to víte.",
+        "Nevím, kde jsem to četl, ale může to být pravda, protože "
+        "podle novin se situace ještě může změnit.",
+    ],
+    "hu": [
+        "A kormány bejelentette, hogy a tárgyalások jövő héten "
+        "folytatódnak, de még nem tudni, mi lesz az eredmény.",
+        "A gyerekek a parkban játszanak, míg a szülők egy padon "
+        "ülnek, és a szomszédokkal beszélgetnek.",
+        "Ez nem egy egyszerű kérdés, de a válasz ott van a "
+        "dokumentumokban, amelyeket tegnap kaptak meg.",
+        "A csapat egy része a fővárosba utazott, hogy bemutassa a "
+        "jelentést, mert már csak ez volt hátra.",
+    ],
+    "tr": [
+        "Hükümet, sendikalarla görüşmelerin önümüzdeki hafta devam "
+        "edeceğini ve bir anlaşma için çalışılacağını açıkladı.",
+        "Çocuklar parkta oynuyor, anne babalar ise bankta oturuyor "
+        "ama bu sırada kimse bir şey için acele etmiyor.",
+        "Bu basit bir soru değil, ama cevap dün aldığınız belgelerde "
+        "yer alıyor ve daha fazla ayrıntı da var orada.",
+        "Takımın bir kısmı raporu sunmak için başkente gitti; sunum "
+        "olarak çok başarılı geçti ve herkes gibi biz de memnun kaldık.",
+    ],
+    "id": [
+        "Pemerintah mengumumkan bahwa perundingan dengan serikat "
+        "pekerja akan dilanjutkan pada minggu depan untuk mencari "
+        "kesepakatan.",
+        "Anak-anak bermain di taman, sementara orang tua mereka duduk "
+        "di bangku dan berbicara dengan para tetangga.",
+        "Ini bukan pertanyaan yang sederhana, tetapi jawabannya ada "
+        "dalam dokumen yang Anda terima kemarin pagi.",
+        "Sebagian dari tim pergi ke ibu kota untuk menyampaikan "
+        "laporan ini kepada komite dan juga kepada ketuanya.",
+    ],
+    "vi": [
+        "Chính phủ thông báo rằng các cuộc đàm phán với công đoàn sẽ "
+        "được nối lại vào tuần tới.",
+        "Trẻ em chơi trong công viên trong khi cha mẹ ngồi trên ghế "
+        "và trò chuyện với những người hàng xóm.",
+        "Đây không phải là một câu hỏi đơn giản, nhưng câu trả lời "
+        "nằm trong các tài liệu mà bạn đã nhận được hôm qua.",
+        "Một phần của đội đã đến thủ đô để trình bày báo cáo này cho "
+        "ủy ban và chủ tịch của họ.",
+    ],
+    # ---- round-6 script-range classes (non-Latin) ----
+    "ru": [
+        "Правительство объявило, что переговоры с профсоюзами "
+        "возобновятся на следующей неделе, чтобы найти решение.",
+        "Дети играют в парке, пока родители сидят на скамейке и "
+        "разговаривают с соседями о новых планах.",
+        "Это не простой вопрос, но ответ есть в документах, которые "
+        "вы получили вчера утром.",
+        "Часть команды поехала в столицу, чтобы представить доклад "
+        "комитету и его председателю.",
+    ],
+    "uk": [
+        "Уряд оголосив, що переговори з профспілками відновляться "
+        "наступного тижня, щоб знайти рішення.",
+        "Діти граються в парку, поки батьки сидять на лавці і "
+        "розмовляють із сусідами про справи.",
+        "Це не просте питання, але відповідь є в документах, які ви "
+        "отримали вчора вранці.",
+        "Частина команди поїхала до столиці, щоб представити звіт "
+        "комітетові та його голові.",
+    ],
+    "ar": [
+        "أعلنت الحكومة أن المفاوضات مع النقابات ستستأنف الأسبوع "
+        "المقبل من أجل التوصل إلى اتفاق.",
+        "يلعب الأطفال في الحديقة بينما يجلس الآباء على مقعد "
+        "ويتحدثون مع الجيران.",
+        "هذا ليس سؤالا بسيطا، لكن الجواب موجود في الوثائق التي "
+        "استلمتموها أمس.",
+        "سافر جزء من الفريق إلى العاصمة لتقديم التقرير أمام اللجنة "
+        "ورئيسها.",
+    ],
+    "fa": [
+        "دولت اعلام کرد که گفتگوها با اتحادیه‌ها هفته آینده از سر "
+        "گرفته می‌شود.",
+        "بچه‌ها در پارک بازی می‌کنند و پدر و مادرها روی نیمکت "
+        "نشسته‌اند و با همسایه‌ها گپ می‌زنند.",
+        "این پرسش ساده‌ای نیست، اما پاسخ در اسنادی است که دیروز "
+        "دریافت کردید.",
+        "گروهی از تیم برای ارائه گزارش به پایتخت سفر کردند و "
+        "برگشتند.",
+    ],
+    "zh": [
+        "政府宣布与工会的谈判将于下周恢复,以寻求达成协议。",
+        "孩子们在公园里玩耍,父母坐在长椅上和邻居聊天。",
+        "这不是一个简单的问题,但答案就在你昨天收到的文件里。",
+        "团队的一部分人去了首都,向委员会提交了报告。",
+    ],
+    "ja": [
+        "政府は、労働組合との交渉が来週再開されると発表した。",
+        "子どもたちは公園で遊び、親たちはベンチに座って近所の人と話している。",
+        "これは簡単な質問ではないが、答えは昨日受け取った書類の中にある。",
+        "チームの一部は報告書を委員会に提出するために首都へ向かった。",
+    ],
+    "ko": [
+        "정부는 노조와의 협상이 다음 주에 재개될 것이라고 발표했다.",
+        "아이들은 공원에서 놀고 부모들은 벤치에 앉아 이웃과 이야기를 나눈다.",
+        "이것은 간단한 질문이 아니지만 답은 어제 받은 서류에 들어 있다.",
+        "팀의 일부는 보고서를 위원회에 제출하기 위해 수도로 떠났다.",
+    ],
+    "el": [
+        "Η κυβέρνηση ανακοίνωσε ότι οι διαπραγματεύσεις με τα "
+        "συνδικάτα θα συνεχιστούν την επόμενη εβδομάδα.",
+        "Τα παιδιά παίζουν στο πάρκο ενώ οι γονείς κάθονται σε ένα "
+        "παγκάκι και μιλούν με τους γείτονες.",
+        "Δεν είναι απλή ερώτηση, αλλά η απάντηση βρίσκεται στα "
+        "έγγραφα που λάβατε χθες.",
+        "Μέρος της ομάδας ταξίδεψε στην πρωτεύουσα για να παρουσιάσει "
+        "την έκθεση στην επιτροπή.",
+    ],
+    "he": [
+        "הממשלה הודיעה שהמשא ומתן עם האיגודים יתחדש בשבוע הבא.",
+        "הילדים משחקים בפארק בעוד ההורים יושבים על ספסל ומשוחחים עם "
+        "השכנים.",
+        "זו אינה שאלה פשוטה, אבל התשובה נמצאת במסמכים שקיבלתם אתמול.",
+        "חלק מהצוות נסע לבירה כדי להציג את הדוח בפני הוועדה.",
+    ],
+    "th": [
+        "รัฐบาลประกาศว่าการเจรจากับสหภาพแรงงานจะกลับมาดำเนินต่อในสัปดาห์หน้า",
+        "เด็ก ๆ เล่นอยู่ในสวนสาธารณะ ขณะที่พ่อแม่นั่งคุยกับเพื่อนบ้านบนม้านั่ง",
+        "นี่ไม่ใช่คำถามง่าย แต่คำตอบอยู่ในเอกสารที่คุณได้รับเมื่อวานนี้",
+        "ทีมงานบางส่วนเดินทางไปเมืองหลวงเพื่อนำเสนอรายงานต่อคณะกรรมการ",
+    ],
+    "hi": [
+        "सरकार ने घोषणा की कि यूनियनों के साथ बातचीत अगले सप्ताह फिर "
+        "से शुरू होगी।",
+        "बच्चे पार्क में खेल रहे हैं जबकि माता-पिता बेंच पर बैठकर "
+        "पड़ोसियों से बात कर रहे हैं।",
+        "यह कोई आसान सवाल नहीं है, लेकिन जवाब उन दस्तावेज़ों में है "
+        "जो आपको कल मिले।",
+        "टीम का एक हिस्सा रिपोर्ट पेश करने के लिए राजधानी गया।",
+    ],
 }
 
 ALLOW = {"fr", "en"}  # the reference's default allow-list
 
 
 def main() -> None:
-    in_table = set(langid.STOPWORDS)
+    in_table = set(langid.supported_languages())
     rows = []
     for label, texts in FIXTURE.items():
         preds = [langid.detect_language(t) for t in texts]

@@ -19,7 +19,7 @@ _SPEC.loader.exec_module(_MOD)
 class TestLangidTable:
     def test_fixture_fully_agrees(self):
         for label, texts in _MOD.FIXTURE.items():
-            assert label in langid.STOPWORDS
+            assert label in langid.supported_languages()
             for t in texts:
                 assert langid.detect_language(t) == label, (label, t[:60])
 
@@ -53,6 +53,54 @@ class TestLangidTable:
         text = ("The appendix lists the options w, x, y, z and it is "
                 "clear that the first of them is the one to pick.")
         assert langid.detect_language(text) == "en"
+
+    def test_round6_rows_keep_the_token_bans(self):
+        """The r5 rules extend to every r6 Latin row: no single-letter
+        tokens, no Indonesian 'di' (Italian's top preposition), no
+        Turkish 'var' (JS/C# source text)."""
+        for lang in ("no", "fi", "cs", "hu", "tr", "id", "vi"):
+            assert all(len(w) >= 2 for w in langid.STOPWORDS[lang]), lang
+        assert "di" not in langid.STOPWORDS["id"]
+        assert "var" not in langid.STOPWORDS["tr"]
+        assert langid.detect_language(
+            "Click on the link di the page and it is done") == "en"
+        assert langid.detect_language(
+            "var it = that; var x = this.var; for the var of it") == "en"
+
+
+class TestScriptCensus:
+    """The non-Latin routing stage (round 6): dominant-script census
+    with within-script discriminators — not expressible as stopword
+    profiles (CJK has no whitespace-delimited function words)."""
+
+    def test_pure_ascii_never_enters_the_census(self):
+        # the fast path: isascii() short-circuits before any script regex
+        assert langid._script_language("the committee said") is None
+
+    def test_kana_separates_japanese_from_chinese(self):
+        assert langid.detect_language("政府は交渉が再開されると発表した。") == "ja"
+        assert langid.detect_language("政府宣布谈判将恢复。") == "zh"
+
+    def test_exclusive_letters_separate_cyrillic_orthographies(self):
+        assert langid.detect_language("переговоры возобновятся") == "ru"
+        assert langid.detect_language("переговори відновляться") == "uk"
+
+    def test_persian_letters_separate_arabic_script(self):
+        assert langid.detect_language("المفاوضات ستستأنف الأسبوع المقبل") == "ar"
+        assert langid.detect_language("گفتگوها هفته آینده از سر گرفته می‌شود") == "fa"
+
+    def test_latin_majority_mixed_text_stays_stopword_routed(self):
+        """Quoted foreign words inside English prose must not flip the
+        document: the census only routes when the non-Latin script
+        outnumbers Latin letters."""
+        text = ("The committee said that the proposal known as 合意 "
+                "would be reviewed and that it was not final.")
+        assert langid.detect_language(text) == "en"
+
+    def test_census_languages_are_supported_but_not_stopword_rows(self):
+        assert langid.SCRIPT_LANGS <= langid.supported_languages()
+        assert not (langid.SCRIPT_LANGS & set(langid.STOPWORDS))
+        assert len(langid.supported_languages()) >= 25
 
     def test_original_six_languages_unchanged(self):
         """The extension must not have disturbed the pre-existing
