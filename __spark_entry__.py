@@ -130,7 +130,36 @@ def _pipeline_index_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.select("id", "text"),
         store.select("id", "embedding"),
         terms, query, doc_id_col="id", vec_id_col="id")
-    return fused.orderBy("rank").limit(10)
+    topk = fused.orderBy("rank").limit(10)
+
+    # final lifecycle stage (round 6): deterministic answer assembly —
+    # context under a token budget, prompt substitution, the
+    # format_answer block (chain.py:100-228 minus the LLM call). The
+    # format semantics are pinned by tests/test_rag_chain.py and the
+    # rag_context_assembly / rag_answer_format oracles.
+    from ragstudio_spark.operators import rag_chain
+
+    hits = (topk.join(store.select("id", "text"), on="id")
+            .select(F.lit(0).alias("query_id"), "rank", "text",
+                    F.col("id").cast("string").alias("source_name"),
+                    F.lit(None).cast("int").alias("page")))
+    ctx = rag_chain.assemble_context(hits, k=4, token_budget=2048)
+    cits = (rag_chain.citations(hits, k=4)
+            .groupBy("query_id")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                "rank", "line", "preview"))).alias("srcs")))
+    return (ctx.join(cits, on="query_id")
+            .select(
+                "query_id", "n_sources", "context_tokens",
+                rag_chain.rag_prompt(
+                    F.col("context"),
+                    F.lit(" ".join(terms))).alias("prompt"),
+                rag_chain.format_answer_col(
+                    F.lit("(réponse du modèle exclue du moteur)"),
+                    F.expr("transform(srcs, s -> struct(s.line, "
+                           "s.preview))"),
+                    F.lit("0.0"), F.lit("0.0"), F.lit("0.0"),
+                    F.size("srcs")).alias("formatted_answer")))
 
 
 def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4035,6 +4035,230 @@ ORDER BY key
 _def("cache_asof_read", (_cache_fn, _cache_duck_sql()))
 
 
+# -- 47. deterministic RAG context assembly (operators/rag_chain.py ↔
+#        reference chain.py:28-36 + the 'stuff' chain): synthetic
+#        retrieval output (query_id = doc_id % 19, rank by doc_id),
+#        top-k=4 under a 120-token budget, stuff-joined context, prompt
+#        substitution. Hashes only — contexts embed full document text.
+_RAG_K = 4
+_RAG_BUDGET = 120
+
+
+def _ragctx_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ragstudio_spark.operators import rag_chain
+
+    _register(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.col("doc_id") % 19).orderBy("doc_id")
+    hits = spark.table("documents").select(
+        (F.col("doc_id") % 19).alias("query_id"), "text",
+        F.row_number().over(w).alias("rank"))
+    ctx = rag_chain.assemble_context(
+        hits, k=_RAG_K, token_budget=_RAG_BUDGET)
+    question = F.concat(F.lit("question "), F.col("query_id"))
+    return ctx.select(
+        "query_id",
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        F.col("context_tokens").cast("bigint").alias("context_tokens"),
+        F.md5("context").alias("context_hash"),
+        F.md5(rag_chain.rag_prompt(F.col("context"), question))
+        .alias("prompt_hash")).orderBy("query_id")
+
+
+def _ragctx_duck_sql() -> str:
+    from ragstudio_spark.operators.rag_chain import DEFAULT_RAG_PROMPT
+
+    head, _, rest = DEFAULT_RAG_PROMPT.partition("{context}")
+    mid, _, tail = rest.partition("{question}")
+
+    def lit(s: str) -> str:
+        return "e'" + (s.replace("\\", "\\\\").replace("'", "\\'")
+                       .replace("\n", "\\n")) + "'"
+
+    return f"""
+WITH hits AS (
+  SELECT doc_id % 19 AS query_id, text,
+         row_number() OVER (PARTITION BY doc_id % 19
+                            ORDER BY doc_id) AS rank
+  FROM documents
+), topk AS (
+  SELECT * FROM hits WHERE rank <= {_RAG_K}
+), cum AS (
+  SELECT query_id, rank, text,
+         sum(length(text) // 4) OVER (
+           PARTITION BY query_id ORDER BY rank) AS cum_toks
+  FROM topk
+), kept AS (
+  SELECT * FROM cum WHERE rank = 1 OR cum_toks <= {_RAG_BUDGET}
+), ctx AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(length(text) // 4) AS BIGINT) AS context_tokens,
+         string_agg(text, e'\\n\\n' ORDER BY rank) AS context
+  FROM kept GROUP BY query_id
+)
+SELECT query_id, n_sources, context_tokens,
+       md5(context) AS context_hash,
+       md5({lit(head)} || context || {lit(mid)} ||
+           'question ' || CAST(query_id AS VARCHAR) || {lit(tail)})
+       AS prompt_hash
+FROM ctx
+ORDER BY query_id
+"""
+
+
+_def("rag_context_assembly", (_ragctx_fn, _ragctx_duck_sql()))
+
+
+# -- 48. format_answer parity at scale (chain.py:183-228): the full
+#        RÉPONSE/SOURCES/STATISTIQUES block per query over the same
+#        synthetic hits, literal timings, md5 output.
+def _ragfmt_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ragstudio_spark.operators import rag_chain
+
+    _register(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.col("doc_id") % 19).orderBy("doc_id")
+    hits = spark.table("documents").select(
+        (F.col("doc_id") % 19).alias("query_id"), "text",
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("source_name"),
+        (F.col("doc_id") % 7).alias("page"),
+        F.row_number().over(w).alias("rank"))
+    cits = (rag_chain.citations(hits, k=_RAG_K)
+            .groupBy("query_id")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                "rank", "line", "preview"))).alias("srcs")))
+    fmt = rag_chain.format_answer_col(
+        F.concat(F.lit("Réponse pour "), F.col("query_id")),
+        F.expr("transform(srcs, s -> struct(s.line, s.preview))"),
+        F.lit("0.12"), F.lit("0.34"), F.lit("0.46"), F.size("srcs"))
+    return (cits.select("query_id",
+                        F.size("srcs").cast("bigint").alias("num_sources"),
+                        F.md5(fmt).alias("answer_hash"))
+            .orderBy("query_id"))
+
+
+def _ragfmt_duck_sql() -> str:
+    bar = "=" * 80
+    return f"""
+WITH hits AS (
+  SELECT doc_id % 19 AS query_id, text,
+         'doc_' || CAST(doc_id AS VARCHAR) AS source_name,
+         doc_id % 7 AS page,
+         row_number() OVER (PARTITION BY doc_id % 19
+                            ORDER BY doc_id) AS rank
+  FROM documents
+), cit AS (
+  SELECT query_id, rank,
+         '[' || CAST(rank AS VARCHAR) || '] ' || source_name ||
+           ' (page ' || CAST(page AS VARCHAR) || ')' AS line,
+         substr(replace(text, chr(10), ' '), 1, 200) || '...' AS preview
+  FROM hits WHERE rank <= {_RAG_K}
+), src AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS num_sources,
+         string_agg(e'\\n' || line || e'\\n    ' || preview,
+                    e'\\n' ORDER BY rank) AS block
+  FROM cit GROUP BY query_id
+)
+SELECT query_id, num_sources,
+       md5('{bar}' || e'\\n' || 'RÉPONSE' || e'\\n' || '{bar}' || e'\\n'
+           || 'Réponse pour ' || CAST(query_id AS VARCHAR) || e'\\n'
+           || e'\\n'
+           || '{bar}' || e'\\n' || 'SOURCES' || e'\\n' || '{bar}'
+           || e'\\n' || block || e'\\n'
+           || e'\\n' || '{bar}' || e'\\n' || 'STATISTIQUES' || e'\\n'
+           || '{bar}' || e'\\n'
+           || 'Retrieval time: 0.12s' || e'\\n'
+           || 'Generation time: 0.34s' || e'\\n'
+           || 'Total time: 0.46s' || e'\\n'
+           || 'Sources used: ' || CAST(num_sources AS VARCHAR))
+       AS answer_hash
+FROM src
+ORDER BY query_id
+"""
+
+
+_def("rag_answer_format", (_ragfmt_fn, _ragfmt_duck_sql()))
+
+
+# -- 49. multi-query retrieval, rank-fused (rag_extras.multi_query_search
+#        ↔ reference retrievers.py:79-104 + RRF): deduped union of
+#        per-expansion BM25 top-k lists under integer-quantized
+#        reciprocal rank. Same fixed query/expansions as entry 23b.
+def _mq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import rag_extras
+
+    _register(spark, sf_dir, "documents")
+    out = rag_extras.multi_query_search(
+        spark.table("documents"), _EXPANSION_QUERY,
+        rag_extras.QueryExpander(
+            rag_extras.QueryExpansionConfig(strategy="synonyms",
+                                            num_queries=3)),
+        k_per_query=_EXPANSION_K_PER, final_k=_EXPANSION_FINAL_K)
+    return out.select(
+        "doc_id", F.col("n_lists").cast("int").alias("n_lists"),
+        F.col("fused_score").cast("bigint").alias("fused_score"),
+        F.col("rank").cast("bigint").alias("rank"))
+
+
+def _mq_duck_sql() -> str:
+    from ragstudio_spark.operators.rag_extras import RRF_SCALE
+
+    expansions = _expanded_terms()
+
+    def tf(t):
+        return f"len(regexp_extract_all(lower(text), '\\b{t}\\b'))"
+
+    def bm25_cte(i, terms):
+        words = _words_expr("text", "duckdb")
+        tf_cols = ", ".join(f"{tf(t)} AS tf_{j}"
+                            for j, t in enumerate(terms))
+        df_cols = ", ".join(
+            f"sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS df_{j}"
+            for j in range(len(terms)))
+        score = " + ".join(
+            f"(ln((s.n_docs - s.df_{j} + 0.5) / (s.df_{j} + 0.5) + 1) "
+            f"* d.tf_{j} * 2.5 / "
+            f"(d.tf_{j} + 1.5 * (0.25 + 0.75 * d.dl / s.avgdl)))"
+            for j in range(len(terms)))
+        return f"""
+d{i} AS (SELECT doc_id, {tf_cols}, len({words}) AS dl FROM documents),
+s{i} AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {df_cols} FROM d{i}),
+t{i} AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ({score}) DESC, doc_id ASC) AS r
+  FROM d{i} d CROSS JOIN s{i} s
+  ORDER BY ({score}) DESC, doc_id ASC LIMIT {_EXPANSION_K_PER}
+)"""
+
+    ctes = ",".join(bm25_cte(i, terms)
+                    for i, terms in enumerate(expansions))
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM t{i}" for i in range(len(expansions)))
+    return f"""
+WITH {ctes},
+merged AS ({union}),
+fused AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_lists,
+         CAST(sum({RRF_SCALE} // (60 + r)) AS BIGINT) AS fused_score
+  FROM merged GROUP BY doc_id
+)
+SELECT doc_id, n_lists, fused_score,
+       CAST(row_number() OVER (ORDER BY fused_score DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM fused
+ORDER BY fused_score DESC, doc_id ASC
+LIMIT {_EXPANSION_FINAL_K}
+"""
+
+
+_def("rag_multi_query_fused", (_mq_fn, _mq_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

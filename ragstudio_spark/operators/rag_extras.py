@@ -35,7 +35,7 @@ import re
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # reference query_expansion.py:210-219 — verbatim semantics, small table;
 # "in production use WordNet or a custom thesaurus" per the reference
@@ -187,6 +187,60 @@ def expansion_search(docs: DataFrame, query: str,
         dedup.orderBy("expansion_idx", F.asc(id_col)).limit(final_k)
         .select(id_col, "expansion_idx", F.row_number().over(w_all).alias("rank"))
     )
+
+
+#: integer-quantized reciprocal-rank unit: 1e12 div (k + rank). Exact in
+#: bigint, so cross-expansion sums are order-independent and engine-
+#: portable — a float RRF sum can differ by a ulp between engines when
+#: addition order differs, silently flipping tied ranks.
+RRF_SCALE = 1_000_000_000_000
+
+
+def multi_query_search(docs: DataFrame, query: str,
+                       expander: QueryExpander | None = None,
+                       k_per_query: int = 4, final_k: int = 10,
+                       rrf_k: int = 60, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """MultiQueryRetriever semantics (reference retrievers.py:79-104),
+    rank-fused: expand the query, BM25 top-k per expansion, then fuse
+    the lists by reciprocal rank (the EnsembleRetriever treatment the
+    reference applies in its hybrid tier) instead of first-appearance
+    order — a doc surfaced by several reformulations outranks one a
+    single reformulation found. Returns (doc_id, n_lists, fused_score,
+    rank); fused_score is the integer-quantized RRF sum.
+
+    Scale shape: each expansion contributes one distributed top-k
+    (TakeOrderedAndProject) of ≤ k rows; the union, fusion groupBy and
+    final rank all run over ≤ num_queries·k rows — corpus size only
+    enters through the per-expansion scans."""
+    from ragstudio_spark.operators import retrieval
+
+    expander = expander or QueryExpander()
+    merged = None
+    for i, q in enumerate(expander.expand(query)):
+        terms = _query_terms(q)
+        if not terms:
+            continue
+        scores = retrieval.bm25_scores(docs, terms, text_col, id_col)
+        topk = (scores
+                .orderBy(F.desc("bm25_score"), F.asc(id_col))
+                .limit(k_per_query))
+        w = Window.orderBy(F.desc("bm25_score"), F.asc(id_col))
+        ranked = topk.select(
+            F.col(id_col),
+            F.row_number().over(w).alias("_r"))  # ≤ k rows: tiny window
+        merged = ranked if merged is None else merged.unionByName(ranked)
+    if merged is None:
+        raise ValueError("no expandable terms in query")
+    fused = (merged
+             .groupBy(id_col)
+             .agg(F.count("*").cast("int").alias("n_lists"),
+                  F.sum(F.expr(f"{RRF_SCALE} div ({int(rrf_k)} + _r)"))
+                  .cast("bigint").alias("fused_score")))
+    w_all = Window.orderBy(F.desc("fused_score"), F.asc(id_col))
+    return (fused
+            .orderBy(F.desc("fused_score"), F.asc(id_col)).limit(final_k)
+            .withColumn("rank", F.row_number().over(w_all).cast("bigint")))
 
 
 # --- re-ranking --------------------------------------------------------------
