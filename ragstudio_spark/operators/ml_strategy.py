@@ -104,3 +104,103 @@ def with_ml_strategy(df: DataFrame, text_col: str = "text",
         df.withColumn(f"{prefix}strategy", pred)
         .withColumn(f"{prefix}confidence", conf)
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference feature-engineering parity (round 6)
+# ---------------------------------------------------------------------------
+
+#: one-hot vocabularies, reference feature_engineering.py:79-105 — each
+#: list carries an implicit trailing 'other' slot
+LANG_ONEHOT = ("fr", "en", "es")
+TYPE_ONEHOT = ("fiche_technique", "rapport", "article", "document_court")
+
+#: dimension of the structural block: 5 numeric + 3 boolean + (3+1) lang
+#: + (4+1) type
+STRUCTURAL_DIM = 5 + 3 + len(LANG_ONEHOT) + 1 + len(TYPE_ONEHOT) + 1
+
+
+def structural_features(prefix: str = "profile_",
+                        lang_col: str | None = "language") -> Column:
+    """The reference's FULL structural vector
+    (extract_structural_features, feature_engineering.py:51-109) as one
+    array<float> column over with_profile's output: numeric block
+    [length_tokens, length_chars, hierarchy_depth, structure_score,
+    avg_sentence_length], boolean block [has_headings, has_tables,
+    has_lists] as 0/1, then the fr/en/es(+other) and
+    fiche_technique/rapport/article/document_court(+other) one-hots —
+    17 dims, float32 like the reference's np.float32 array. The 8-int
+    classifier features (ml_features) are the decision-rule SUBSET; this
+    is the trainer-facing vector. Missing lang → 'other' (the
+    reference's .get(..., 'unknown') path)."""
+    def one_hot(value: Column, vocab: tuple[str, ...]) -> list[Column]:
+        v = F.lower(F.coalesce(value, F.lit("unknown")))
+        hots = [F.when(v == w, F.lit(1.0)).otherwise(F.lit(0.0))
+                for w in vocab]
+        in_vocab = None
+        for w in vocab:
+            hit = v == w
+            in_vocab = hit if in_vocab is None else (in_vocab | hit)
+        hots.append(F.when(in_vocab, F.lit(0.0)).otherwise(F.lit(1.0)))
+        return hots
+
+    lang = F.col(lang_col) if lang_col else F.lit("unknown")
+    cols = [
+        F.col(f"{prefix}length_tokens"),
+        F.col(f"{prefix}length_chars"),
+        F.col(f"{prefix}hierarchy_depth"),
+        F.col(f"{prefix}structure_score"),
+        F.col(f"{prefix}avg_sentence_length"),
+        F.col(f"{prefix}has_headings").cast("int"),
+        F.col(f"{prefix}has_tables").cast("int"),
+        F.col(f"{prefix}has_lists").cast("int"),
+        *one_hot(lang, LANG_ONEHOT),
+        *one_hot(F.col(f"{prefix}type"), TYPE_ONEHOT),
+    ]
+    return F.array(*[c.cast("float") for c in cols])
+
+
+def combine_features(embedding: Column, structural: Column) -> Column:
+    """combine_features (feature_engineering.py:10-48): embedding block
+    ++ structural block. The real sentence-transformers embedding is
+    container-blocked (SURVEY §7.2); compose with
+    vectorstore.fake_embedding_col for a deterministic stand-in — the
+    concat semantics are what this ports."""
+    return F.concat(embedding, structural)
+
+
+def fit_standardizer(df: DataFrame,
+                     features_col: str) -> tuple[list[float], list[float]]:
+    """StandardScaler.fit over an array<float> column
+    (normalize_features, feature_engineering.py:112-140): per-dimension
+    population mean and std (ddof=0); zero-variance dimensions scale by
+    1.0 (sklearn's _handle_zeros_in_scale), so constant features pass
+    through centered. One posexplode + per-position aggregate — the
+    collect is DIM rows, never data-sized."""
+    agg = (df.select(F.posexplode(features_col).alias("pos", "x"))
+           .groupBy("pos")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.sum((F.col("x") * F.col("x")).cast("double"))
+                .alias("ss"))
+           .orderBy("pos").collect())
+    means, scales = [], []
+    for r in agg:
+        mean = r["s"] / r["n"]
+        var = max(r["ss"] / r["n"] - mean * mean, 0.0)
+        std = var ** 0.5
+        means.append(mean)
+        scales.append(std if std > 0.0 else 1.0)
+    return means, scales
+
+
+def standardize(features: Column, means: list[float],
+                scales: list[float]) -> Column:
+    """Apply a fitted standardizer: (x - mean) / scale per dimension.
+    Two zip_withs over literal model arrays — no UDF, nothing broadcast
+    (the model rides the plan)."""
+    m = F.array(*[F.lit(float(v)) for v in means])
+    s = F.array(*[F.lit(float(v)) for v in scales])
+    centered = F.zip_with(features.cast("array<double>"), m,
+                          lambda x, mu: x - mu)
+    return F.zip_with(centered, s, lambda x, sc: x / sc)
