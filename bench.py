@@ -51,11 +51,34 @@ def _host_calibration(cpus: int) -> dict:
     return out
 
 
+def _idle_check(cpus: int) -> tuple[dict, list[str]]:
+    """Non-idle-start detection (r5 VERDICT What's-wrong #1: the md5
+    probe measures host CPU, not JVM/Python-fleet state, so a bench run
+    started right after a test suite can record a contaminated headline
+    with a CLEAN calibration). Load average is the cheap signal for
+    recently-active processes — near 0 on an idle box, multi-unit for
+    minutes after a 400-test suite."""
+    load1, load5, _ = os.getloadavg()
+    stats = {"load_avg_1m_start": round(load1, 2),
+             "load_avg_5m_start": round(load5, 2)}
+    flags = []
+    if load1 > 2.0:
+        flags.append(f"high_load_at_start:{load1:.1f}")
+    if load5 > max(2.0, load1 * 1.5):
+        flags.append(f"recent_activity_5m:{load5:.1f}")
+    return stats, flags
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    idle_stats, contention_flags = _idle_check(cpus)
+    if contention_flags:
+        print(f"WARNING: non-idle start detected ({contention_flags}) — "
+              "the committed record should come from an idle box",
+              file=sys.stderr)
     host_calibration = _host_calibration(cpus)
 
     from ragstudio_spark import entry_queries
@@ -153,8 +176,22 @@ def main() -> None:
                  "ann_ivfpq_residual_topk", "curate_sft",
                  "conversation_lint", "truncate_history",
                  "quality_model_scores", "lm_familiarity", "semantic_dedup",
-                 "mixture_plan", "ann_recall_report", "curate_sft_report"):
+                 "mixture_plan", "ann_recall_report", "curate_sft_report",
+                 # round-6 operators
+                 "cache_asof_read", "rag_context_assembly",
+                 "rag_answer_format", "rag_multi_query_fused"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    # post-run serial probe: drift vs the pre-run probe means the host's
+    # deliverable CPU shifted DURING the bench — annotate so the next
+    # round's diff doesn't read the shift as a regression
+    t0 = time.time()
+    _md5_unit(0)
+    post_serial = round(time.time() - t0, 3)
+    pre_serial = host_calibration["md5_unit_serial_sec"]
+    if pre_serial > 0 and not 0.85 <= post_serial / pre_serial <= 1.18:
+        contention_flags.append(
+            f"calibration_drift:{pre_serial}->{post_serial}")
 
     total = round(sum(timings.values()), 3)
     # round-over-round comparability: the battery grew in r2, so the suite
@@ -176,6 +213,9 @@ def main() -> None:
         "turns_per_sec": round(n_turns / pipeline_sec, 1),
         "cpus": cpus,
         "host_calibration": host_calibration,
+        "host_calibration_post_serial_sec": post_serial,
+        "idle_stats": idle_stats,
+        "contention_flags": contention_flags,
     }))
     spark.stop()
 

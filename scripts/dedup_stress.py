@@ -42,12 +42,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _cache_put_lookup(spark, d):
+    """Round-6 surface: bulk-put the whole corpus into a fresh cache
+    store, then bulk-lookup a FIXED 1,000-key query set. At 10× the
+    event log carries 10× keys; the lookup's resolve aggregate must
+    grow ~linearly while the join output stays fixed (the hit-path
+    cost a retrieval deployment pays per batch)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.pipeline import cache as pqcache
+
+    path = os.path.join(tempfile.mkdtemp(prefix="stress_cache_"), "store")
+    pqcache.put_df(d, path, "chunk",
+                   pqcache.bulk_key_col("chunk", "doc_id"),
+                   F.md5("text"), ttl=3600, now=100)
+    queries = spark.range(1000).select(F.col("id").alias("doc_id"))
+    return (pqcache.lookup_df(
+        queries, path, "chunk",
+        pqcache.bulk_key_col("chunk", "doc_id"), now=200)
+        .filter(F.col("cached_value").isNotNull()).count())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from pyspark.sql import Window, functions as F
 
-    from ragstudio_spark.operators import dedupe, lm_filter, sft
+    from ragstudio_spark.operators import dedupe, lm_filter, rag_chain, sft
     from ragstudio_spark.session import get_spark
 
     spark = get_spark("dedup-stress", master="local[32]", shuffle_partitions=64)
@@ -123,6 +146,12 @@ def main() -> None:
             d, ref_bigrams).count(),
         "semantic_dedup": lambda d: dedupe.semantic_dedup(
             vectors_of(d), planes, threshold=0.25).count(),
+        "cache_put_lookup": lambda d: _cache_put_lookup(spark, d),
+        "rag_context_k4": lambda d: rag_chain.assemble_context(
+            d.withColumn("query_id", F.col("doc_id") % 2000)
+             .withColumn("rank", F.row_number().over(
+                 Window.partitionBy("query_id").orderBy("doc_id"))),
+            k=4, token_budget=512).count(),
     }
     only = set(sys.argv[1:])
     if only:
