@@ -4259,6 +4259,97 @@ LIMIT {_EXPANSION_FINAL_K}
 _def("rag_multi_query_fused", (_mq_fn, _mq_duck_sql()))
 
 
+# -- 50. contextual-compression retrieval (rag_extras.compression_retrieve
+#        ↔ reference retrievers.py:105-143): greedy EmbeddingsRedundant-
+#        Filter then EmbeddingsFilter over a deterministic candidate set
+#        (queries = vec 0..3, candidates = vec_id % 4, rank by vec_id).
+#        The twin replays the greedy walk as a recursive CTE over ranks;
+#        cosines use the shared order-fixed fold in both engines.
+#        Thresholds are tuned to the synthetic embeddings' CENTERED
+#        cosine distribution (pairs: avg≈0, p90≈0.16, max≈0.40) so BOTH
+#        filters fire; the operator's defaults stay reference-faithful.
+_CMP_SIM = 0.05
+_CMP_RED = 0.25
+
+
+def _compress_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ragstudio_spark.operators import rag_extras
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries_df = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"))
+    w = Window.partitionBy(F.col("vec_id") % 4).orderBy("vec_id")
+    cands = (emb.filter("vec_id >= 4 AND vec_id < 200")
+             .select((F.col("vec_id") % 4).alias("query_id"),
+                     F.col("vec_id").alias("doc_id"), "embedding",
+                     F.row_number().over(w).alias("rank"))
+             .join(queries_df, on="query_id"))
+    return (rag_extras.compression_retrieve(
+        cands, sim_threshold=_CMP_SIM, redundancy_threshold=_CMP_RED)
+        .orderBy("query_id", "rank"))
+
+
+def _compress_duck_sql() -> str:
+    def cos(a, b):
+        return (f"({_dot_duck(a, b)}) / "
+                f"(sqrt({_dot_duck(a, a)}) * sqrt({_dot_duck(b, b)}))")
+
+    return f"""
+WITH RECURSIVE cand AS (
+  SELECT e.vec_id % 4 AS query_id, e.vec_id AS doc_id,
+         e.embedding AS emb, q.embedding AS qemb,
+         row_number() OVER (PARTITION BY e.vec_id % 4
+                            ORDER BY e.vec_id) AS rank
+  FROM embeddings e JOIN embeddings q ON q.vec_id = e.vec_id % 4
+  WHERE e.vec_id >= 4 AND e.vec_id < 200
+), scored AS (
+  SELECT query_id, doc_id, rank, emb,
+         {cos('emb', 'qemb')} AS qsim
+  FROM cand
+), pairs AS (
+  SELECT a.query_id, a.rank AS r_hi, b.rank AS r_lo,
+         {cos('a.emb', 'b.emb')} AS cs
+  FROM scored a JOIN scored b
+    ON a.query_id = b.query_id AND b.rank < a.rank
+), maxr AS (
+  SELECT query_id, max(rank) AS mr FROM scored GROUP BY query_id
+), sel AS (
+  SELECT query_id, CAST(1 AS BIGINT) AS step,
+         [CAST(1 AS BIGINT)] AS kept
+  FROM scored WHERE rank = 1
+  UNION ALL
+  SELECT s.query_id, s.step + 1,
+         CASE WHEN EXISTS (
+                SELECT 1 FROM pairs p
+                WHERE p.query_id = s.query_id AND p.r_hi = s.step + 1
+                  AND list_contains(s.kept, p.r_lo)
+                  AND p.cs > {_CMP_RED})
+              THEN s.kept
+              ELSE list_append(s.kept, s.step + 1) END
+  FROM sel s JOIN maxr m ON m.query_id = s.query_id
+  WHERE s.step < m.mr
+), final AS (
+  SELECT s.query_id, s.kept
+  FROM sel s JOIN maxr m ON m.query_id = s.query_id AND s.step = m.mr
+)
+SELECT c.query_id, c.doc_id,
+       CAST(row_number() OVER (PARTITION BY c.query_id
+                               ORDER BY c.rank) AS BIGINT) AS rank
+FROM scored c
+JOIN final f ON c.query_id = f.query_id
+            AND list_contains(f.kept, c.rank)
+WHERE c.qsim >= {_CMP_SIM}
+ORDER BY c.query_id, rank
+"""
+
+
+_def("rag_compression_retrieve", (_compress_fn, _compress_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -243,6 +243,77 @@ def multi_query_search(docs: DataFrame, query: str,
             .withColumn("rank", F.row_number().over(w_all).cast("bigint")))
 
 
+def compression_retrieve(candidates: DataFrame,
+                         sim_threshold: float = 0.5,
+                         redundancy_threshold: float = 0.95,
+                         query_col: str = "query_id",
+                         rank_col: str = "rank", id_col: str = "doc_id",
+                         vec_col: str = "embedding",
+                         query_vec_col: str = "query_embedding"
+                         ) -> DataFrame:
+    """The reference's 'compression' retrieval strategy
+    (get_contextual_compression_retriever, retrievers.py:105-143):
+    a DocumentCompressorPipeline of EmbeddingsRedundantFilter (greedy —
+    walk candidates in rank order, drop any whose cosine to an
+    already-KEPT candidate exceeds ``redundancy_threshold``) then
+    EmbeddingsFilter (keep cosine(query, doc) ≥ ``sim_threshold``), in
+    that order — redundancy comparisons run among ALL candidates,
+    including ones the similarity filter later drops, exactly like the
+    langchain pipeline.
+
+    ``candidates`` carries per-row (query_id, rank, doc_id, embedding,
+    query_embedding). Returns (query_id, doc_id, similarity rank-order
+    preserved as ``rank``). Scale shape: everything after the one
+    groupBy is a per-query fold over a k-bounded hit list — the greedy
+    chain is sequential by nature, but k is the retriever's top-k, so
+    the aggregate state is O(k·dim), never corpus-sized."""
+    qsim = F.expr(
+        f"aggregate(zip_with(CAST({vec_col} AS array<double>), "
+        f"CAST({query_vec_col} AS array<double>), (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)")
+    nrm = F.expr(
+        f"sqrt(aggregate(zip_with(CAST({vec_col} AS array<double>), "
+        f"CAST({vec_col} AS array<double>), (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v))")
+    qnrm = F.expr(
+        f"sqrt(aggregate(zip_with(CAST({query_vec_col} AS array<double>), "
+        f"CAST({query_vec_col} AS array<double>), (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v))")
+    hl = (candidates
+          .select(query_col,
+                  F.struct(
+                      F.col(rank_col).cast("bigint").alias("rank"),
+                      F.col(id_col).cast("bigint").alias("doc_id"),
+                      F.col(vec_col).cast("array<double>").alias("emb"),
+                      nrm.alias("nrm"),
+                      (qsim / (nrm * qnrm)).alias("qsim")).alias("c"))
+          .groupBy(query_col)
+          .agg(F.array_sort(F.collect_list("c")).alias("hl")))
+    # greedy leader walk: one fold whose accumulator is the kept list
+    kept = F.expr(f"""
+        aggregate(
+          hl,
+          CAST(array() AS array<struct<rank:bigint, doc_id:bigint,
+               emb:array<double>, nrm:double, qsim:double>>),
+          (acc, c) -> IF(
+            exists(acc, k ->
+              aggregate(zip_with(k.emb, c.emb, (x, y) -> x * y),
+                        cast(0.0 as double), (s, v) -> s + v)
+                / (k.nrm * c.nrm) > {float(redundancy_threshold)}),
+            acc, array_append(acc, c)),
+          acc -> acc)
+    """)
+    w = Window.partitionBy(query_col).orderBy("orig_rank")
+    return (hl.withColumn("_k", kept)
+            .select(query_col, F.explode("_k").alias("c"))
+            .select(query_col, F.col("c.doc_id").alias("doc_id"),
+                    F.col("c.rank").alias("orig_rank"),
+                    F.col("c.qsim").alias("qsim"))
+            .filter(F.col("qsim") >= float(sim_threshold))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .drop("qsim", "orig_rank"))
+
+
 # --- re-ranking --------------------------------------------------------------
 
 @dataclass

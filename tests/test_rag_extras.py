@@ -121,3 +121,64 @@ class TestReranker:
     def test_cross_encoder_unavailable_raises(self):
         with pytest.raises(ImportError, match="sentence-transformers"):
             rag_extras.load_cross_encoder()
+
+
+class TestCompressionRetrieve:
+    """The 'compression' strategy (reference retrievers.py:105-143):
+    EmbeddingsRedundantFilter (greedy, 0.95) then EmbeddingsFilter —
+    ground truth below is a hand-computed greedy walk (the non-twin
+    check)."""
+
+    def _cands(self, spark):
+        q = [1.0, 0.0]
+        rows = [
+            (1, 1, 11, [1.0, 0.0], q),       # qsim 1.0
+            (1, 2, 12, [0.99, 0.14], q),     # cos(c1)=0.990 → redundant
+            (1, 3, 13, [0.0, 1.0], q),       # kept by redundancy, qsim 0
+            (1, 4, 14, [0.7, 0.7], q),       # cos≈0.707 to both → kept
+            (2, 1, 21, [0.6, 0.8], [0.0, 1.0]),  # qsim 0.8
+        ]
+        return spark.createDataFrame(
+            rows, "query_id int, rank int, doc_id int, "
+            "embedding array<double>, query_embedding array<double>")
+
+    def test_hand_computed_greedy_pipeline(self, spark):
+        from ragstudio_spark.operators import rag_extras
+
+        out = rag_extras.compression_retrieve(
+            self._cands(spark), sim_threshold=0.4)
+        got = {(r["query_id"], r["doc_id"]): r["rank"]
+               for r in out.collect()}
+        # q1: 12 dropped as redundant with 11; 13 survives redundancy
+        # but fails the similarity filter; 14 survives both
+        assert got == {(1, 11): 1, (1, 14): 2, (2, 21): 1}
+
+    def test_redundancy_compares_against_kept_not_dropped(self, spark):
+        """A candidate near-dup of a DROPPED (not kept) candidate must
+        survive — the greedy filter compares to the kept set only."""
+        from ragstudio_spark.operators import rag_extras
+
+        q = [1.0, 0.0]
+        rows = [
+            (1, 1, 11, [1.0, 0.0], q),
+            (1, 2, 12, [0.99, 0.141], q),    # redundant with 11 → drop
+            # near-dup of 12 (cos(12,13)≈0.9997 > .95) but cos(11,13)
+            # = .985... make it farther from 11: rotate more
+            (1, 3, 13, [0.93, 0.368], q),    # cos(11)=0.930 ≤ .95 keep
+        ]
+        out = rag_extras.compression_retrieve(
+            spark.createDataFrame(
+                rows, "query_id int, rank int, doc_id int, "
+                "embedding array<double>, query_embedding array<double>"),
+            sim_threshold=0.0)
+        assert [r["doc_id"] for r in out.orderBy("rank").collect()] \
+            == [11, 13]
+
+    def test_rank_order_preserved_after_filtering(self, spark):
+        from ragstudio_spark.operators import rag_extras
+
+        out = rag_extras.compression_retrieve(
+            self._cands(spark), sim_threshold=0.0).orderBy(
+                "query_id", "rank")
+        q1 = [r["doc_id"] for r in out.collect() if r["query_id"] == 1]
+        assert q1 == [11, 13, 14]            # original rank order
