@@ -505,6 +505,50 @@ def ivfpq_stream_ingest(
     return writer.start()
 
 
+#: streamed cache-ingest input: a keyed value with its event timestamp
+CACHE_INGEST_SCHEMA = "doc_id bigint, text string, ts bigint"
+
+
+def cache_stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    prefix: str = "chunk",
+    ttl: int = 3600,
+    trigger_available_now: bool = True,
+):
+    """Streaming ingestion into the parquet cache (pipeline/cache.py):
+    each micro-batch bulk-upserts its rows as 'set' events keyed by
+    doc_id, stamped with the row's OWN event ts (event-time leases, not
+    arrival time — replays produce identical logs).
+
+    Exactness story, stronger than the other sinks': the store is an
+    append-only EVENT LOG and resolution is max(struct) per key, so an
+    at-least-once crash retry that re-appends byte-identical event rows
+    changes NOTHING a reader sees — cache resolution is idempotent
+    under duplicated events (tested), and vacuum later collapses the
+    physical duplicates. No dedup contract is pushed onto readers."""
+    from ragstudio_spark.pipeline import cache
+
+    stream = (
+        spark.readStream.schema(CACHE_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        cache.put_df(batch_df, store_dir, prefix,
+                     cache.bulk_key_col(prefix, "doc_id"),
+                     F.col("text"), ttl=ttl, now=F.col("ts"))
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_chunk_counts(
     stream_df: DataFrame,
     window: str = "1 minute",

@@ -181,3 +181,44 @@ class TestPlanShapes:
                                     k=3, nprobe=1, m=2)
         assert out.count() > 0
         assert "dynamicpruning" in _plan(out).lower()
+
+    def test_cache_resolve_partial_aggregates_without_window(
+            self, spark, tmp_path):
+        """The cache's latest-per-key resolution must stay a
+        partial-aggregable max(struct) groupBy — never a row_number
+        window (no map-side combine) — and a prefix-scoped read must
+        push the prefix into the partitioned scan so only that prefix's
+        directories are read."""
+        from ragstudio_spark.pipeline import cache
+
+        path = str(tmp_path / "store")
+        docs = spark.range(64).select(F.col("id").alias("doc_id"))
+        for pfx in ("chunk", "search"):
+            cache.put_df(docs, path, pfx,
+                         cache.bulk_key_col(pfx, "doc_id"),
+                         F.col("doc_id").cast("string"), ttl=100, now=10)
+        live = cache.resolve(spark, path, now=50, prefix="chunk")
+        plan = _plan(live)
+        assert "Window" not in plan
+        # partial + final aggregate pair (map-side combine applies)
+        assert plan.lower().count("hashaggregate") >= 2
+        # the prefix filter reaches the scan as a partition filter
+        assert "PartitionFilters: [isnotnull(prefix" in plan \
+            or "prefix#" in plan.split("PartitionFilters")[1][:200]
+        assert live.count() == 64
+
+    def test_cache_put_df_is_a_narrow_append(self, spark, tmp_path):
+        """Writes never read, never shuffle: the put plan is scan →
+        project → write (an Exchange in the put path would serialize
+        ingest at scale)."""
+        from ragstudio_spark.pipeline import cache
+
+        docs = spark.range(64).select(F.col("id").alias("doc_id"))
+        put_plan = _plan(docs.select(
+            cache.bulk_key_col("chunk", "doc_id").alias("key"),
+            F.lit("chunk").alias("prefix"),
+            F.col("doc_id").cast("string").alias("value"),
+            F.lit(10).cast("bigint").alias("ts"),
+            F.lit(100).cast("bigint").alias("ttl"),
+            F.lit("set").alias("op")))
+        assert "Exchange" not in put_plan

@@ -257,3 +257,55 @@ class TestCurationStream:
         batch_flags = {r["corpus_id"] for r in dedupe.ngram_decontaminate(
             _df(spark, batch), _df(spark, [(100, GOOD)])).collect()}
         assert {i for i, c in got.items() if c} == batch_flags
+
+
+class TestCacheStreamIngest:
+    def test_streamed_store_equals_batch_and_dup_retry_is_invisible(
+            self, spark, tmp_path):
+        """Two micro-batches into the cache event log: resolution must
+        equal a one-shot batch put over the full input; restart must
+        not change reads; and a simulated crash-retry (the same batch
+        appended AGAIN) must leave resolution untouched — the
+        append-only + max(struct) design makes at-least-once exact for
+        readers (no reader-side dedup contract)."""
+        from ragstudio_spark.pipeline import cache
+
+        rows = [(i, f"text {i}", 10 + i % 7) for i in range(30)]
+        inp = str(tmp_path / "in")
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        b1, b2 = rows[:12], rows[12:]
+        spark.createDataFrame(b1, stream_jobs.CACHE_INGEST_SCHEMA) \
+            .write.parquet(inp)
+        q = stream_jobs.cache_stream_ingest(spark, inp, store, ckpt,
+                                            ttl=100)
+        q.awaitTermination(120)
+        spark.createDataFrame(b2, stream_jobs.CACHE_INGEST_SCHEMA) \
+            .write.mode("append").parquet(inp)
+        q = stream_jobs.cache_stream_ingest(spark, inp, store, ckpt,
+                                            ttl=100)
+        q.awaitTermination(120)
+
+        from pyspark.sql import functions as F
+
+        batch_store = str(tmp_path / "batch_store")
+        full = spark.createDataFrame(rows, stream_jobs.CACHE_INGEST_SCHEMA)
+        cache.put_df(full, batch_store, "chunk",
+                     cache.bulk_key_col("chunk", "doc_id"),
+                     F.col("text"), ttl=100, now=F.col("ts"))
+        resolve_set = lambda p: sorted(  # noqa: E731
+            (r["key"], r["value"], r["ts"])
+            for r in cache.resolve(spark, p, now=50).collect())
+        assert resolve_set(store) == resolve_set(batch_store)
+        assert len(resolve_set(store)) == 30
+
+        # crash-retry: re-append batch 2's events verbatim → unchanged
+        before = resolve_set(store)
+        cache.put_df(
+            spark.createDataFrame(b2, stream_jobs.CACHE_INGEST_SCHEMA),
+            store, "chunk", cache.bulk_key_col("chunk", "doc_id"),
+            F.col("text"), ttl=100, now=F.col("ts"))
+        assert resolve_set(store) == before
+        # vacuum collapses the physical duplicates without changing reads
+        cache.vacuum(spark, store, now=50)
+        assert resolve_set(store) == before
