@@ -3969,21 +3969,29 @@ def _cache_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     path = os.path.join(tempfile.mkdtemp(prefix="rs_cache_oracle_"),
                         "store")
-    kc = cache.bulk_key_col("chunk", "doc_id")
-    ka = cache.bulk_key_col("aux", "doc_id")
-    cache.put_df(docs, path, "chunk", kc, F.md5("text"),
-                 ttl=60, now=F.col("doc_id") % 97)
-    cache.put_df(docs.filter("doc_id % 5 = 0"), path, "chunk", kc,
-                 F.md5(F.concat(F.col("text"), F.lit("v2"))),
-                 ttl=60, now=F.col("doc_id") % 97 + 40)
-    cache.delete_df(docs.filter("doc_id % 11 = 0"), path, "chunk", kc,
-                    now=120)
-    cache.put_df(docs.filter("doc_id < 50"), path, "aux", ka,
-                 F.md5("text"), ttl=60, now=10)
+    # all four set families land in ONE multi-prefix append (per-row
+    # prefix/ts columns) — the event replay is oracle setup, and six
+    # sequential write jobs dominated the query's bench cost (r6)
+    sets = (docs.select(F.lit("chunk").alias("prefix"), "doc_id",
+                        F.md5("text").alias("value"),
+                        (F.col("doc_id") % 97).alias("ts"))
+            .unionByName(docs.filter("doc_id % 5 = 0").select(
+                F.lit("chunk").alias("prefix"), "doc_id",
+                F.md5(F.concat(F.col("text"), F.lit("v2"))).alias("value"),
+                (F.col("doc_id") % 97 + 40).alias("ts")))
+            .unionByName(docs.filter("doc_id < 50").select(
+                F.lit("aux").alias("prefix"), "doc_id",
+                F.md5("text").alias("value"), F.lit(10).alias("ts")))
+            .unionByName(docs.filter("doc_id < 10").select(
+                F.lit("aux").alias("prefix"), "doc_id",
+                F.md5(F.concat(F.col("text"), F.lit("r"))).alias("value"),
+                F.lit(35).alias("ts"))))
+    cache.put_df(sets, path, F.col("prefix"),
+                 cache.bulk_key_col(F.col("prefix"), "doc_id"),
+                 F.col("value"), ttl=60, now=F.col("ts"))
+    cache.delete_df(docs.filter("doc_id % 11 = 0"), path, "chunk",
+                    cache.bulk_key_col("chunk", "doc_id"), now=120)
     cache.clear_prefix_mark(spark, path, "aux", now=30)
-    cache.put_df(docs.filter("doc_id < 10"), path, "aux", ka,
-                 F.md5(F.concat(F.col("text"), F.lit("r"))),
-                 ttl=60, now=35)
     return (cache.resolve(spark, path, now=90)
             .select("key", "value", "ts").orderBy("key"))
 

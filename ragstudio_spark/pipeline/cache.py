@@ -76,15 +76,21 @@ def make_key(prefix: str, *args, **kwargs) -> str:
     return f"{_NS}:{prefix}:{key_hash}"
 
 
-def bulk_key_col(prefix: str, *cols: Column | str) -> Column:
+def _prefix_col(prefix: str | Column) -> Column:
+    return F.lit(prefix) if isinstance(prefix, str) else prefix
+
+
+def bulk_key_col(prefix: str | Column, *cols: Column | str) -> Column:
     """Column-expressible cache key for the bulk path: md5 over the
     unit-separator-joined (chr 31 — cannot appear in the key fields)
     string forms of ``cols``, prefixed like make_key. The DuckDB twin is
-    ``'rs:p:' || md5(concat_ws(chr(31), 'p', cols...))``."""
-    parts = [F.lit(prefix)] + [
+    ``'rs:p:' || md5(concat_ws(chr(31), 'p', cols...))``. ``prefix``
+    may be a per-row Column (multi-prefix bulk ingest in ONE append)."""
+    p = _prefix_col(prefix)
+    parts = [p] + [
         F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
         for c in cols]
-    return F.concat(F.lit(f"{_NS}:{prefix}:"),
+    return F.concat(F.lit(f"{_NS}:"), p, F.lit(":"),
                     F.md5(F.concat_ws("\x1f", *parts)))
 
 
@@ -99,21 +105,23 @@ def _stamp(v: int | Column) -> Column:
     return (v if isinstance(v, Column) else F.lit(int(v))).cast("bigint")
 
 
-def put_df(df: DataFrame, path: str, prefix: str, key: Column,
+def put_df(df: DataFrame, path: str, prefix: str | Column, key: Column,
            value: Column, ttl: int | Column, now: int | Column) -> None:
-    """Bulk upsert: one narrow append, no reads, no shuffle."""
-    (df.select(key.alias("key"), F.lit(prefix).alias("prefix"),
+    """Bulk upsert: one narrow append, no reads, no shuffle. ``prefix``
+    may be a per-row Column — several prefixes land in one append, each
+    under its own partition directory."""
+    (df.select(key.alias("key"), _prefix_col(prefix).alias("prefix"),
                value.cast("string").alias("value"),
                _stamp(now).alias("ts"), _stamp(ttl).alias("ttl"),
                F.lit("set").alias("op"))
      .write.partitionBy("prefix").mode("append").parquet(path))
 
 
-def delete_df(df: DataFrame, path: str, prefix: str, key: Column,
+def delete_df(df: DataFrame, path: str, prefix: str | Column, key: Column,
               now: int | Column) -> None:
     """Bulk tombstones — the scale form of ``delete`` (one narrow
     append, like put_df)."""
-    (df.select(key.alias("key"), F.lit(prefix).alias("prefix"),
+    (df.select(key.alias("key"), _prefix_col(prefix).alias("prefix"),
                F.lit(None).cast("string").alias("value"),
                _stamp(now).alias("ts"),
                F.lit(0).cast("bigint").alias("ttl"),
