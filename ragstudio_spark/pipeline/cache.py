@@ -33,9 +33,9 @@ Scale shape (the 100-TB story):
   writes never read, never lock, never shuffle; a put of 10^9 rows is
   one narrow append. Partition pruning serves per-prefix reads.
 * resolution (latest-event-per-key + TTL) is ONE partial-aggregable
-  ``max(struct(ts, op_rank, value))`` groupBy — no window, so map-side
-  combine applies before the shuffle; prefix-clear marks are a tiny
-  side aggregate joined broadcast.
+  ``max(struct(ts, op_rank, ttl, value))`` groupBy — no window, so
+  map-side combine applies before the shuffle; prefix-clear marks are
+  a tiny side aggregate joined broadcast.
 * ``vacuum`` folds the log back to its live state through
   maintenance.swap_in — same crash contract, same single-writer rule
   (on a real deployment both are one Iceberg rewrite commit).

@@ -61,13 +61,31 @@ def main() -> None:
                    choices=("pandas", "arrow"),
                    help="Arrow-boundary impl for the fused hop "
                         "(measured-equal; pandas is the default)")
+    p.add_argument("--no-guard", action="store_true",
+                   help="skip the batch-ingestion guard gate (reference "
+                        "security.py tier: path/symlink/size/batch caps "
+                        "+ output disk-space check; limits via "
+                        "RAGSTUDIO_* env vars)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
 
+    from ragstudio_spark.pipeline import guards
     from ragstudio_spark.pipeline.config import resolve_config
     from ragstudio_spark.pipeline.lineage import run_with_lineage
     from ragstudio_spark.sources import transcripts as tsrc
+
+    if not args.no_guard:
+        from pathlib import Path
+
+        sec = guards.SecurityConfig.load_from_env()
+        guards.validate_disk_space(Path(args.output), sec)
+        if args.input:
+            files = sorted(Path(args.input).rglob("*.parquet"))
+            _, warns = guards.validate_batch_comprehensive(
+                Path(args.input), files, sec)
+            for w in warns:
+                print(f"guard warning: {w}", file=sys.stderr)
 
     spark = SparkSession.builder.appName("ragstudio-extract-chunk").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

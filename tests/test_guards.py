@@ -1,0 +1,141 @@
+"""Batch-ingestion guards (pipeline/guards.py) vs the reference CLI
+security tier (security.py:31-693): traversal/symlink/pattern/size/
+batch caps driver-side, and the distributed listing guard."""
+
+import os
+
+import pytest
+
+from ragstudio_spark.pipeline import guards
+
+
+class TestDriverValidators:
+    def test_path_traversal_blocked(self, tmp_path):
+        inside = tmp_path / "doc.txt"
+        inside.write_text("x")
+        assert guards.validate_path_safe(tmp_path, inside) == inside
+        with pytest.raises(ValueError, match="outside allowed"):
+            guards.validate_path_safe(tmp_path / "sub",
+                                      tmp_path / "doc.txt")
+        with pytest.raises(ValueError, match="outside allowed"):
+            guards.validate_path_safe(
+                tmp_path, tmp_path / ".." / "etc" / "passwd")
+
+    def test_symlinks_rejected_unless_allowed(self, tmp_path):
+        real = tmp_path / "real.txt"
+        real.write_text("x")
+        link = tmp_path / "link.txt"
+        link.symlink_to(real)
+        with pytest.raises(ValueError, match="Symlinks"):
+            guards.validate_no_symlinks(link)
+        cfg = guards.SecurityConfig(allow_symlinks=True)
+        assert guards.validate_no_symlinks(link, cfg) == link
+        assert guards.validate_no_symlinks(real) == real
+
+    def test_pattern_safety(self):
+        assert guards.validate_pattern_safe("docs/**/*.pdf")
+        with pytest.raises(ValueError, match="Absolute"):
+            guards.validate_pattern_safe("/etc/*.conf")
+        with pytest.raises(ValueError, match="traversal"):
+            guards.validate_pattern_safe("../secrets/*.txt")
+        cfg = guards.SecurityConfig(allow_parent_traversal=True,
+                                    allow_absolute_patterns=True)
+        assert guards.validate_pattern_safe("/abs/*.txt", cfg)
+        assert guards.validate_pattern_safe("../up/*.txt", cfg)
+
+    def test_size_and_batch_caps(self, tmp_path):
+        small = tmp_path / "small.bin"
+        small.write_bytes(b"x" * 1024)
+        big = tmp_path / "big.bin"
+        big.write_bytes(b"x" * (2 * 1024 * 1024))
+        cfg = guards.SecurityConfig(max_file_size_mb=1,
+                                    max_batch_files=2,
+                                    max_total_size_mb=1)
+        assert guards.validate_file_size(small, cfg) == small
+        with pytest.raises(ValueError, match="too large"):
+            guards.validate_file_size(big, cfg)
+        with pytest.raises(ValueError, match="Batch too large"):
+            guards.validate_batch_size([small] * 3, cfg)
+        with pytest.raises(ValueError, match="total size"):
+            guards.validate_total_size([big], cfg)
+
+    def test_comprehensive_gate_order_and_warnings(self, tmp_path):
+        f1 = tmp_path / "a.txt"
+        f1.write_bytes(b"x" * 600 * 1024)        # 0.6 MB
+        f2 = tmp_path / "b.txt"
+        f2.write_bytes(b"y" * 1024)
+        cfg = guards.SecurityConfig(max_file_size_mb=1,
+                                    warn_file_size_mb=0,
+                                    max_batch_files=10,
+                                    warn_batch_files=1,
+                                    max_total_size_mb=10)
+        files, warnings = guards.validate_batch_comprehensive(
+            tmp_path, [f1, f2], cfg)
+        assert files == [f1, f2]
+        assert any("large batch" in w for w in warnings)
+        assert sum("large file" in w for w in warnings) == 2
+
+    def test_env_loading_with_ragstudio_prefix(self, monkeypatch):
+        monkeypatch.setenv("RAGSTUDIO_MAX_FILE_SIZE_MB", "7")
+        monkeypatch.setenv("RAGSTUDIO_ALLOW_SYMLINKS", "true")
+        cfg = guards.SecurityConfig.load_from_env()
+        assert cfg.max_file_size_mb == 7
+        assert cfg.allow_symlinks is True
+        assert cfg.max_batch_files == 10000       # default preserved
+
+    def test_disk_space_guard(self, tmp_path):
+        assert guards.validate_disk_space(
+            tmp_path, guards.SecurityConfig(require_disk_space_mb=1))
+        with pytest.raises(ValueError, match="disk space"):
+            guards.validate_disk_space(
+                tmp_path,
+                guards.SecurityConfig(require_disk_space_mb=10 ** 9))
+
+
+class TestDistributedGuard:
+    def test_listing_annotation_and_totals(self, spark):
+        cfg = guards.SecurityConfig(max_file_size_mb=1,
+                                    max_batch_files=100,
+                                    max_total_size_mb=100)
+        rows = [
+            ("/data/in/a.pdf", 1024),
+            ("/data/in/sub//b.txt", 2048),            # // normalizes in
+            ("/data/in/../../etc/passwd", 10),        # traversal
+            ("/data/out/c.pdf", 10),                  # outside base
+            ("/data/in/huge.pdf", 5 * 1024 * 1024),   # too big
+            ("/data/in/run.exe", 10),                 # bad extension
+        ]
+        df = spark.createDataFrame(rows, "path string, size_bytes bigint")
+        out = {r["path"]: (r["allowed"], r["reason"])
+               for r in guards.guard_listing_df(
+                   df, "/data/in", cfg,
+                   allowed_extensions=("pdf", ".txt")).collect()}
+        assert out["/data/in/a.pdf"] == (True, None)
+        assert out["/data/in/sub//b.txt"] == (True, None)
+        assert out["/data/in/../../etc/passwd"][1] == "parent_traversal"
+        assert out["/data/out/c.pdf"][1] == "outside_base_dir"
+        assert out["/data/in/huge.pdf"][1] == "file_too_large"
+        assert out["/data/in/run.exe"][1] == "extension_not_allowed"
+
+        guarded = guards.guard_listing_df(
+            df, "/data/in", cfg, allowed_extensions=("pdf", "txt"))
+        stats = guards.guard_listing_totals(guarded, cfg)
+        assert stats == {"n_total": 6, "n_allowed": 2,
+                         "allowed_bytes": 3072}
+
+    def test_totals_raise_on_batch_caps(self, spark):
+        cfg = guards.SecurityConfig(max_batch_files=2,
+                                    max_total_size_mb=100)
+        df = spark.createDataFrame(
+            [(f"/in/f{i}.txt", 10) for i in range(5)],
+            "path string, size_bytes bigint")
+        guarded = guards.guard_listing_df(df, "/in", cfg)
+        with pytest.raises(ValueError, match="Batch too large"):
+            guards.guard_listing_totals(guarded, cfg)
+
+    def test_guard_plan_is_one_projection(self, spark):
+        df = spark.createDataFrame([("/in/a.txt", 10)],
+                                   "path string, size_bytes bigint")
+        plan = guards.guard_listing_df(
+            df, "/in")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
