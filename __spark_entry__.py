@@ -139,10 +139,14 @@ def _pipeline_index_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rag_context_assembly / rag_answer_format oracles.
     from ragstudio_spark.operators import rag_chain
 
+    # localCheckpoint: hits feeds TWO consumers (context + citations) —
+    # without it the whole hybrid-search lineage executes once per
+    # branch (the CLAUDE.md multi-consumer rule; review-found)
     hits = (topk.join(store.select("id", "text"), on="id")
             .select(F.lit(0).alias("query_id"), "rank", "text",
                     F.col("id").cast("string").alias("source_name"),
-                    F.lit(None).cast("int").alias("page")))
+                    F.lit(None).cast("int").alias("page"))
+            .localCheckpoint())
     ctx = rag_chain.assemble_context(hits, k=4, token_budget=2048)
     cits = (rag_chain.citations(hits, k=4)
             .groupBy("query_id")

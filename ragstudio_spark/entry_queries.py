@@ -3990,6 +3990,10 @@ def _cache_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  cache.bulk_key_col(F.col("prefix"), "doc_id"),
                  F.col("value"), ttl=60, now=F.col("ts"))
     cache.delete_df(docs.filter("doc_id % 11 = 0"), path, "chunk",
+                    cache.bulk_key_col("chunk", "doc_id"), now=88)
+    # FUTURE-dated tombstones (backfill shape): must be invisible to
+    # the as-of read at now=90 — pins the review-found as-of bound
+    cache.delete_df(docs.filter("doc_id % 13 = 0"), path, "chunk",
                     cache.bulk_key_col("chunk", "doc_id"), now=120)
     cache.clear_prefix_mark(spark, path, "aux", now=30)
     return (cache.resolve(spark, path, now=90)
@@ -3997,9 +4001,10 @@ def _cache_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cache_duck_sql() -> str:
+    # 'v' = bulk_key_col's non-NULL field tag (doc_id is never NULL here)
     def k(prefix: str) -> str:
         return (f"'rs:{prefix}:' || md5('{prefix}' || chr(31) || "
-                f"CAST(doc_id AS VARCHAR))")
+                f"'v' || CAST(doc_id AS VARCHAR))")
 
     return f"""
 WITH ev AS (
@@ -4012,14 +4017,21 @@ WITH ev AS (
          CAST(doc_id % 97 + 40 AS BIGINT), 60, 'set'
   FROM documents WHERE doc_id % 5 = 0
   UNION ALL
-  SELECT {k('chunk')}, 'chunk', NULL, 120, 0, 'del'
+  SELECT {k('chunk')}, 'chunk', NULL, 88, 0, 'del'
   FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT {k('chunk')}, 'chunk', NULL, 120, 0, 'del'
+  FROM documents WHERE doc_id % 13 = 0
   UNION ALL
   SELECT {k('aux')}, 'aux', md5(text), 10, 60, 'set'
   FROM documents WHERE doc_id < 50
   UNION ALL
   SELECT {k('aux')}, 'aux', md5(text || 'r'), 35, 60, 'set'
   FROM documents WHERE doc_id < 10
+), visible AS (
+  -- the as-of bound: events stamped after now=90 do not exist for
+  -- this read (the del at ts=120 is a FUTURE event here)
+  SELECT * FROM ev WHERE ts <= 90
 ), clears AS (
   SELECT 'aux' AS prefix, CAST(30 AS BIGINT) AS clear_ts
 ), latest AS (
@@ -4029,7 +4041,7 @@ WITH ev AS (
       ORDER BY ts DESC,
                CASE WHEN op = 'del' THEN 1 ELSE 0 END DESC,
                ttl DESC, value DESC) AS rn
-    FROM ev) t
+    FROM visible) t
   WHERE rn = 1
 )
 SELECT l.key AS key, l.value AS value, l.ts AS ts

@@ -84,13 +84,23 @@ def _prefix_col(prefix: str | Column) -> Column:
 def bulk_key_col(prefix: str | Column, *cols: Column | str) -> Column:
     """Column-expressible cache key for the bulk path: md5 over the
     unit-separator-joined (chr 31 — cannot appear in the key fields)
-    string forms of ``cols``, prefixed like make_key. The DuckDB twin is
-    ``'rs:p:' || md5(concat_ws(chr(31), 'p', cols...))``. ``prefix``
-    may be a per-row Column (multi-prefix bulk ingest in ONE append)."""
+    NULL-TAGGED string forms of ``cols``, prefixed like make_key. Each
+    field encodes as ``'n'`` when NULL else ``'v' || value`` — without
+    the tag, concat_ws SKIPS NULLs, so ('x', NULL) and (NULL, 'x')
+    would collide onto one key and resolution would silently serve one
+    entry's value for the other's lookup (review-found). The DuckDB
+    twin per field is ``CASE WHEN c IS NULL THEN 'n' ELSE 'v' ||
+    CAST(c AS VARCHAR) END``, joined with chr(31) after the prefix.
+    ``prefix`` may be a per-row Column (multi-prefix bulk ingest in ONE
+    append)."""
     p = _prefix_col(prefix)
-    parts = [p] + [
-        F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
-        for c in cols]
+
+    def tag(c):
+        c = F.col(c) if isinstance(c, str) else c
+        return F.when(c.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), c.cast("string")))
+
+    parts = [p] + [tag(c) for c in cols]
     return F.concat(F.lit(f"{_NS}:"), p, F.lit(":"),
                     F.md5(F.concat_ws("\x1f", *parts)))
 
@@ -150,7 +160,11 @@ def delete_df(df: DataFrame, path: str, prefix: str | Column, key: Column,
 def clear_prefix_mark(spark: SparkSession, path: str, prefix: str,
                       now: int) -> None:
     """Append the O(1) prefix-clear event (key NULL) — every key of the
-    prefix written at or before ``now`` is dead until re-set later."""
+    prefix written at or before ``now`` is dead until re-set later.
+    An empty prefix would write the Hive default partition (NULL on
+    read-back, unmatched forever) — rejected."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
     _append(spark, path, [(None, prefix, None, int(now), 0, "clear")])
 
 
@@ -161,8 +175,16 @@ def resolve(spark: SparkSession, path: str, now: int,
     Latest event per key via ONE partial-aggregable max(struct) —
     op_rank breaks equal-ts ties toward 'del', value last keeps the
     pick total and deterministic. Prefix-clear marks are a per-prefix
-    max joined broadcast (there are as many rows as prefixes)."""
-    events = spark.read.parquet(path)
+    max joined broadcast (there are as many rows as prefixes).
+
+    AS-OF means as-of: events stamped AFTER ``now`` do not exist for
+    this read (a backfilled future delete must not hide a key that is
+    live at ``now``, nor is a future set visible before its lease
+    starts — review-found). The explicit-schema read keeps empty
+    stores (e.g. right after a vacuum folded everything away)
+    readable."""
+    events = spark.read.schema(_SCHEMA).parquet(path).filter(
+        F.col("ts") <= F.lit(int(now)))
     if prefix is not None:
         events = events.filter(F.col("prefix") == prefix)  # pruned scan
     keyed = events.filter(F.col("op") != "clear")
@@ -217,7 +239,12 @@ def vacuum(spark: SparkSession, path: str, now: int,
         (live.repartition(target_files, "key")
          .write.partitionBy("prefix").parquet(tmp))
 
-    rows = maintenance.swap_in(spark, path, write_tmp)
+    # read_schema: a fully-expired/cleared log folds to ZERO rows, whose
+    # partitionBy write produces no parquet files — the swap's count
+    # must still succeed on the file-less replacement (review-found:
+    # vacuum crashed on exactly the store it exists for)
+    rows = maintenance.swap_in(spark, path, write_tmp,
+                               read_schema=_SCHEMA)
     return {"rows": rows}
 
 
@@ -237,21 +264,39 @@ class ParquetCache:
         self.misses = 0
 
     # -- primitive ops ---------------------------------------------------
+    @staticmethod
+    def _prefix_of(key: str) -> str:
+        """Keys must carry the ``rs:{prefix}:{suffix}`` shape make_key
+        produces, with a non-empty prefix. An empty prefix would write
+        the Hive default partition, which round-trips as NULL —
+        permanently unmatched by clear marks and prefix-scoped reads
+        (review-found) — so malformed keys are rejected at the API
+        boundary instead."""
+        parts = key.split(":")
+        if len(parts) < 3 or not parts[1]:
+            raise ValueError(
+                f"cache key must be 'rs:<prefix>:<suffix>' with a "
+                f"non-empty prefix: {key!r}")
+        return parts[1]
+
     def set(self, key: str, value, ttl: int | None = None,
             now: int | None = None) -> bool:
-        prefix = key.split(":")[1] if key.count(":") >= 2 else ""
         _append(self.spark, self.path, [(
-            key, prefix, json.dumps(value, ensure_ascii=False),
+            key, self._prefix_of(key),
+            json.dumps(value, ensure_ascii=False),
             int(now if now is not None else time.time()),
             int(ttl or self.default_ttl), "set")])
         return True
 
     def get(self, key: str, now: int | None = None):
+        prefix = self._prefix_of(key)
         if not os.path.exists(self.path):
             self.misses += 1
             return None
         now = int(now if now is not None else time.time())
-        rows = (resolve(self.spark, self.path, now)
+        # prefix-scoped resolve: the partition pruning the store's
+        # layout exists for (a bare resolve scans every prefix)
+        rows = (resolve(self.spark, self.path, now, prefix=prefix)
                 .filter(F.col("key") == key).select("value").collect())
         if rows:
             self.hits += 1
@@ -260,15 +305,16 @@ class ParquetCache:
         return None
 
     def delete(self, key: str, now: int | None = None) -> bool:
-        prefix = key.split(":")[1] if key.count(":") >= 2 else ""
         _append(self.spark, self.path, [(
-            key, prefix, None,
+            key, self._prefix_of(key), None,
             int(now if now is not None else time.time()), 0, "del")])
         return True
 
     def clear_prefix(self, prefix: str, now: int | None = None) -> int:
         """Append one clear mark (O(1), unlike redis KEYS+DEL); returns
         the number of live keys it covered, for reference parity."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
         now = int(now if now is not None else time.time())
         n = 0
         if os.path.exists(self.path):

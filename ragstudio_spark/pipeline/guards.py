@@ -93,18 +93,28 @@ def validate_path_safe(base_dir: Path, file_path: Path) -> Path:
 
 
 def validate_no_symlinks(file_path: Path,
-                         config: SecurityConfig | None = None) -> Path:
-    """security.py:153-185: reject symlinks (and links anywhere in the
-    parent chain) unless allow_symlinks."""
+                         config: SecurityConfig | None = None,
+                         base_dir: Path | None = None) -> Path:
+    """security.py:153-185: reject symlinked files unless
+    allow_symlinks. Like the reference, only the FILE itself (plus,
+    when ``base_dir`` is given, the directories BELOW it) is checked —
+    walking every ancestor to / would reject all ingests on hosts
+    whose data mount sits behind a symlink (macOS /tmp →
+    /private/tmp; review-found)."""
     config = config or SecurityConfig()
     if config.allow_symlinks:
         return file_path
     p = Path(file_path)
-    probe = p if p.is_absolute() else p.absolute()
-    for part in (probe, *probe.parents):
-        if part.is_symlink():
-            raise ValueError(f"Symlinks not allowed: {file_path} "
-                             f"(link at {part})")
+    if p.is_symlink():
+        raise ValueError(f"Symlinks not allowed: {file_path}")
+    if base_dir is not None:
+        base = Path(base_dir).absolute()
+        probe = (p if p.is_absolute() else p.absolute()).parent
+        while probe != base and base in probe.parents:
+            if probe.is_symlink():
+                raise ValueError(f"Symlinks not allowed: {file_path} "
+                                 f"(link at {probe})")
+            probe = probe.parent
     return file_path
 
 
@@ -190,7 +200,7 @@ def validate_batch_comprehensive(
         warnings.append(f"large batch: {len(files)} files")
     for f in files:
         validate_path_safe(base_dir, f)
-        validate_no_symlinks(f, config)
+        validate_no_symlinks(f, config, base_dir=base_dir)
         validate_file_size(f, config)
         size_mb = Path(f).stat().st_size / (1024 * 1024)
         if size_mb > config.warn_file_size_mb:
@@ -231,7 +241,14 @@ def guard_listing_df(listing: DataFrame, base_dir: str,
     bad_ext = (~ext.isin(*[e.lstrip(".").lower()
                            for e in allowed_extensions])
                if allowed_extensions else F.lit(False))
-    reason = (F.when(traversal, F.lit("parent_traversal"))
+    # FAIL CLOSED on unknown metadata: NULL path/size make every rule
+    # above evaluate to NULL, which would fall through to reason=NULL =
+    # allowed (review-found) — a gate must quarantine what it cannot
+    # judge, and a NULL size skipped by sum() would also under-report
+    # allowed_bytes past the batch cap
+    reason = (F.when(F.col(path_col).isNull(), F.lit("null_path"))
+              .when(F.col(size_col).isNull(), F.lit("unknown_size"))
+              .when(traversal, F.lit("parent_traversal"))
               .when(outside, F.lit("outside_base_dir"))
               .when(too_big, F.lit("file_too_large"))
               .when(bad_ext, F.lit("extension_not_allowed"))

@@ -164,17 +164,23 @@ def _write_layout(spark, df, tmp, target_files, partition_by, orderable):
         df.coalesce(target_files).write.parquet(tmp)
 
 
-def swap_in(spark: SparkSession, path: str, write_tmp) -> int:
+def swap_in(spark: SparkSession, path: str, write_tmp,
+            read_schema: str | None = None) -> int:
     """Write a replacement table via ``write_tmp(tmp_dir)`` then swap it
     over ``path`` under the module's crash contract (see the module
     docstring: two renames, ``_recover`` restores the window). Shared by
     compaction and by other single-writer rewriters (pipeline/cache.py's
-    vacuum). Returns the replacement's row count."""
+    vacuum). Returns the replacement's row count. ``read_schema`` lets a
+    caller whose replacement may legitimately be EMPTY (zero rows →
+    zero parquet files under partitionBy) count it without schema
+    inference failing."""
     tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
     write_tmp(tmp)
     with open(os.path.join(tmp, COMMIT_MARKER), "w") as f:
         f.write("compacted\n")
-    rows = spark.read.parquet(tmp).count()
+    reader = (spark.read.schema(read_schema) if read_schema
+              else spark.read)
+    rows = reader.parquet(tmp).count()
     old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)

@@ -38,8 +38,20 @@ class TestKeyFormula:
             cache.bulk_key_col("chunk", "doc_id").alias("k")).collect()
         for row, i in zip(got, range(3)):
             expected = hashlib.md5(
-                f"chunk\x1f{i}".encode()).hexdigest()
+                f"chunk\x1fv{i}".encode()).hexdigest()   # 'v' = non-NULL tag
             assert row["k"] == f"rs:chunk:{expected}"
+
+    def test_bulk_key_null_fields_do_not_collide(self, spark):
+        """concat_ws skips NULLs, so untagged ('x', NULL) and (NULL,
+        'x') would hash identically and resolution would serve one
+        entry's value for the other's lookup (review-found) — the
+        null-tag encoding keeps every distinct input distinct."""
+        df = spark.createDataFrame(
+            [("x", None), (None, "x"), ("x", ""), ("", "x"), (None, None)],
+            "a string, b string")
+        keys = [r["k"] for r in df.select(
+            cache.bulk_key_col("p", "a", "b").alias("k")).collect()]
+        assert len(set(keys)) == len(keys)
 
 
 class TestTtlSemantics:
@@ -67,6 +79,49 @@ class TestTtlSemantics:
         assert c.get("rs:p:k", now=30) == "v2"
         c.delete("rs:p:k", now=20)                   # same ts as the set
         assert c.get("rs:p:k", now=30) is None
+
+    def test_asof_read_ignores_future_events(self, spark, tmp_path):
+        """Backfilled/event-time logs can carry future-stamped rows; an
+        as-of read must not see them — a future delete must not hide a
+        currently-live key, and a future set is invisible before its
+        lease starts (review-found)."""
+        c = cache.ParquetCache(spark, _path(tmp_path))
+        c.set("rs:p:k", "v1", ttl=1000, now=10)
+        c.delete("rs:p:k", now=120)                  # future del
+        c.set("rs:p:k2", "later", ttl=60, now=1000)  # future set
+        assert c.get("rs:p:k", now=90) == "v1"
+        assert c.get("rs:p:k2", now=90) is None
+        assert c.get("rs:p:k", now=130) is None      # del now visible
+
+    def test_vacuum_of_fully_expired_store_folds_to_empty(self, spark,
+                                                          tmp_path):
+        """The exact case vacuum exists for: every entry expired (or
+        tombstoned) — must fold to an empty, still-readable store, not
+        crash on the file-less replacement (review-found)."""
+        path = _path(tmp_path)
+        c = cache.ParquetCache(spark, path)
+        c.set("rs:p:k1", "v", ttl=5, now=10)
+        c.delete("rs:p:k2", now=10)
+        stats = cache.vacuum(spark, path, now=100)
+        assert stats["rows"] == 0
+        assert cache.resolve(spark, path, now=100).count() == 0
+        c.set("rs:p:k3", "fresh", ttl=50, now=200)   # store still works
+        assert c.get("rs:p:k3", now=210) == "fresh"
+
+    def test_malformed_keys_rejected(self, spark, tmp_path):
+        """An empty prefix would land in the Hive default partition and
+        read back as NULL — permanently unmatched by clear marks
+        (review-found); the API rejects such keys up front."""
+        import pytest
+
+        c = cache.ParquetCache(spark, _path(tmp_path))
+        for bad in ("plainkey", "rs::nohash", "a:b"):
+            with pytest.raises(ValueError, match="non-empty prefix"):
+                c.set(bad, "v", now=10)
+            with pytest.raises(ValueError, match="non-empty prefix"):
+                c.get(bad, now=10)
+        with pytest.raises(ValueError, match="non-empty"):
+            c.clear_prefix("", now=10)
 
     def test_clear_prefix_kills_then_later_set_revives(self, spark,
                                                        tmp_path):

@@ -123,6 +123,43 @@ class TestDistributedGuard:
         assert stats == {"n_total": 6, "n_allowed": 2,
                          "allowed_bytes": 3072}
 
+    def test_null_metadata_fails_closed(self, spark):
+        """NULL size/path make every rule NULL → untagged they fell
+        through to allowed=true AND sum() skipped the unknown bytes
+        (review-found): the gate must quarantine what it cannot
+        judge."""
+        df = spark.createDataFrame(
+            [("/in/ok.txt", 10), ("/in/nosize.bin", None), (None, 5)],
+            "path string, size_bytes bigint")
+        out = {r["path"]: (r["allowed"], r["reason"])
+               for r in guards.guard_listing_df(df, "/in").collect()}
+        assert out["/in/ok.txt"] == (True, None)
+        assert out["/in/nosize.bin"] == (False, "unknown_size")
+        assert out[None] == (False, "null_path")
+        stats = guards.guard_listing_totals(
+            guards.guard_listing_df(df, "/in"))
+        assert stats == {"n_total": 3, "n_allowed": 1,
+                         "allowed_bytes": 10}
+
+    def test_symlink_check_scopes_below_base_dir(self, tmp_path):
+        """Only the file and directories BELOW base_dir are checked —
+        a symlinked mount ABOVE the base (macOS /tmp) must not reject
+        every ingest (review-found); a link inside the tree still
+        does."""
+        base = tmp_path / "realbase"
+        (base / "sub").mkdir(parents=True)
+        f = base / "sub" / "doc.txt"
+        f.write_text("x")
+        linked_root = tmp_path / "link_to_base"
+        linked_root.symlink_to(base)
+        # ancestor-of-base symlink: fine (checked scope starts below base)
+        assert guards.validate_no_symlinks(f, base_dir=linked_root / "..")
+        # but a symlinked directory INSIDE the base is rejected
+        lsub = base / "lsub"
+        lsub.symlink_to(base / "sub")
+        with pytest.raises(ValueError, match="Symlinks"):
+            guards.validate_no_symlinks(lsub / "doc.txt", base_dir=base)
+
     def test_totals_raise_on_batch_caps(self, spark):
         cfg = guards.SecurityConfig(max_batch_files=2,
                                     max_total_size_mb=100)

@@ -20,9 +20,13 @@ class TestCacheResolutionProperties:
     """resolve() vs a dict-semantics replay of the event log."""
 
     def _python_resolve(self, events, now):
-        """Contract replica: latest event per key wins (ties: del beats
-        set, then larger ttl, then larger value); live iff it is a set,
-        ts+ttl > now, and ts postdates the prefix's latest clear."""
+        """Contract replica: an as-of read sees only events with
+        ts ≤ now (future-dated backfills do not exist yet —
+        review-found); among those, latest event per key wins (ties:
+        del beats set, then larger ttl, then larger value); live iff it
+        is a set, ts+ttl > now, and ts postdates the prefix's latest
+        visible clear."""
+        events = [e for e in events if e["ts"] <= now]
         clears = {}
         for e in events:
             if e["op"] == "clear":
