@@ -225,18 +225,30 @@ def lookup_df(queries: DataFrame, path: str, prefix: str, key: Column,
 
 def vacuum(spark: SparkSession, path: str, now: int,
            target_files: int = 8) -> dict:
-    """Fold the event log to its live state (drop superseded versions,
-    tombstones, expired and cleared rows) through the maintenance swap
-    machinery — same crash contract, same SINGLE-WRITER rule. Events
-    re-land as fresh 'set' rows with their ORIGINAL ts (TTL clocks keep
-    running; vacuum never extends a lease)."""
+    """Fold the event log's PAST to its live state (drop superseded
+    versions, spent tombstones, expired and cleared rows) through the
+    maintenance swap machinery — same crash contract, same
+    SINGLE-WRITER rule. Live events re-land as fresh 'set' rows with
+    their ORIGINAL ts (TTL clocks keep running; vacuum never extends a
+    lease); events stamped after ``now`` are preserved verbatim (they
+    have not happened yet)."""
     maintenance.sweep_stale_compactions(path)
     live = resolve(spark, path, now).select(
         "key", "prefix", "value", "ts", "ttl",
-        F.lit("set").alias("op")).localCheckpoint()
+        F.lit("set").alias("op"))
+    # events stamped AFTER `now` have not happened yet — they are not
+    # "superseded history", they are the FUTURE (backfilled tombstones,
+    # event-time stream rows ahead of this caller's clock) and must
+    # survive the fold verbatim or a later as-of read silently loses
+    # them (review-found: a vacuum at now=90 destroyed a ts=120 delete,
+    # resurrecting the deleted key at now=130)
+    future = (spark.read.schema(_SCHEMA).parquet(path)
+              .filter(F.col("ts") > F.lit(int(now)))
+              .select("key", "prefix", "value", "ts", "ttl", "op"))
+    folded = live.unionByName(future).localCheckpoint()
 
     def write_tmp(tmp):
-        (live.repartition(target_files, "key")
+        (folded.repartition(target_files, "key")
          .write.partitionBy("prefix").parquet(tmp))
 
     # read_schema: a fully-expired/cleared log folds to ZERO rows, whose

@@ -2,7 +2,11 @@
 (reference: src/core/cli/utils/security.py:31-693) re-expressed for a
 Spark ingest job. ``typer.BadParameter`` becomes ``ValueError``; the
 limits, environment variables (``RAGSTUDIO_`` prefix in place of
-``ATLAS_``) and check order are preserved.
+``ATLAS_``), check order, and raise-vs-warn behavior are preserved:
+batch-size raises, total-size only WARNS (its threshold is the
+reference's dynamic ``max_file_size_mb × len(files)``), and per-file
+failures SKIP the file with a warning instead of failing the batch
+(security.py:679-691).
 
 Two tiers, matching how file discovery actually happens at scale:
 
@@ -15,17 +19,20 @@ Two tiers, matching how file discovery actually happens at scale:
   100-TB shape), the same rules become column expressions — prefix
   containment, extension allow-list, per-file size cap — annotating
   each row ``allowed``/``reason`` so quarantine is auditable rather
-  than silent. Totals (batch size/total bytes) are one aggregate.
+  than silent, failing CLOSED on NULL metadata. Totals (batch count
+  raise + the reference's dynamic total-size warn) are one aggregate.
 
 MIME validation: python-magic is container-blocked (the reference
 DEFAULTS it off and degrades too, security.py:56); the engine's own
 content sniffer (operators/sniff.py) plays the magic-number role —
-``mime_matches_extension`` flags extension/content disagreement.
+extension/content disagreement surfaces through the pipeline's
+content_type column.
 """
 
 from __future__ import annotations
 
 import os
+import posixpath
 import shutil
 from dataclasses import dataclass
 from pathlib import Path
@@ -45,7 +52,6 @@ class SecurityConfig:
     allow_absolute_patterns: bool = False
     allow_parent_traversal: bool = False
     require_disk_space_mb: int = 100
-    max_total_size_mb: int = 10000
     sanitize_metadata: bool = True
 
     @classmethod
@@ -70,8 +76,6 @@ class SecurityConfig:
                                      "false"),
             require_disk_space_mb=int(
                 os.getenv("RAGSTUDIO_REQUIRE_DISK_SPACE_MB", "100")),
-            max_total_size_mb=int(
-                os.getenv("RAGSTUDIO_MAX_TOTAL_SIZE_MB", "10000")),
             sanitize_metadata=b("RAGSTUDIO_SANITIZE_METADATA", "true"),
         )
 
@@ -100,7 +104,10 @@ def validate_no_symlinks(file_path: Path,
     when ``base_dir`` is given, the directories BELOW it) is checked —
     walking every ancestor to / would reject all ingests on hosts
     whose data mount sits behind a symlink (macOS /tmp →
-    /private/tmp; review-found)."""
+    /private/tmp; review-found). Both sides of the below-base walk are
+    lexically normalized first, so an unnormalized base (trailing
+    ``..``, ``//``) cannot silently no-op the interior check
+    (review-found, second pass)."""
     config = config or SecurityConfig()
     if config.allow_symlinks:
         return file_path
@@ -108,8 +115,11 @@ def validate_no_symlinks(file_path: Path,
     if p.is_symlink():
         raise ValueError(f"Symlinks not allowed: {file_path}")
     if base_dir is not None:
-        base = Path(base_dir).absolute()
-        probe = (p if p.is_absolute() else p.absolute()).parent
+        # normpath, NOT resolve(): resolving would follow the very
+        # symlinks this check exists to detect
+        base = Path(os.path.normpath(Path(base_dir).absolute()))
+        probe = Path(os.path.normpath(
+            (p if p.is_absolute() else p.absolute()))).parent
         while probe != base and base in probe.parents:
             if probe.is_symlink():
                 raise ValueError(f"Symlinks not allowed: {file_path} "
@@ -120,26 +130,41 @@ def validate_no_symlinks(file_path: Path,
 
 def validate_pattern_safe(pattern: str,
                           config: SecurityConfig | None = None) -> str:
-    """security.py:187-243: glob patterns may not be absolute or climb
-    out with ``..`` unless explicitly allowed."""
+    """security.py:187-243, same checks in the same order: ``..``
+    ANYWHERE in the pattern (substring, as the reference), absolute
+    paths (POSIX or drive-letter), home-directory ``~``."""
     config = config or SecurityConfig()
+    if not config.allow_parent_traversal and ".." in pattern:
+        raise ValueError(
+            f"Pattern contains parent directory traversal (..): "
+            f"{pattern}")
     if not config.allow_absolute_patterns and (
             pattern.startswith("/") or (len(pattern) > 1
                                         and pattern[1] == ":")):
-        raise ValueError(f"Absolute patterns not allowed: {pattern}")
-    if not config.allow_parent_traversal and ".." in pattern.split("/"):
-        raise ValueError(f"Parent traversal not allowed: {pattern}")
+        raise ValueError(f"Absolute paths in patterns are not allowed: "
+                         f"{pattern}")
+    if "~" in pattern:
+        raise ValueError(f"Home directory expansion (~) is not allowed "
+                         f"in patterns: {pattern}")
     return pattern
+
+
+def _stat_size_mb(file_path: Path) -> float:
+    """stat wrapped to the guard tier's ValueError contract
+    (security.py:298-301 maps OSError to a clean error)."""
+    try:
+        return Path(file_path).stat().st_size / (1024 * 1024)
+    except OSError as e:
+        raise ValueError(f"Cannot access file: {file_path} ({e})") from e
 
 
 def validate_file_size(file_path: Path,
                        config: SecurityConfig | None = None,
                        warn_only: bool = False) -> Path:
-    """security.py:245-301: cap single-file size; warn tier logged by
-    the caller (returned via the warning list in the comprehensive
-    check)."""
+    """security.py:245-301: cap single-file size; warn tier surfaced by
+    the comprehensive check's warning list."""
     config = config or SecurityConfig()
-    size_mb = Path(file_path).stat().st_size / (1024 * 1024)
+    size_mb = _stat_size_mb(file_path)
     if size_mb > config.max_file_size_mb and not warn_only:
         raise ValueError(
             f"File too large: {file_path} ({size_mb:.1f} MB > "
@@ -149,7 +174,8 @@ def validate_file_size(file_path: Path,
 
 def validate_batch_size(files: list[Path],
                         config: SecurityConfig | None = None) -> list[Path]:
-    """security.py:344-388: cap the number of files per batch."""
+    """security.py:344-388: cap the number of files per batch (the one
+    batch-level check that RAISES)."""
     config = config or SecurityConfig()
     if len(files) > config.max_batch_files:
         raise ValueError(
@@ -158,15 +184,27 @@ def validate_batch_size(files: list[Path],
     return files
 
 
+def total_size_warning(files: list[Path],
+                       config: SecurityConfig | None = None) -> str | None:
+    """security.py:303-342: the total-size check WARNS, never raises;
+    threshold = max_file_size_mb × len(files); non-existent files are
+    skipped (the reference's ``if f.exists()`` guard)."""
+    config = config or SecurityConfig()
+    total_mb = sum(Path(f).stat().st_size
+                   for f in files if Path(f).exists()) / (1024 * 1024)
+    max_total_mb = config.max_file_size_mb * len(files)
+    if total_mb > max_total_mb:
+        return (f"Total batch size is {total_mb:.1f}MB "
+                f"(max {max_total_mb:.1f}MB). Processing may require "
+                f"significant memory.")
+    return None
+
+
 def validate_total_size(files: list[Path],
                         config: SecurityConfig | None = None) -> list[Path]:
-    """security.py:303-342: cap the batch's total bytes."""
-    config = config or SecurityConfig()
-    total_mb = sum(Path(f).stat().st_size for f in files) / (1024 * 1024)
-    if total_mb > config.max_total_size_mb:
-        raise ValueError(
-            f"Batch total size {total_mb:.1f} MB > "
-            f"{config.max_total_size_mb} MB")
+    """Reference signature (returns the files; the warning is the side
+    channel — use total_size_warning to capture it)."""
+    total_size_warning(files, config)
     return files
 
 
@@ -189,34 +227,47 @@ def validate_batch_comprehensive(
         base_dir: Path, files: list[Path],
         config: SecurityConfig | None = None) -> tuple[list[Path],
                                                        list[str]]:
-    """security.py:648-693: the full discovery gate in the reference's
-    order — count cap, then per-file path/symlink/size, then total
-    size. Returns (validated files, warning strings for the warn
-    tiers)."""
+    """security.py:648-693 in the reference's order: batch-size
+    (raises) → total-size (warns) → per-file path/symlink/size, where
+    an invalid file is SKIPPED with a warning instead of failing the
+    batch (security.py:679-691). Each file is stat'ed ONCE. Returns
+    (validated files, warning strings)."""
     config = config or SecurityConfig()
     warnings: list[str] = []
     validate_batch_size(files, config)
     if len(files) > config.warn_batch_files:
         warnings.append(f"large batch: {len(files)} files")
+    w = total_size_warning(files, config)
+    if w:
+        warnings.append(w)
+    validated: list[Path] = []
     for f in files:
-        validate_path_safe(base_dir, f)
-        validate_no_symlinks(f, config, base_dir=base_dir)
-        validate_file_size(f, config)
-        size_mb = Path(f).stat().st_size / (1024 * 1024)
+        try:
+            validate_path_safe(base_dir, f)
+            validate_no_symlinks(f, config, base_dir=base_dir)
+            size_mb = _stat_size_mb(f)
+            if size_mb > config.max_file_size_mb:
+                raise ValueError(
+                    f"File too large: {f} ({size_mb:.1f} MB > "
+                    f"{config.max_file_size_mb} MB)")
+        except ValueError as e:
+            warnings.append(f"Skipping invalid file: {f} - {e}")
+            continue
         if size_mb > config.warn_file_size_mb:
             warnings.append(f"large file: {f} ({size_mb:.1f} MB)")
-    validate_total_size(files, config)
-    return files, warnings
+        validated.append(f)
+    return validated, warnings
 
 
 # -- distributed guards (the 10^9-object listing shape) ---------------------
 
-def _norm_path(col: Column) -> Column:
-    """Collapse ``//`` and resolve ``.`` segments textually; any ``..``
-    segment marks the path unsafe (an object-store key has no real
-    filesystem resolution — textual containment is the contract)."""
-    return F.regexp_replace(F.regexp_replace(col, "/{2,}", "/"),
-                            "/\\./", "/")
+def _norm_segments(col: Column) -> Column:
+    """Path → its meaningful segments: drop empty (``//``) and ``.``
+    segments. Idempotent by construction (a single-pass regexp replace
+    left ``/./././`` residue — review-found, second pass); ``..``
+    segments are kept so the traversal check can see them."""
+    return F.filter(F.split(col, "/"),
+                    lambda s: (s != "") & (s != "."))
 
 
 def guard_listing_df(listing: DataFrame, base_dir: str,
@@ -229,23 +280,23 @@ def guard_listing_df(listing: DataFrame, base_dir: str,
     ``reason`` under the same rules as the driver-side gate — one
     codegen'd projection, no shuffle. Quarantined rows stay visible
     (auditable), mirroring how the pipeline quarantines bad documents
-    instead of dropping them."""
+    instead of dropping them; unknown metadata fails CLOSED."""
     config = config or SecurityConfig()
-    base = base_dir.rstrip("/") + "/"
-    p = _norm_path(F.col(path_col))
-    outside = ~p.startswith(base)
-    traversal = p.contains("/../") | p.endswith("/..")
+    # normalize BOTH sides identically (an unnormalized base would
+    # mismatch every normalized path — review-found, second pass)
+    base_norm = "/" + "/".join(
+        s for s in posixpath.normpath("/" + base_dir.strip("/")).split("/")
+        if s not in ("", ".")) + "/"
+    segs = _norm_segments(F.col(path_col))
+    p = F.concat(F.lit("/"), F.array_join(segs, "/"), F.lit("/"))
+    outside = ~p.startswith(base_norm)
+    traversal = F.array_contains(segs, "..")
     too_big = (F.col(size_col)
                > F.lit(config.max_file_size_mb * 1024 * 1024))
     ext = F.lower(F.element_at(F.split(F.col(path_col), "\\."), -1))
     bad_ext = (~ext.isin(*[e.lstrip(".").lower()
                            for e in allowed_extensions])
                if allowed_extensions else F.lit(False))
-    # FAIL CLOSED on unknown metadata: NULL path/size make every rule
-    # above evaluate to NULL, which would fall through to reason=NULL =
-    # allowed (review-found) — a gate must quarantine what it cannot
-    # judge, and a NULL size skipped by sum() would also under-report
-    # allowed_bytes past the batch cap
     reason = (F.when(F.col(path_col).isNull(), F.lit("null_path"))
               .when(F.col(size_col).isNull(), F.lit("unknown_size"))
               .when(traversal, F.lit("parent_traversal"))
@@ -260,9 +311,12 @@ def guard_listing_df(listing: DataFrame, base_dir: str,
 def guard_listing_totals(guarded: DataFrame,
                          config: SecurityConfig | None = None,
                          size_col: str = "size_bytes") -> dict:
-    """Batch-level caps over an annotated listing (ONE aggregate):
-    raises like validate_batch_size/validate_total_size, returns the
-    census dict for lineage."""
+    """Batch-level checks over an annotated listing (ONE aggregate),
+    with the reference's raise-vs-warn split: the COUNT cap raises
+    (validate_batch_size), total size only warns at the dynamic
+    ``max_file_size_mb × n_allowed`` threshold (validate_total_size).
+    Returns the census dict (with ``total_size_warning``) for
+    lineage."""
     config = config or SecurityConfig()
     row = guarded.agg(
         F.count("*").alias("n_total"),
@@ -276,8 +330,9 @@ def guard_listing_totals(guarded: DataFrame,
         raise ValueError(
             f"Batch too large: {stats['n_allowed']} files > "
             f"{config.max_batch_files}")
-    if stats["allowed_bytes"] > config.max_total_size_mb * 1024 * 1024:
-        raise ValueError(
-            f"Batch total size {stats['allowed_bytes']} bytes > "
-            f"{config.max_total_size_mb} MB")
+    max_total = config.max_file_size_mb * 1024 * 1024 * stats["n_allowed"]
+    stats["total_size_warning"] = (
+        f"Total batch size {stats['allowed_bytes']} bytes exceeds "
+        f"{max_total} — processing may require significant memory."
+        if stats["allowed_bytes"] > max_total else None)
     return stats

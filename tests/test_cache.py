@@ -108,6 +108,21 @@ class TestTtlSemantics:
         c.set("rs:p:k3", "fresh", ttl=50, now=200)   # store still works
         assert c.get("rs:p:k3", now=210) == "fresh"
 
+    def test_vacuum_preserves_future_events(self, spark, tmp_path):
+        """A vacuum at now must NOT destroy events stamped after now
+        (backfilled tombstones, event-time stream rows): review-found,
+        second pass — a vacuum at 90 dropped a ts=120 delete and
+        resurrected the key at 130."""
+        path = _path(tmp_path)
+        c = cache.ParquetCache(spark, path)
+        c.set("rs:p:k", "v1", ttl=1000, now=10)
+        c.delete("rs:p:k", now=120)                  # future tombstone
+        c.set("rs:p:k2", "later", ttl=60, now=150)   # future lease
+        cache.vacuum(spark, path, now=90)
+        assert c.get("rs:p:k", now=95) == "v1"       # still live pre-120
+        assert c.get("rs:p:k", now=130) is None      # del survived vacuum
+        assert c.get("rs:p:k2", now=160) == "later"  # future set survived
+
     def test_malformed_keys_rejected(self, spark, tmp_path):
         """An empty prefix would land in the Hive default partition and
         read back as NULL — permanently unmatched by clear marks

@@ -33,11 +33,23 @@ class TestDriverValidators:
         assert guards.validate_no_symlinks(real) == real
 
     def test_pattern_safety(self):
+        """Reference checks in the reference order (security.py:
+        187-243): '..' as a SUBSTRING anywhere, absolute paths, and
+        the '~' home-expansion rejection (review-found, second pass:
+        both had drifted)."""
         assert guards.validate_pattern_safe("docs/**/*.pdf")
         with pytest.raises(ValueError, match="Absolute"):
             guards.validate_pattern_safe("/etc/*.conf")
         with pytest.raises(ValueError, match="traversal"):
             guards.validate_pattern_safe("../secrets/*.txt")
+        with pytest.raises(ValueError, match="traversal"):
+            guards.validate_pattern_safe("..secrets/*.txt")  # substring
+        with pytest.raises(ValueError, match="Home directory"):
+            guards.validate_pattern_safe("~/secrets/*.txt")
+        # for a pattern that is both absolute AND traversing, the
+        # traversal error wins (reference order)
+        with pytest.raises(ValueError, match="traversal"):
+            guards.validate_pattern_safe("/etc/../x")
         cfg = guards.SecurityConfig(allow_parent_traversal=True,
                                     allow_absolute_patterns=True)
         assert guards.validate_pattern_safe("/abs/*.txt", cfg)
@@ -48,32 +60,51 @@ class TestDriverValidators:
         small.write_bytes(b"x" * 1024)
         big = tmp_path / "big.bin"
         big.write_bytes(b"x" * (2 * 1024 * 1024))
-        cfg = guards.SecurityConfig(max_file_size_mb=1,
-                                    max_batch_files=2,
-                                    max_total_size_mb=1)
+        cfg = guards.SecurityConfig(max_file_size_mb=1, max_batch_files=2)
         assert guards.validate_file_size(small, cfg) == small
         with pytest.raises(ValueError, match="too large"):
             guards.validate_file_size(big, cfg)
         with pytest.raises(ValueError, match="Batch too large"):
             guards.validate_batch_size([small] * 3, cfg)
-        with pytest.raises(ValueError, match="total size"):
-            guards.validate_total_size([big], cfg)
+        # total size WARNS, never raises (reference security.py:303-342;
+        # review-found, second pass: a hard cap had crept in)
+        assert guards.validate_total_size([big, big], cfg) == [big, big]
+        assert guards.total_size_warning([big, big], cfg) is not None
+        assert guards.total_size_warning([small], cfg) is None
 
-    def test_comprehensive_gate_order_and_warnings(self, tmp_path):
-        f1 = tmp_path / "a.txt"
-        f1.write_bytes(b"x" * 600 * 1024)        # 0.6 MB
-        f2 = tmp_path / "b.txt"
-        f2.write_bytes(b"y" * 1024)
+    def test_missing_file_maps_to_clean_error_and_total_skips_it(
+            self, tmp_path):
+        """OSError wraps to the guard tier's ValueError (reference
+        security.py:298-301); total-size skips non-existent files
+        (:321) — review-found, second pass."""
+        ghost = tmp_path / "ghost.bin"
+        with pytest.raises(ValueError, match="Cannot access"):
+            guards.validate_file_size(ghost)
+        real = tmp_path / "real.bin"
+        real.write_bytes(b"x" * 1024)
+        assert guards.total_size_warning([ghost, real]) is None
+
+    def test_comprehensive_skips_invalid_files_with_warning(
+            self, tmp_path):
+        """security.py:679-691: a bad file is SKIPPED with a warning,
+        never failing the whole batch (review-found, second pass: the
+        port hard-failed). Stat happens once per file."""
+        ok = tmp_path / "a.txt"
+        ok.write_bytes(b"x" * 600 * 1024)        # 0.6 MB
+        big = tmp_path / "big.txt"
+        big.write_bytes(b"y" * (2 * 1024 * 1024))
+        link = tmp_path / "link.txt"
+        link.symlink_to(ok)
         cfg = guards.SecurityConfig(max_file_size_mb=1,
                                     warn_file_size_mb=0,
                                     max_batch_files=10,
-                                    warn_batch_files=1,
-                                    max_total_size_mb=10)
+                                    warn_batch_files=1)
         files, warnings = guards.validate_batch_comprehensive(
-            tmp_path, [f1, f2], cfg)
-        assert files == [f1, f2]
+            tmp_path, [ok, big, link], cfg)
+        assert files == [ok]
         assert any("large batch" in w for w in warnings)
-        assert sum("large file" in w for w in warnings) == 2
+        assert sum("Skipping invalid file" in w for w in warnings) == 2
+        assert any("large file" in w for w in warnings)
 
     def test_env_loading_with_ragstudio_prefix(self, monkeypatch):
         monkeypatch.setenv("RAGSTUDIO_MAX_FILE_SIZE_MB", "7")
@@ -95,8 +126,7 @@ class TestDriverValidators:
 class TestDistributedGuard:
     def test_listing_annotation_and_totals(self, spark):
         cfg = guards.SecurityConfig(max_file_size_mb=1,
-                                    max_batch_files=100,
-                                    max_total_size_mb=100)
+                                    max_batch_files=100)
         rows = [
             ("/data/in/a.pdf", 1024),
             ("/data/in/sub//b.txt", 2048),            # // normalizes in
@@ -121,7 +151,8 @@ class TestDistributedGuard:
             df, "/data/in", cfg, allowed_extensions=("pdf", "txt"))
         stats = guards.guard_listing_totals(guarded, cfg)
         assert stats == {"n_total": 6, "n_allowed": 2,
-                         "allowed_bytes": 3072}
+                         "allowed_bytes": 3072,
+                         "total_size_warning": None}
 
     def test_null_metadata_fails_closed(self, spark):
         """NULL size/path make every rule NULL → untagged they fell
@@ -139,7 +170,8 @@ class TestDistributedGuard:
         stats = guards.guard_listing_totals(
             guards.guard_listing_df(df, "/in"))
         assert stats == {"n_total": 3, "n_allowed": 1,
-                         "allowed_bytes": 10}
+                         "allowed_bytes": 10,
+                         "total_size_warning": None}
 
     def test_symlink_check_scopes_below_base_dir(self, tmp_path):
         """Only the file and directories BELOW base_dir are checked —
@@ -161,8 +193,7 @@ class TestDistributedGuard:
             guards.validate_no_symlinks(lsub / "doc.txt", base_dir=base)
 
     def test_totals_raise_on_batch_caps(self, spark):
-        cfg = guards.SecurityConfig(max_batch_files=2,
-                                    max_total_size_mb=100)
+        cfg = guards.SecurityConfig(max_batch_files=2)
         df = spark.createDataFrame(
             [(f"/in/f{i}.txt", 10) for i in range(5)],
             "path string, size_bytes bigint")
