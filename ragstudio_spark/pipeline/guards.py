@@ -115,11 +115,19 @@ def validate_no_symlinks(file_path: Path,
     if p.is_symlink():
         raise ValueError(f"Symlinks not allowed: {file_path}")
     if base_dir is not None:
-        # normpath, NOT resolve(): resolving would follow the very
-        # symlinks this check exists to detect
+        # a '..' segment in the FILE path makes lexical normalization
+        # unsound here: normpath('/data/link/../doc') erases the link
+        # component without ever stat'ing it (review-found, third
+        # pass) — fail closed; validate_path_safe handles resolution
+        abs_p = p if p.is_absolute() else p.absolute()
+        if ".." in abs_p.parts:
+            raise ValueError(
+                f"Parent traversal not allowed in path: {file_path}")
+        # normpath on the BASE only (trusted input, and required so an
+        # unnormalized base cannot no-op the walk); never resolve() —
+        # resolving would follow the very symlinks we detect
         base = Path(os.path.normpath(Path(base_dir).absolute()))
-        probe = Path(os.path.normpath(
-            (p if p.is_absolute() else p.absolute()))).parent
+        probe = abs_p.parent
         while probe != base and base in probe.parents:
             if probe.is_symlink():
                 raise ValueError(f"Symlinks not allowed: {file_path} "
@@ -237,15 +245,30 @@ def validate_batch_comprehensive(
     validate_batch_size(files, config)
     if len(files) > config.warn_batch_files:
         warnings.append(f"large batch: {len(files)} files")
-    w = total_size_warning(files, config)
-    if w:
-        warnings.append(w)
+    # the one stat per file, shared by the total-size warn AND the
+    # per-file cap (review-found, third pass: the warn helper re-stat'ed
+    # everything); inaccessible files carry None and skip below
+    sizes: dict[Path, float | None] = {}
+    for f in files:
+        try:
+            sizes[f] = _stat_size_mb(f)
+        except ValueError:
+            sizes[f] = None
+    total_mb = sum(s for s in sizes.values() if s is not None)
+    max_total_mb = config.max_file_size_mb * len(files)
+    if total_mb > max_total_mb:
+        warnings.append(
+            f"Total batch size is {total_mb:.1f}MB "
+            f"(max {max_total_mb:.1f}MB). Processing may require "
+            f"significant memory.")
     validated: list[Path] = []
     for f in files:
+        size_mb = sizes[f]
         try:
             validate_path_safe(base_dir, f)
             validate_no_symlinks(f, config, base_dir=base_dir)
-            size_mb = _stat_size_mb(f)
+            if size_mb is None:
+                raise ValueError(f"Cannot access file: {f}")
             if size_mb > config.max_file_size_mb:
                 raise ValueError(
                     f"File too large: {f} ({size_mb:.1f} MB > "
@@ -283,12 +306,18 @@ def guard_listing_df(listing: DataFrame, base_dir: str,
     instead of dropping them; unknown metadata fails CLOSED."""
     config = config or SecurityConfig()
     # normalize BOTH sides identically (an unnormalized base would
-    # mismatch every normalized path — review-found, second pass)
-    base_norm = "/" + "/".join(
-        s for s in posixpath.normpath("/" + base_dir.strip("/")).split("/")
-        if s not in ("", ".")) + "/"
+    # mismatch every normalized path — review-found, second pass);
+    # normpath of an absolute base already drops '' and '.' segments,
+    # and a root base must normalize to '/', not '//' (third pass)
+    base_norm = posixpath.normpath("/" + base_dir.strip("/"))
+    if not base_norm.endswith("/"):
+        base_norm += "/"
     segs = _norm_segments(F.col(path_col))
     p = F.concat(F.lit("/"), F.array_join(segs, "/"), F.lit("/"))
+    # a RELATIVE listing path resolves against the reader's CWD — a
+    # different file than the base-joined one; prefixing '/' would let
+    # it impersonate an absolute path (review-found, third pass)
+    relative = ~F.col(path_col).startswith("/")
     outside = ~p.startswith(base_norm)
     traversal = F.array_contains(segs, "..")
     too_big = (F.col(size_col)
@@ -299,6 +328,7 @@ def guard_listing_df(listing: DataFrame, base_dir: str,
                if allowed_extensions else F.lit(False))
     reason = (F.when(F.col(path_col).isNull(), F.lit("null_path"))
               .when(F.col(size_col).isNull(), F.lit("unknown_size"))
+              .when(relative, F.lit("relative_path"))
               .when(traversal, F.lit("parent_traversal"))
               .when(outside, F.lit("outside_base_dir"))
               .when(too_big, F.lit("file_too_large"))

@@ -75,6 +75,7 @@ def main() -> None:
     from ragstudio_spark.pipeline.lineage import run_with_lineage
     from ragstudio_spark.sources import transcripts as tsrc
 
+    guarded_files = None        # None = gate off or nothing filtered
     if not args.no_guard:
         from pathlib import Path
 
@@ -82,10 +83,17 @@ def main() -> None:
         guards.validate_disk_space(Path(args.output), sec)
         if args.input:
             files = sorted(Path(args.input).rglob("*.parquet"))
-            _, warns = guards.validate_batch_comprehensive(
+            valid, warns = guards.validate_batch_comprehensive(
                 Path(args.input), files, sec)
             for w in warns:
                 print(f"guard warning: {w}", file=sys.stderr)
+            if len(valid) < len(files):
+                # the gate must have teeth: read ONLY the validated
+                # files (skip-with-warning semantics, but a skipped
+                # file never enters the job — review-found)
+                if not valid:
+                    sys.exit("guard: no valid input files remain")
+                guarded_files = [str(f) for f in valid]
 
     spark = SparkSession.builder.appName("ragstudio-extract-chunk").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -93,7 +101,8 @@ def main() -> None:
     if args.synthetic:
         df = tsrc.transcripts_df(spark, args.synthetic)
     elif args.input:
-        df = spark.read.parquet(args.input)
+        df = (spark.read.parquet(*guarded_files) if guarded_files
+              else spark.read.parquet(args.input))
     else:
         p.error("one of --input / --synthetic is required")
 

@@ -207,3 +207,73 @@ class TestDistributedGuard:
         plan = guards.guard_listing_df(
             df, "/in")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestThirdPassRegressions:
+    def test_relative_listing_paths_quarantined(self, spark):
+        """A relative key resolves against the reader's CWD — a
+        DIFFERENT file than the base-joined one; prefixing '/' let it
+        impersonate an absolute path and pass containment
+        (review-found, third pass)."""
+        df = spark.createDataFrame(
+            [("data/in/rel.pdf", 10), ("/data/in/abs.pdf", 10)],
+            "path string, size_bytes bigint")
+        out = {r["path"]: (r["allowed"], r["reason"])
+               for r in guards.guard_listing_df(df, "/data/in").collect()}
+        assert out["data/in/rel.pdf"] == (False, "relative_path")
+        assert out["/data/in/abs.pdf"] == (True, None)
+
+    def test_root_base_admits_everything_under_root(self, spark):
+        """base '/' normalized to '//' and quarantined every row
+        (review-found, third pass)."""
+        df = spark.createDataFrame([("/x/a.pdf", 10)],
+                                   "path string, size_bytes bigint")
+        row = guards.guard_listing_df(df, "/").first()
+        assert row["allowed"] is True
+
+    def test_dotdot_through_symlink_cannot_bypass_check(self, tmp_path):
+        """normpath('/base/link/../doc') lexically erases the link
+        component without stat'ing it (review-found, third pass) —
+        '..'-bearing paths fail closed in the symlink check."""
+        base = tmp_path / "base"
+        (base / "real").mkdir(parents=True)
+        link = base / "link"
+        link.symlink_to(base / "real")
+        doc = base / "doc.txt"
+        doc.write_text("x")
+        with pytest.raises(ValueError, match="traversal"):
+            guards.validate_no_symlinks(
+                base / "link" / ".." / "doc.txt", base_dir=base)
+        # clean paths still pass
+        assert guards.validate_no_symlinks(doc, base_dir=base)
+
+    def test_run_job_gate_reads_only_validated_files(self, tmp_path):
+        """The gate has teeth: an oversized parquet file is excluded
+        from the read, not merely warned about (review-found, third
+        pass: the filtered list was discarded)."""
+        import json
+        import os
+        import subprocess
+        import sys as _sys
+
+        from ragstudio_spark.session import get_spark
+        from ragstudio_spark.sources import transcripts as tsrc
+
+        spark = get_spark("guards-e2e", master="local[2]",
+                          shuffle_partitions=4)
+        inp = str(tmp_path / "in")
+        tsrc.transcripts_df(spark, 40, partitions=1).write.parquet(inp)
+        # an oversized decoy parquet alongside the real data
+        big = os.path.join(inp, "decoy.parquet")
+        with open(big, "wb") as f:
+            f.write(b"x" * (2 * 1024 * 1024))
+        env = dict(os.environ, RAGSTUDIO_MAX_FILE_SIZE_MB="1")
+        out = subprocess.run(
+            [_sys.executable, "scripts/run_job.py", "--input", inp,
+             "--output", str(tmp_path / "out"), "--run-id", "g1"],
+            capture_output=True, text=True, env=env, timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(
+                guards.__file__))) + "/..")
+        assert "Skipping invalid file" in out.stderr
+        summary = json.loads(out.stdout.strip().splitlines()[-1])
+        assert summary["total_turns"] == 40   # decoy never read
