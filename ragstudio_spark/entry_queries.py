@@ -4370,6 +4370,96 @@ ORDER BY c.query_id, rank
 _def("rag_compression_retrieve", (_compress_fn, _compress_duck_sql()))
 
 
+# -- 51. distributed ingestion guard (pipeline/guards.guard_listing_df ↔
+#        reference security.py:31-693, the 10^9-object listing form):
+#        a synthetic listing derived from documents exercises every
+#        quarantine reason — relative paths, traversal, outside-base,
+#        oversized, bad extension, NULL size — and the fail-closed
+#        NULL handling. The twin replays the same rules in SQL.
+def _guard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.pipeline import guards
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    listing = docs.select(
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit("corpus/in/rel_"), F.col("doc_id"),
+                        F.lit(".txt")))                       # relative
+        .when(F.col("doc_id") % 11 == 1,
+              F.concat(F.lit("/corpus/in/../esc_"), F.col("doc_id"),
+                       F.lit(".txt")))                        # traversal
+        .when(F.col("doc_id") % 11 == 2,
+              F.concat(F.lit("/corpus/out/o_"), F.col("doc_id"),
+                       F.lit(".txt")))                        # outside
+        .when(F.col("doc_id") % 11 == 3,
+              F.concat(F.lit("/corpus/in/x_"), F.col("doc_id"),
+                       F.lit(".exe")))                        # bad ext
+        .otherwise(
+            F.concat(F.lit("/corpus/in//d_"), F.col("doc_id"),
+                     F.lit(".txt")))                          # ok (// ok)
+        .alias("path"),
+        F.when(F.col("doc_id") % 11 == 4, F.lit(None).cast("bigint"))
+        .when(F.col("doc_id") % 11 == 5,
+              F.lit(3 * 1024 * 1024).cast("bigint"))          # too big
+        .otherwise((F.length("text")).cast("bigint")).alias("size_bytes"))
+    out = guards.guard_listing_df(
+        listing, "/corpus/in",
+        guards.SecurityConfig(max_file_size_mb=1),
+        allowed_extensions=("txt", "pdf"))
+    return (out.groupBy("reason")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.when(F.col("allowed"), F.col("size_bytes"))
+                       .otherwise(0)).cast("bigint").alias("allowed_bytes"))
+            .orderBy(F.coalesce("reason", F.lit("~live"))))
+
+
+def _guard_duck_sql() -> str:
+    return """
+WITH listing AS (
+  SELECT CASE
+           WHEN doc_id % 11 = 0 THEN 'corpus/in/rel_' || CAST(doc_id AS VARCHAR) || '.txt'
+           WHEN doc_id % 11 = 1 THEN '/corpus/in/../esc_' || CAST(doc_id AS VARCHAR) || '.txt'
+           WHEN doc_id % 11 = 2 THEN '/corpus/out/o_' || CAST(doc_id AS VARCHAR) || '.txt'
+           WHEN doc_id % 11 = 3 THEN '/corpus/in/x_' || CAST(doc_id AS VARCHAR) || '.exe'
+           ELSE '/corpus/in//d_' || CAST(doc_id AS VARCHAR) || '.txt'
+         END AS path,
+         CASE WHEN doc_id % 11 = 4 THEN NULL
+              WHEN doc_id % 11 = 5 THEN CAST(3 * 1024 * 1024 AS BIGINT)
+              ELSE CAST(length(text) AS BIGINT) END AS size_bytes
+  FROM documents
+), annotated AS (
+  SELECT path, size_bytes,
+         CASE
+           WHEN path IS NULL THEN 'null_path'
+           WHEN size_bytes IS NULL THEN 'unknown_size'
+           WHEN NOT path LIKE '/%' THEN 'relative_path'
+           WHEN list_contains(list_filter(string_split(path, '/'),
+                  s -> s <> '' AND s <> '.'), '..')
+             THEN 'parent_traversal'
+           WHEN NOT ('/' || array_to_string(list_filter(
+                  string_split(path, '/'), s -> s <> '' AND s <> '.'),
+                  '/') || '/') LIKE '/corpus/in/%'
+             THEN 'outside_base_dir'
+           WHEN size_bytes > 1 * 1024 * 1024 THEN 'file_too_large'
+           WHEN lower(list_extract(string_split(path, '.'), -1))
+                  NOT IN ('txt', 'pdf') THEN 'extension_not_allowed'
+           ELSE NULL END AS reason
+  FROM listing
+)
+SELECT reason, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN reason IS NULL THEN size_bytes ELSE 0 END)
+            AS BIGINT) AS allowed_bytes
+FROM annotated
+GROUP BY reason
+ORDER BY coalesce(reason, '~live')
+"""
+
+
+_def("ingest_guard_listing", (_guard_fn, _guard_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------
