@@ -179,7 +179,8 @@ def main() -> None:
                  "mixture_plan", "ann_recall_report", "curate_sft_report",
                  # round-6 operators
                  "cache_asof_read", "rag_context_assembly",
-                 "rag_answer_format", "rag_multi_query_fused"):
+                 "rag_answer_format", "rag_multi_query_fused",
+                 "rag_compression_retrieve", "ingest_guard_listing"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # post-run serial probe: drift vs the pre-run probe means the host's

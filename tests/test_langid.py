@@ -110,3 +110,34 @@ class TestScriptCensus:
         assert langid.STOPWORDS["fr"][:5] == ("le", "la", "les", "des", "une")
         assert set(langid.STOPWORDS) >= {"en", "fr", "es", "de", "it", "pt",
                                          "nl", "sv", "da", "ro", "pl"}
+
+
+class TestRobustness:
+    def test_arbitrary_unicode_never_crashes_and_is_deterministic(self):
+        import random
+
+        rng = random.Random(99)
+        pools = [(0x20, 0x7E), (0x400, 0x4FF), (0x600, 0x6FF),
+                 (0x4E00, 0x4FFF), (0x3040, 0x30FF), (0xAC00, 0xAC7F),
+                 (0x1F600, 0x1F64F), (0xD7A4, 0xD7AF)]  # incl. unassigned
+        for _ in range(200):
+            lo, hi = rng.choice(pools)
+            s = "".join(chr(rng.randrange(lo, hi + 1))
+                        for _ in range(rng.randrange(0, 80)))
+            a = langid.detect_language(s)
+            assert a == langid.detect_language(s)     # deterministic
+            assert a is None or a in langid.supported_languages()
+
+    def test_ascii_fast_path_equals_stopword_scorer(self):
+        """For pure-ASCII text the census must be a no-op: the result
+        equals the plain stopword argmax (the fast path cannot change
+        semantics, only skip work)."""
+        texts = ["the cat and the dog in the house",
+                 "le chat est dans la maison avec le chien",
+                 "", "12345", "zzz qqq"]
+        for t in texts:
+            assert t.isascii()
+            scores = langid.language_scores(t)
+            best = min(scores, key=lambda lang: (-scores[lang], lang))
+            expected = best if scores[best] > 0 else None
+            assert langid.detect_language(t) == expected
