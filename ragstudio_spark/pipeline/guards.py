@@ -118,11 +118,17 @@ def validate_no_symlinks(file_path: Path,
         # a '..' segment in the FILE path makes lexical normalization
         # unsound here: normpath('/data/link/../doc') erases the link
         # component without ever stat'ing it (review-found, third
-        # pass) — fail closed; validate_path_safe handles resolution
+        # pass) — fail closed UNLESS the operator explicitly enabled
+        # parent traversal (the same SecurityConfig knob the pattern
+        # check honors; fourth pass), in which case only the direct
+        # file check above applies — a traversal-bearing path cannot
+        # be walked soundly without resolve()
         abs_p = p if p.is_absolute() else p.absolute()
         if ".." in abs_p.parts:
-            raise ValueError(
-                f"Parent traversal not allowed in path: {file_path}")
+            if not config.allow_parent_traversal:
+                raise ValueError(
+                    f"Parent traversal not allowed in path: {file_path}")
+            return file_path
         # normpath on the BASE only (trusted input, and required so an
         # unnormalized base cannot no-op the walk); never resolve() —
         # resolving would follow the very symlinks we detect
@@ -193,13 +199,20 @@ def validate_batch_size(files: list[Path],
 
 
 def total_size_warning(files: list[Path],
-                       config: SecurityConfig | None = None) -> str | None:
+                       config: SecurityConfig | None = None,
+                       sizes_mb: list[float | None] | None = None
+                       ) -> str | None:
     """security.py:303-342: the total-size check WARNS, never raises;
     threshold = max_file_size_mb × len(files); non-existent files are
-    skipped (the reference's ``if f.exists()`` guard)."""
+    skipped (the reference's ``if f.exists()`` guard). ``sizes_mb``
+    lets a caller that already stat'ed the batch reuse those numbers
+    (one source of truth for the threshold AND the message)."""
     config = config or SecurityConfig()
-    total_mb = sum(Path(f).stat().st_size
-                   for f in files if Path(f).exists()) / (1024 * 1024)
+    if sizes_mb is None:
+        total_mb = sum(Path(f).stat().st_size
+                       for f in files if Path(f).exists()) / (1024 * 1024)
+    else:
+        total_mb = sum(s for s in sizes_mb if s is not None)
     max_total_mb = config.max_file_size_mb * len(files)
     if total_mb > max_total_mb:
         return (f"Total batch size is {total_mb:.1f}MB "
@@ -254,13 +267,10 @@ def validate_batch_comprehensive(
             sizes[f] = _stat_size_mb(f)
         except ValueError:
             sizes[f] = None
-    total_mb = sum(s for s in sizes.values() if s is not None)
-    max_total_mb = config.max_file_size_mb * len(files)
-    if total_mb > max_total_mb:
-        warnings.append(
-            f"Total batch size is {total_mb:.1f}MB "
-            f"(max {max_total_mb:.1f}MB). Processing may require "
-            f"significant memory.")
+    w = total_size_warning(files, config,
+                           sizes_mb=list(sizes.values()))
+    if w:
+        warnings.append(w)
     validated: list[Path] = []
     for f in files:
         size_mb = sizes[f]
@@ -314,10 +324,17 @@ def guard_listing_df(listing: DataFrame, base_dir: str,
         base_norm += "/"
     segs = _norm_segments(F.col(path_col))
     p = F.concat(F.lit("/"), F.array_join(segs, "/"), F.lit("/"))
-    # a RELATIVE listing path resolves against the reader's CWD — a
-    # different file than the base-joined one; prefixing '/' would let
-    # it impersonate an absolute path (review-found, third pass)
-    relative = ~F.col(path_col).startswith("/")
+    # addressing must MATCH the base's: against an absolute base a
+    # relative key resolves to the reader's CWD (third pass), while a
+    # bucket-relative base (S3 inventory keys — the module's headline
+    # use case) legitimately carries un-prefixed keys and an absolute
+    # key there is the anomaly (fourth pass). Both sides normalize to
+    # the same '/'-anchored form, so containment itself is shared.
+    base_is_abs = base_dir.startswith("/")
+    starts_slash = F.col(path_col).startswith("/")
+    mismatched = (~starts_slash) if base_is_abs else starts_slash
+    mismatch_reason = ("relative_path" if base_is_abs
+                       else "absolute_path_for_relative_base")
     outside = ~p.startswith(base_norm)
     traversal = F.array_contains(segs, "..")
     too_big = (F.col(size_col)
@@ -328,7 +345,7 @@ def guard_listing_df(listing: DataFrame, base_dir: str,
                if allowed_extensions else F.lit(False))
     reason = (F.when(F.col(path_col).isNull(), F.lit("null_path"))
               .when(F.col(size_col).isNull(), F.lit("unknown_size"))
-              .when(relative, F.lit("relative_path"))
+              .when(mismatched, F.lit(mismatch_reason))
               .when(traversal, F.lit("parent_traversal"))
               .when(outside, F.lit("outside_base_dir"))
               .when(too_big, F.lit("file_too_large"))

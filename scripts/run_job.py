@@ -101,7 +101,12 @@ def main() -> None:
     if args.synthetic:
         df = tsrc.transcripts_df(spark, args.synthetic)
     elif args.input:
-        df = (spark.read.parquet(*guarded_files) if guarded_files
+        # basePath keeps hive-partition columns identical between the
+        # filtered (explicit leaf files) and unfiltered (directory)
+        # branches — without it a skipped file would silently change
+        # the dataset schema (review-found)
+        df = (spark.read.option("basePath", args.input)
+              .parquet(*guarded_files) if guarded_files
               else spark.read.parquet(args.input))
     else:
         p.error("one of --input / --synthetic is required")

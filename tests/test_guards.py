@@ -247,20 +247,20 @@ class TestThirdPassRegressions:
         # clean paths still pass
         assert guards.validate_no_symlinks(doc, base_dir=base)
 
-    def test_run_job_gate_reads_only_validated_files(self, tmp_path):
+    def test_run_job_gate_reads_only_validated_files(self, spark,
+                                                     tmp_path):
         """The gate has teeth: an oversized parquet file is excluded
         from the read, not merely warned about (review-found, third
-        pass: the filtered list was discarded)."""
+        pass: the filtered list was discarded). Uses the shared session
+        fixture to write the fixture data (fourth pass: a second
+        get_spark here silently ignored its master/shuffle args)."""
         import json
         import os
         import subprocess
         import sys as _sys
 
-        from ragstudio_spark.session import get_spark
         from ragstudio_spark.sources import transcripts as tsrc
 
-        spark = get_spark("guards-e2e", master="local[2]",
-                          shuffle_partitions=4)
         inp = str(tmp_path / "in")
         tsrc.transcripts_df(spark, 40, partitions=1).write.parquet(inp)
         # an oversized decoy parquet alongside the real data
@@ -277,3 +277,53 @@ class TestThirdPassRegressions:
         assert "Skipping invalid file" in out.stderr
         summary = json.loads(out.stdout.strip().splitlines()[-1])
         assert summary["total_turns"] == 40   # decoy never read
+
+
+class TestFourthPassRegressions:
+    def test_relative_base_accepts_bucket_relative_keys(self, spark):
+        """The module's headline use case — S3 inventory keys are
+        bucket-relative (no leading '/'); against a relative base they
+        must pass containment, and an ABSOLUTE key is the anomaly
+        (review-found, fourth pass: the relative quarantine killed
+        every object-store listing)."""
+        df = spark.createDataFrame(
+            [("corpus/in/a.txt", 10),
+             ("corpus/out/b.txt", 10),
+             ("/abs/c.txt", 10)],
+            "path string, size_bytes bigint")
+        out = {r["path"]: (r["allowed"], r["reason"])
+               for r in guards.guard_listing_df(
+                   df, "corpus/in").collect()}
+        assert out["corpus/in/a.txt"] == (True, None)
+        assert out["corpus/out/b.txt"] == (False, "outside_base_dir")
+        assert out["/abs/c.txt"] == \
+            (False, "absolute_path_for_relative_base")
+
+    def test_allow_parent_traversal_knob_reaches_symlink_check(
+            self, tmp_path):
+        """With the knob ON, a '..'-bearing path is admitted by the
+        symlink check (only the direct-file check applies — the walk
+        cannot be done soundly without resolve()); OFF keeps the
+        fail-closed third-pass behavior (review-found, fourth
+        pass)."""
+        base = tmp_path / "base"
+        (base / "sub").mkdir(parents=True)
+        doc = base / "doc.txt"
+        doc.write_text("x")
+        p = base / "sub" / ".." / "doc.txt"
+        with pytest.raises(ValueError, match="traversal"):
+            guards.validate_no_symlinks(p, base_dir=base)
+        cfg = guards.SecurityConfig(allow_parent_traversal=True)
+        assert guards.validate_no_symlinks(p, cfg, base_dir=base) == p
+
+    def test_total_size_warning_reuses_precomputed_sizes(self, tmp_path):
+        f = tmp_path / "a.bin"
+        f.write_bytes(b"x" * 1024)
+        cfg = guards.SecurityConfig(max_file_size_mb=1)
+        # precomputed sizes drive the same threshold and message as
+        # the stat path (one source of truth)
+        direct = guards.total_size_warning([f, f, f], cfg)
+        via_sizes = guards.total_size_warning(
+            [f, f, f], cfg, sizes_mb=[2.0, 2.0, None])
+        assert direct is None
+        assert via_sizes is not None and "4.0MB" in via_sizes
