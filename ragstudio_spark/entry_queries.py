@@ -4460,6 +4460,97 @@ ORDER BY coalesce(reason, '~live')
 _def("ingest_guard_listing", (_guard_fn, _guard_duck_sql()))
 
 
+# -- 52. corpus-wide line dedup (operators/dedupe.py line_dedup): C4/CCNet
+#        duplicated-line removal. The flat word-stream corpus is shaped
+#        into 12-word lines (deterministic, identical in both dialects),
+#        then every ≥5-word line that occurred earlier (lexicographic
+#        (doc_id, line_idx)) is dropped and the doc rebuilt. The Spark
+#        side is the scale shape — groupBy(hash).min(struct) first-
+#        occurrence (map-side combinable, no window on a skewed hash
+#        partition) + keyed join back; the twin uses a row_number window
+#        (oracle-only). 206 of 2,477 lines sit in dup groups at sf0.01 —
+#        non-vacuous by construction (the corpus's near-dup seeds).
+_LD_K = 12          # words per shaped line
+_LD_MIN_WORDS = 5   # exemption threshold inside line_dedup
+
+
+def _line_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    k = _LD_K
+    # bind the words array once (the 58× inlining lesson) before the
+    # per-line transform references it k times
+    bound = dedupe._bound_words(spark.table("documents"), "text", "doc_id")
+    lines = F.when(
+        F.size("_w") > 0,
+        F.transform(
+            F.sequence(F.lit(0),
+                       F.floor((F.size("_w") + (k - 1)) / F.lit(k))
+                        .cast("int") - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_w"), (i * k + 1).cast("int"), k))),
+    ).otherwise(F.array().cast("array<string>"))
+    shaped = bound.select(
+        "doc_id", F.array_join(lines, "\n").alias("text"))
+    out = dedupe.line_dedup(shaped, min_words=_LD_MIN_WORDS)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "n_dropped",
+        F.md5("kept_text").alias("kept_md5"))
+
+
+def _line_dedup_duck_sql() -> str:
+    k, mw = _LD_K, _LD_MIN_WORDS
+    words = _words_expr("text", "duck")
+    line_words = _words_expr("line", "duck")
+    return f"""
+WITH w AS (
+  SELECT doc_id, {words} AS w FROM documents
+), shaped AS (
+  SELECT doc_id,
+         COALESCE(array_to_string(
+           list_transform(range(0, (len(w) + {k - 1}) // {k}),
+             i -> array_to_string(list_slice(w, i*{k}+1, i*{k}+{k}), ' ')),
+           chr(10)), '') AS text
+  FROM w
+), ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM shaped
+), ex AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(0, len(ls))) AS line_idx
+  FROM ls
+), marked AS (
+  SELECT doc_id, line_idx, line,
+         len({line_words}) >= {mw} AS eligible,
+         md5(line) AS h
+  FROM ex
+), ranked AS (
+  SELECT *,
+         CASE WHEN eligible THEN row_number() OVER (
+           PARTITION BY CASE WHEN eligible THEN h END
+           ORDER BY doc_id, line_idx) END AS rn
+  FROM marked
+), kept AS (
+  SELECT doc_id, line_idx, line,
+         (NOT eligible) OR rn = 1 AS keep
+  FROM ranked
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY line_idx), '')) AS kept_md5
+FROM kept
+GROUP BY doc_id
+"""
+
+
+_def("line_dedup", (_line_dedup_fn, _line_dedup_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

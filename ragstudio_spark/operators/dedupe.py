@@ -706,3 +706,63 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         "jaccard", F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     ).select("doc_a", "doc_b", "jaccard")
     return out.filter(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out
+
+
+def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               sep: str = "\n", min_words: int = 5) -> DataFrame:
+    """C4/CCNet-style duplicated-line removal across the whole corpus.
+
+    Every line (text split on ``sep``) that already occurred earlier in the
+    corpus — "earlier" meaning a smaller ``(id, line_idx)`` pair under
+    lexicographic order — is dropped; the first occurrence survives. Lines
+    with fewer than ``min_words`` whitespace words are exempt (always
+    kept): short fragments ("Introduction", a lone page number, the empty
+    line) are structural, not boilerplate, and corpus-wide uniqueness is
+    meaningless for them. This is the line-granularity complement of
+    ``repeated_spans``/``cut_repeated_spans`` (word-window spans inside a
+    line) — public technique per C4 (Raffel et al. 2020, "three-sentence
+    span" dedup) and CCNet/Dolma paragraph dedup.
+
+    Scale shape (the reason this is NOT a window over line-hash): first
+    occurrences come from ``groupBy(hash).agg(min(struct(id, idx)))`` — a
+    partially-aggregatable min that combines map-side, so a boilerplate
+    line appearing in 10⁸ documents costs one struct per map task, not a
+    10⁸-row window partition on one reducer. The join back is keyed on the
+    same hash (co-partitioned under AQE), and the per-document rebuild
+    groups on the id — three keyed shuffles total, no skew amplification.
+
+    Returns one row per input row: ``(id, n_lines, n_kept, n_dropped,
+    kept_text)`` where ``kept_text`` is the surviving lines re-joined with
+    ``sep`` in original order.
+    """
+    lines = (
+        df.select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
+                  .alias("line_idx", "line"))
+        .withColumn("eligible", F.size(words_col(F.col("line"))) >= min_words)
+        .withColumn("h", F.md5(F.col("line")))
+    )
+    firsts = (
+        lines.filter(F.col("eligible"))
+        .groupBy("h")
+        .agg(F.min(F.struct(F.col(id_col).alias("fid"),
+                            F.col("line_idx").alias("fidx"))).alias("first"))
+    )
+    kept = (
+        lines.join(firsts, on="h", how="left")
+        .withColumn("keep", (~F.col("eligible"))
+                    | ((F.col(f"first.fid") == F.col(id_col))
+                       & (F.col("first.fidx") == F.col("line_idx"))))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(F.count("*").alias("n_lines"),
+             F.sum(F.col("keep").cast("long")).alias("n_kept"),
+             F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("keep"),
+                                F.struct("line_idx", "line")))),
+                     lambda s: s["line"]),
+                 sep).alias("kept_text"))
+    )

@@ -1,0 +1,107 @@
+"""Round-6 continuation operators: non-twin checks (CLAUDE.md invariant 6).
+
+Each operator added in the continuation session gets (a) a hand-computed
+unit on a fixture small enough to verify by eye and (b) a seeded
+randomized differential against a pure-Python replica of the CONTRACT —
+independent of both the Spark implementation and the DuckDB twin.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from ragstudio_spark.operators import dedupe
+
+
+def _line_dedup_replica(docs, min_words=5):
+    """Contract replica: drop every >=min_words-word line whose text
+    occurred at a lexicographically smaller (doc_id, line_idx); shorter
+    lines are exempt. docs: list of (doc_id, text)."""
+    firsts = {}
+    rows = []
+    for doc_id, text in docs:
+        for idx, line in enumerate(text.split("\n")):
+            eligible = len([w for w in line.lower().split() if w]) >= min_words
+            rows.append((doc_id, idx, line, eligible))
+            if eligible and line not in firsts:
+                firsts[line] = (doc_id, idx)
+    out = {}
+    for doc_id, idx, line, eligible in rows:
+        n_lines, n_kept, kept = out.setdefault(doc_id, [0, 0, []])
+        keep = (not eligible) or firsts[line] == (doc_id, idx)
+        out[doc_id][0] += 1
+        out[doc_id][1] += 1 if keep else 0
+        if keep:
+            kept.append(line)
+    return {
+        d: (n, k, n - k, "\n".join(kept))
+        for d, (n, k, kept) in out.items()
+    }
+
+
+class TestLineDedup:
+    def _run(self, spark, docs, **kw):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = dedupe.line_dedup(df, **kw).collect()
+        return {r["doc_id"]: (r["n_lines"], r["n_kept"], r["n_dropped"],
+                              r["kept_text"]) for r in rows}
+
+    def test_hand_computed(self, spark):
+        docs = [
+            (1, "alpha beta gamma delta epsilon\nshort line\n"
+                "one two three four five six"),
+            (2, "alpha beta gamma delta epsilon\nunique words in the second doc\n"
+                "short line"),
+            (3, "one two three four five six\nalpha beta gamma delta epsilon"),
+        ]
+        got = self._run(spark, docs)
+        # doc 1 is first everywhere: all three lines survive
+        assert got[1] == (3, 3, 0,
+                          "alpha beta gamma delta epsilon\nshort line\n"
+                          "one two three four five six")
+        # doc 2: first line is a corpus dup (doc 1 owns it); "short line"
+        # has 2 words -> exempt even though duplicated
+        assert got[2] == (3, 2, 1,
+                          "unique words in the second doc\nshort line")
+        # doc 3: both lines already occurred
+        assert got[3] == (2, 0, 2, "")
+
+    def test_within_doc_duplicates_drop(self, spark):
+        docs = [(7, "a b c d e f\na b c d e f\ntail")]
+        got = self._run(spark, docs)
+        assert got[7] == (3, 2, 1, "a b c d e f\ntail")
+
+    def test_empty_text_passes_through(self, spark):
+        got = self._run(spark, [(1, ""), (2, "")])
+        assert got[1] == (1, 1, 0, "")
+        assert got[2] == (1, 1, 0, "")
+
+    def test_randomized_vs_replica(self, spark):
+        rng = random.Random(0x51DE)
+        pool = [
+            " ".join(f"w{rng.randrange(30)}" for _ in range(rng.randrange(2, 9)))
+            for _ in range(40)
+        ]
+        docs = [
+            (d, "\n".join(rng.choice(pool)
+                          for _ in range(rng.randrange(1, 12))))
+            for d in range(60)
+        ]
+        expected = _line_dedup_replica(docs)
+        got = self._run(spark, docs)
+        assert got == expected
+        # at least one drop and one exemption actually exercised
+        assert any(v[2] > 0 for v in expected.values())
+        assert any(v[1] > 0 and v[2] > 0 for v in expected.values())
+
+    def test_partition_independent(self, spark):
+        rng = random.Random(0xFACE)
+        pool = ["p q r s t u", "v w x y z zz", "one two"]
+        docs = [(d, "\n".join(rng.choice(pool) for _ in range(5)))
+                for d in range(20)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        a = {r["doc_id"]: r["kept_text"]
+             for r in dedupe.line_dedup(df.coalesce(1)).collect()}
+        b = {r["doc_id"]: r["kept_text"]
+             for r in dedupe.line_dedup(df.repartition(7)).collect()}
+        assert a == b
