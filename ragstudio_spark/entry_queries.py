@@ -4551,6 +4551,86 @@ GROUP BY doc_id
 _def("line_dedup", (_line_dedup_fn, _line_dedup_duck_sql()))
 
 
+# -- 53. per-conversation dialogue statistics (operators/convlint.py
+#        conversation_stats): turn-taking metrics — role counts, run-length
+#        encoding (longest same-role streak, switch count), first/last
+#        speaker, exact-integer word accounting. Transcript shaping: the
+#        documents table grouped by source, roles assigned by doc_id % 5
+#        (2 user / 2 assistant / 1 tool) so runs and switches are both
+#        non-trivial (consecutive doc_ids within a source repeat residues
+#        often enough for multi-turn runs).
+def _conv_stats_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    _register(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    role = (F.when(F.col("doc_id") % 5 < 2, "user")
+            .when(F.col("doc_id") % 5 < 4, "assistant")
+            .otherwise("tool"))
+    return (spark.table("documents")
+            .select(F.col("source").alias("conv_id"),
+                    (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+                    role.alias("role"), "text"))
+
+
+def _conv_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import convlint
+
+    return convlint.conversation_stats(_conv_stats_shaped(spark, sf_dir))
+
+
+def _conv_stats_duck_sql() -> str:
+    words = _words_expr("COALESCE(text, '')", "duck")
+    role_sums = ",\n       ".join(
+        f"CAST(sum(CASE WHEN run_role = '{r}' THEN run_len ELSE 0 END) "
+        f"AS BIGINT) AS n_{r}"
+        for r in ("user", "assistant", "tool", "system"))
+    return f"""
+WITH shaped AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER w - 1 AS INT) AS turn_idx,
+         CASE WHEN doc_id % 5 < 2 THEN 'user'
+              WHEN doc_id % 5 < 4 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         text
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC)
+), t AS (
+  SELECT conv_id, turn_idx, role,
+         len({words}) AS n_words_turn,
+         CASE WHEN row_number() OVER w2 = 1 THEN 1
+              WHEN role IS DISTINCT FROM lag(role) OVER w2 THEN 1
+              ELSE 0 END AS changed
+  FROM shaped
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx ASC, role ASC)
+), runs0 AS (
+  SELECT *, sum(changed) OVER (
+    PARTITION BY conv_id ORDER BY turn_idx ASC, role ASC) AS run_id
+  FROM t
+), per_run AS (
+  SELECT conv_id, run_id,
+         count(*) AS run_len, sum(n_words_turn) AS run_words,
+         min(role) AS run_role,
+         min(turn_idx) AS run_min_idx, max(turn_idx) AS run_max_idx
+  FROM runs0 GROUP BY conv_id, run_id
+)
+SELECT conv_id,
+       CAST(sum(run_len) AS BIGINT) AS n_turns,
+       {role_sums},
+       CAST(sum(run_words) AS BIGINT) AS n_words,
+       CAST(count(*) - 1 AS BIGINT) AS n_role_switches,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       arg_min(run_role, run_min_idx) AS first_role,
+       arg_max(run_role, run_max_idx) AS last_role,
+       CAST(sum(run_words) AS DOUBLE) / sum(run_len) AS avg_words
+FROM per_run
+GROUP BY conv_id
+"""
+
+
+_def("conversation_stats", (_conv_stats_fn, _conv_stats_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

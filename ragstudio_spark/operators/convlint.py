@@ -148,3 +148,73 @@ def truncate_history(df: DataFrame, budget_tokens: int = 2048,
         "kept",
         (F.col("suffix_tokens") <= budget_tokens)
         | (F.row_number().over(newest) == 1))
+
+
+def conversation_stats(df: DataFrame, conv_col: str = "conv_id",
+                       idx_col: str = "turn_idx", role_col: str = "role",
+                       text_col: str = "text") -> DataFrame:
+    """Per-conversation turn-taking metrics: ``(conv_id, n_turns, n_user,
+    n_assistant, n_tool, n_system, n_words, n_role_switches, longest_run,
+    first_role, last_role, avg_words)``.
+
+    The dialogue-shape profile a transcript curation pass filters on
+    (degenerate single-speaker logs, tool-spam loops, monologue scrapes).
+    A *run* is a maximal streak of consecutive same-role turns under the
+    order (turn_idx, role) — NULL roles compare null-safely, so a
+    NULL-role streak is itself a run. ``n_role_switches`` = runs - 1;
+    ``longest_run`` is the longest streak; ``first_role``/``last_role``
+    come from the first/last run. ``avg_words`` is one exact-integer
+    division (oracle-exactness rule); ``n_words`` counts whitespace
+    tokens with NULL text as zero.
+
+    Scale shape: ONE per-conversation lag window (the same conv-bucketed
+    partitioning lint/truncate ride) feeding a TWO-LEVEL aggregate —
+    per-(conv, run) partial rows, then a per-conv rollup — so run
+    statistics come from map-side-combinable aggregates, never a second
+    pass over the turn list. Duplicate turn indices are ordered by
+    (turn_idx, role) and run-boundary ties broken by role, keeping the
+    output identical across partitionings (the lint window-order lesson).
+    """
+    wq = (Window.partitionBy("conv_id")
+          .orderBy(F.asc("turn_idx"), F.asc_nulls_first("role")))
+    words = F.size(F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                    r"\s+"),
+                            lambda t: t != ""))
+    turns = df.select(
+        F.col(conv_col).alias("conv_id"), F.col(idx_col).alias("turn_idx"),
+        F.col(role_col).alias("role"), words.alias("n_words_turn"))
+    prev = F.lag("role").over(wq)
+    turns = turns.withColumn(
+        "changed",
+        F.when(F.row_number().over(wq) == 1, F.lit(1))
+        .otherwise((~F.col("role").eqNullSafe(prev)).cast("long")))
+    turns = turns.withColumn("run_id", F.sum("changed").over(wq))
+    per_run = (
+        turns.groupBy("conv_id", "run_id")
+        .agg(F.count("*").alias("run_len"),
+             F.sum("n_words_turn").alias("run_words"),
+             # every turn in a run shares one role by construction
+             F.min("role").alias("run_role"),
+             F.min("turn_idx").alias("run_min_idx"),
+             F.max("turn_idx").alias("run_max_idx"))
+    )
+    role_n = {r: F.sum(F.when(F.col("run_role") == r,
+                              F.col("run_len")).otherwise(0))
+              for r in ("user", "assistant", "tool", "system")}
+    return (
+        per_run.groupBy("conv_id")
+        .agg(F.sum("run_len").alias("n_turns"),
+             role_n["user"].alias("n_user"),
+             role_n["assistant"].alias("n_assistant"),
+             role_n["tool"].alias("n_tool"),
+             role_n["system"].alias("n_system"),
+             F.sum("run_words").alias("n_words"),
+             (F.count("*") - 1).alias("n_role_switches"),
+             F.max("run_len").alias("longest_run"),
+             F.min_by("run_role",
+                      F.struct("run_min_idx", "run_role")).alias("first_role"),
+             F.max_by("run_role",
+                      F.struct("run_max_idx", "run_role")).alias("last_role"))
+        .withColumn("avg_words",
+                    F.col("n_words").cast("double") / F.col("n_turns"))
+    )

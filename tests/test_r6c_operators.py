@@ -105,3 +105,97 @@ class TestLineDedup:
         b = {r["doc_id"]: r["kept_text"]
              for r in dedupe.line_dedup(df.repartition(7)).collect()}
         assert a == b
+
+
+def _conv_stats_replica(turns):
+    """Contract replica. turns: list of (conv_id, turn_idx, role, text)."""
+    from collections import defaultdict
+    by_conv = defaultdict(list)
+    for c, i, r, t in turns:
+        by_conv[c].append((i, r, t))
+    out = {}
+    for c, ts in by_conv.items():
+        ts.sort(key=lambda x: (x[0], x[1] is not None, x[1] or ""))
+        runs = []
+        for i, r, t in ts:
+            nw = len((t or "").split())
+            if runs and runs[-1]["role"] == r:
+                runs[-1]["len"] += 1
+                runs[-1]["words"] += nw
+                runs[-1]["max_idx"] = max(runs[-1]["max_idx"], i)
+            else:
+                runs.append({"role": r, "len": 1, "words": nw,
+                             "min_idx": i, "max_idx": i})
+        n_turns = sum(r["len"] for r in runs)
+        n_words = sum(r["words"] for r in runs)
+        def n_role(x):
+            return sum(r["len"] for r in runs if r["role"] == x)
+        first = min(runs, key=lambda r: (r["min_idx"], r["role"] or ""))
+        last = max(runs, key=lambda r: (r["max_idx"], r["role"] or ""))
+        out[c] = (n_turns, n_role("user"), n_role("assistant"),
+                  n_role("tool"), n_role("system"), n_words,
+                  len(runs) - 1, max(r["len"] for r in runs),
+                  first["role"], last["role"],
+                  float(n_words) / n_turns)
+    return out
+
+
+class TestConversationStats:
+    COLS = ("n_turns", "n_user", "n_assistant", "n_tool", "n_system",
+            "n_words", "n_role_switches", "longest_run", "first_role",
+            "last_role", "avg_words")
+
+    def _run(self, spark, turns):
+        from ragstudio_spark.operators import convlint
+        df = spark.createDataFrame(
+            turns, "conv_id string, turn_idx int, role string, text string")
+        return {r["conv_id"]: tuple(r[c] for c in self.COLS)
+                for r in convlint.conversation_stats(df).collect()}
+
+    def test_hand_computed(self, spark):
+        turns = [
+            ("c1", 0, "user", "hello there"),
+            ("c1", 1, "assistant", "hi"),
+            ("c1", 2, "assistant", "how can I help"),
+            ("c1", 3, "user", "fix the bug"),
+            ("c2", 0, "system", "be terse"),
+            ("c2", 1, "user", None),
+        ]
+        got = self._run(spark, turns)
+        assert got["c1"] == (4, 2, 2, 0, 0, 10, 2, 2, "user", "user", 2.5)
+        assert got["c2"] == (2, 1, 0, 0, 1, 2, 1, 1, "system", "user", 1.0)
+
+    def test_null_role_breaks_run(self, spark):
+        turns = [("c", 0, "user", "a"), ("c", 1, None, "b"),
+                 ("c", 2, None, "c"), ("c", 3, "user", "d")]
+        got = self._run(spark, turns)
+        # runs: user | NULL NULL | user -> 3 runs, longest 2, 2 switches
+        assert got["c"][6] == 2 and got["c"][7] == 2
+        assert got["c"][1] == 2      # n_user counts only real user turns
+
+    def test_randomized_vs_replica(self, spark):
+        rng = random.Random(0xD1A6)
+        roles = ["user", "assistant", "tool", "system", None]
+        turns = []
+        for c in range(15):
+            n = rng.randrange(1, 20)
+            for i in range(n):
+                turns.append((f"c{c}", i, rng.choice(roles),
+                              " ".join("w" for _ in range(rng.randrange(0, 6)))
+                              or None))
+        got = self._run(spark, turns)
+        assert got == _conv_stats_replica(turns)
+
+    def test_duplicate_indices_deterministic(self, spark):
+        # duplicate turn_idx with different roles: ordered by (idx, role)
+        turns = [("c", 0, "user", "a"), ("c", 1, "tool", "b"),
+                 ("c", 1, "assistant", "c"), ("c", 2, "user", "d")]
+        from ragstudio_spark.operators import convlint
+        df = spark.createDataFrame(
+            turns, "conv_id string, turn_idx int, role string, text string")
+        a = self._run(spark, turns)
+        b = {r["conv_id"]: tuple(r[c] for c in self.COLS)
+             for r in convlint.conversation_stats(df.repartition(5)).collect()}
+        assert a == b
+        # order user | assistant | tool | user -> 4 runs
+        assert a["c"][6] == 3
