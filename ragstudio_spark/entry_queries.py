@@ -4631,6 +4631,65 @@ GROUP BY conv_id
 _def("conversation_stats", (_conv_stats_fn, _conv_stats_duck_sql()))
 
 
+# -- 54. SQ8 scalar-quantized ANN (operators/similarity.py sq8_topk):
+#        per-dimension min/max calibration → 8-bit affine codes → ranking
+#        by the DEQUANTIZED-space dot product (code-space dot would
+#        reorder results through the affine shift). min/max calibration
+#        is order-independent exact, the quantize/dequantize arithmetic
+#        repeats the identical IEEE-double expression shape, and the dot
+#        is the pinned left-fold — so ranks match; output is rank-only
+#        (the float-tier convention).
+def _sq8_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import similarity
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    return similarity.sq8_topk(vectors, vectors.filter("vec_id < 8"), k=5)
+
+
+def _sq8_duck_sql() -> str:
+    quant = ("CASE WHEN p.maxs[j+1] - p.mins[j+1] = 0 THEN 0 "
+             "ELSE CAST(least(255, greatest(0, "
+             "floor((CAST(e.embedding[j+1] AS DOUBLE) - p.mins[j+1]) "
+             "/ (p.maxs[j+1] - p.mins[j+1]) * 255.0))) AS BIGINT) END")
+    deq = ("p.mins[j+1] + CAST(c.code[j+1] AS DOUBLE) "
+           "* ((p.maxs[j+1] - p.mins[j+1]) / 255.0)")
+    return f"""
+WITH dims AS (
+  SELECT pos, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+  FROM (SELECT unnest(embedding) AS x,
+               unnest(range(0, len(embedding))) AS pos
+        FROM embeddings) u
+  GROUP BY pos
+), params AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+  FROM dims
+), codes AS (
+  SELECT e.vec_id,
+         list_transform(range(0, len(e.embedding)), j -> {quant}) AS code
+  FROM embeddings e, params p
+), deq AS (
+  SELECT c.vec_id,
+         list_transform(range(0, len(c.code)), j -> {deq}) AS vhat
+  FROM codes c, params p
+), scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         {_dot_duck('q.vhat', 'v.vhat')} AS score
+  FROM deq q JOIN deq v
+    ON q.vec_id < 8 AND v.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored) r
+WHERE rank <= 5
+"""
+
+
+_def("ann_sq8_topk", (_sq8_fn, _sq8_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -538,3 +538,107 @@ def hyperplane_buckets(vectors: DataFrame, planes: DataFrame,
         F.sum(F.col("bit").cast("bigint")
               * F.pow(2, F.col(plane_id_col)).cast("bigint")).cast("bigint").alias("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# scalar quantization (SQ8)
+# --------------------------------------------------------------------------
+
+def sq8_params(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension [min, max] calibration for 8-bit scalar quantization:
+    one row ``(mins: array<double>, maxs: array<double>)``.
+
+    min/max are order-independent exact aggregates (unlike float sums), so
+    the parameters — and therefore every derived code — are identical
+    across partitionings and engines. localCheckpointed: the params feed
+    BOTH the corpus encode and the query encode (the tiny-model fan-out
+    rule — without it each consumer re-runs the corpus scan).
+    """
+    dims = (
+        vectors.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min(F.col("x").cast("double")).alias("mn"),
+             F.max(F.col("x").cast("double")).alias("mx"))
+    )
+    return (
+        dims.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mn", "mx")))
+             .alias("_s"))
+        .select(F.transform("_s", lambda s: s["mn"]).alias("mins"),
+                F.transform("_s", lambda s: s["mx"]).alias("maxs"))
+        .localCheckpoint()
+    )
+
+
+def sq8_encode(vectors: DataFrame, params: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """8-bit codes: ``floor((x - min) / (max - min) * 255)`` clamped to
+    [0, 255] per dimension (constant dimensions code to 0). Returns
+    ``(id, code: array<bigint>)`` — 1 byte of information per dimension
+    vs 4 for the raw float, the classic 4× index-memory cut. The
+    arithmetic is the same IEEE-double expression shape the DuckDB twin
+    uses, so codes match bit-for-bit."""
+    v = vectors.crossJoin(F.broadcast(params))
+    num = F.zip_with(F.col(vec_col), F.col("mins"),
+                     lambda x, mn: x.cast("double") - mn)
+    den = F.zip_with(F.col("maxs"), F.col("mins"), lambda mx, mn: mx - mn)
+    code = F.zip_with(
+        num, den,
+        lambda n, d: F.when(d == 0.0, F.lit(0).cast("long")).otherwise(
+            F.least(F.lit(255).cast("long"),
+                    F.greatest(F.lit(0).cast("long"),
+                               F.floor(n / d * 255.0)))))
+    return v.select(F.col(id_col), code.alias("code"))
+
+
+def sq8_dequantize(code: Column, mins: Column, maxs: Column) -> Column:
+    """Reconstruction ``min + code * ((max - min) / 255)`` — the same
+    IEEE-double expression shape in the DuckDB twin, so reconstructed
+    values match bit-for-bit."""
+    return F.zip_with(
+        F.zip_with(code, mins, lambda c, mn: F.struct(
+            c.cast("double").alias("c"), mn.alias("mn"))),
+        maxs,
+        lambda s, mx: s["mn"] + s["c"] * ((mx - s["mn"]) / 255.0))
+
+
+def sq8_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str | None = None) -> DataFrame:
+    """SQ8 search, FAISS-ScalarQuantizer-style: encode corpus AND queries
+    to 8-bit per-dimension affine codes, rank by the dot product in the
+    DEQUANTIZED space — ``(query_id, neighbor_id, rank)``.
+
+    Ranking in code space would be wrong: the affine shift adds a
+    per-neighbor ``Σ min_d·scale_d·code_d`` term that reorders results,
+    so scoring reconstructs ``x̂ = min + code·scale`` ONCE PER ROW
+    (decode-at-scan, bound before the cross join — never inside the
+    per-pair expression) and folds sequentially in double. Rank-only
+    output (the float-tier convention: scores drift a ulp across
+    engines, ranks don't — the fold order is pinned left-to-right in
+    both).
+
+    Scale story: the index at rest is 1-byte codes + one tiny params row
+    (4× less memory than raw floats, no training step unlike PQ);
+    queries are broadcast; decode happens in-flight at scan time."""
+    q_id = query_id_col or id_col
+    params = sq8_params(vectors, vec_col)
+    codes = sq8_encode(vectors, params, id_col, vec_col)
+    dec = sq8_dequantize(F.col("code"), F.col("mins"), F.col("maxs"))
+    v_hat = (codes.crossJoin(F.broadcast(params))
+             .select(F.col(id_col).alias("neighbor_id"),
+                     dec.alias("v_hat")))
+    q_hat = (sq8_encode(queries, params, q_id, vec_col)
+             .crossJoin(F.broadcast(params))
+             .select(F.col(q_id).alias("query_id"), dec.alias("q_hat")))
+    scored = (
+        F.broadcast(q_hat).crossJoin(v_hat)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", dot(F.col("q_hat"), F.col("v_hat")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))

@@ -149,6 +149,7 @@ class TestPlanShapes:
             "pq_topk": similarity.pq_topk(
                 similarity.pq_encode(vecs, books, m=2), books,
                 [1.0, 1.0, 0.5, 1.0], k=3, m=2),
+            "sq8_topk": similarity.sq8_topk(vecs, queries, k=3),
         }
         for name, df in targets.items():
             plan = _plan(df)

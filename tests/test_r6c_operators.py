@@ -199,3 +199,76 @@ class TestConversationStats:
         assert a == b
         # order user | assistant | tool | user -> 4 runs
         assert a["c"][6] == 3
+
+
+class TestSQ8:
+    def _cluster_vecs(self, spark, n=64):
+        rng = random.Random(17)
+        centers = [[6.0, 0, 0, 0, 0, 0, 0, 0], [0, 6.0, 0, 0, 0, 0, 0, 0],
+                   [0, 0, 0, 6.0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0, 6.0, 0]]
+        rows = [(i, [x + rng.uniform(-0.3, 0.3) for x in centers[i % 4]])
+                for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def test_code_range_and_constant_dim(self, spark):
+        from ragstudio_spark.operators import similarity
+        rows = [(0, [1.0, 5.0, -2.0]), (1, [3.0, 5.0, 2.0]),
+                (2, [2.0, 5.0, 0.0])]
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        params = similarity.sq8_params(vecs)
+        codes = {r["vec_id"]: r["code"]
+                 for r in similarity.sq8_encode(vecs, params).collect()}
+        # constant dim 1 codes to 0 everywhere; extremes hit 0 and 255
+        assert all(c[1] == 0 for c in codes.values())
+        assert codes[0][0] == 0 and codes[1][0] == 255
+        assert codes[0][2] == 0 and codes[1][2] == 255
+        assert all(0 <= x <= 255 for c in codes.values() for x in c)
+
+    def test_reconstruction_error_bound(self, spark):
+        """|x_hat - x| <= (max-min)/255 per dimension — the quantization
+        error contract."""
+        from ragstudio_spark.operators import similarity
+        vecs = self._cluster_vecs(spark)
+        params = similarity.sq8_params(vecs)
+        p = params.collect()[0]
+        orig = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+        codes = {r["vec_id"]: r["code"]
+                 for r in similarity.sq8_encode(vecs, params).collect()}
+        for vid, code in codes.items():
+            for d, c in enumerate(code):
+                step = (p["maxs"][d] - p["mins"][d]) / 255.0
+                x_hat = p["mins"][d] + c * step
+                assert abs(x_hat - orig[vid][d]) <= step + 1e-9
+
+    def test_recall_vs_exact_dot(self, spark):
+        """SQ8 ranks by (dequantized) DOT PRODUCT, so the ground truth is
+        exact dot-product top-k — not brute_force_topk's cosine, which
+        legitimately reorders within a cluster (dot favors long vectors,
+        cosine aligned ones; measured 0.25 set-overlap between the two
+        exact metrics on this fixture)."""
+        from pyspark.sql import Window
+        from ragstudio_spark.operators import similarity
+        vecs = self._cluster_vecs(spark)
+        queries = vecs.filter("vec_id < 8")
+        approx = similarity.sq8_topk(vecs, queries, k=5)
+
+        q = queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("qv"))
+        v = vecs.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("vv"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id"))
+        exact = (q.crossJoin(v)
+                 .filter("neighbor_id != query_id")
+                 .withColumn("score",
+                             similarity.dot(F.col("qv"), F.col("vv")))
+                 .withColumn("rank", F.row_number().over(w))
+                 .filter("rank <= 5"))
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        recall = len(a & e) / len(e)
+        # 8-bit per-dim quantization on well-separated clusters keeps
+        # the dot-product neighborhood nearly intact
+        assert recall >= 0.8, recall
+        # and neighbors always come from the query's cluster
+        assert all(q_ % 4 == n % 4 for q_, n in a), a
