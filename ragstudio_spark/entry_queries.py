@@ -4690,6 +4690,65 @@ WHERE rank <= 5
 _def("ann_sq8_topk", (_sq8_fn, _sq8_duck_sql()))
 
 
+# -- 55. topic segmentation (operators/convlint.py topic_segments):
+#        TextTiling-style lexical-cohesion cuts over the shaped transcript
+#        (documents grouped by source, ordered by doc_id). The boundary
+#        test is the pure-integer comparison 100·|A∩B| < pct·|A∪B| — no
+#        float Jaccard crosses the engine boundary. pct=50 splits this
+#        corpus's adjacent-turn cohesion distribution ~1:3 (measured),
+#        so both branches are exercised conversation-wide.
+def _topic_seg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ragstudio_spark.operators import convlint
+
+    _register(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    shaped = (spark.table("documents")
+              .select(F.col("source").alias("conv_id"),
+                      (F.row_number().over(w) - 1).cast("int")
+                      .alias("turn_idx"),
+                      "text"))
+    return convlint.topic_segments(shaped, threshold_pct=50)
+
+
+def _topic_seg_duck_sql() -> str:
+    words = _words_expr("COALESCE(text, '')", "duck")
+    return f"""
+WITH shaped AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER w - 1 AS INT) AS turn_idx,
+         list_distinct({words}) AS ws
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id ASC)
+), l AS (
+  SELECT conv_id, turn_idx, ws,
+         lag(ws) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC) AS pw
+  FROM shaped
+), marked AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN pw IS NULL THEN FALSE
+              ELSE 100 * len(list_intersect(pw, ws))
+                   < 50 * (len(pw) + len(ws) - len(list_intersect(pw, ws)))
+         END AS is_shift
+  FROM l
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN is_shift THEN 1 ELSE 0 END) + 1 AS BIGINT)
+         AS n_segments,
+       COALESCE(list_sort(list(turn_idx) FILTER (WHERE is_shift)), [])
+         AS boundaries,
+       CAST(count(*) AS DOUBLE)
+         / (sum(CASE WHEN is_shift THEN 1 ELSE 0 END) + 1) AS avg_segment_len
+FROM marked
+GROUP BY conv_id
+"""
+
+
+_def("topic_segments", (_topic_seg_fn, _topic_seg_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -218,3 +218,50 @@ def conversation_stats(df: DataFrame, conv_col: str = "conv_id",
         .withColumn("avg_words",
                     F.col("n_words").cast("double") / F.col("n_turns"))
     )
+
+
+def topic_segments(df: DataFrame, conv_col: str = "conv_id",
+                   idx_col: str = "turn_idx", text_col: str = "text",
+                   threshold_pct: int = 50) -> DataFrame:
+    """TextTiling-style topic segmentation over a transcript (Hearst 1997,
+    public technique, adjacent-block instantiation with block size 1):
+    a segment boundary opens before turn *i* when the lexical cohesion
+    with turn *i-1* — Jaccard similarity of the turns' distinct word
+    sets — falls below ``threshold_pct`` percent. Returns one row per
+    conversation: ``(conv_id, n_turns, n_segments, boundaries,
+    avg_segment_len)`` where ``boundaries`` lists the turn indices that
+    OPEN a new segment (the first turn excluded).
+
+    Exactness: the cut is the pure-integer comparison
+    ``100·|A∩B| < threshold_pct·|A∪B|`` — no float Jaccard crosses an
+    engine boundary. Empty-vs-empty word sets cohere (0 < 0 is false);
+    empty-vs-nonempty cuts. NULL text counts as empty.
+
+    Scale shape: ONE per-conversation lag window over bound distinct
+    word-set arrays (the conv-bucketed partitioning again), then a
+    per-conversation aggregate. Word sets are per-turn-bounded; nothing
+    grows with corpus size.
+    """
+    wset = F.array_distinct(F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != ""))
+    turns = df.select(F.col(conv_col).alias("conv_id"),
+                      F.col(idx_col).alias("turn_idx"),
+                      wset.alias("wset"))
+    w = Window.partitionBy("conv_id").orderBy(F.asc("turn_idx"))
+    prev = F.lag("wset").over(w)
+    inter = F.size(F.array_intersect(prev, F.col("wset")))
+    union = F.size(prev) + F.size("wset") - inter
+    shift = F.when(prev.isNull(), F.lit(False)).otherwise(
+        F.lit(100) * inter < F.lit(threshold_pct) * union)
+    marked = turns.withColumn("is_shift", shift)
+    return (
+        marked.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             (F.sum(F.col("is_shift").cast("long")) + 1).alias("n_segments"),
+             F.array_sort(F.collect_list(
+                 F.when(F.col("is_shift"), F.col("turn_idx"))))
+             .alias("boundaries"))
+        .withColumn("avg_segment_len",
+                    F.col("n_turns").cast("double") / F.col("n_segments"))
+    )

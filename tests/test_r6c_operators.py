@@ -272,3 +272,49 @@ class TestSQ8:
         assert recall >= 0.8, recall
         # and neighbors always come from the query's cluster
         assert all(q_ % 4 == n % 4 for q_, n in a), a
+
+
+class TestTopicSegments:
+    def _run(self, spark, turns, pct=50):
+        from ragstudio_spark.operators import convlint
+        df = spark.createDataFrame(
+            turns, "conv_id string, turn_idx int, text string")
+        return {r["conv_id"]: (r["n_turns"], r["n_segments"],
+                               r["boundaries"], r["avg_segment_len"])
+                for r in convlint.topic_segments(df, threshold_pct=pct)
+                        .collect()}
+
+    def test_hand_computed(self, spark):
+        turns = [
+            ("c", 0, "spark shuffle partition plan"),
+            ("c", 1, "shuffle partition plan cost"),   # J=3/5=60% cohere
+            ("c", 2, "dinner pasta recipe tonight"),   # J=0 -> cut
+            ("c", 3, "pasta recipe sauce"),            # J=2/5=40% -> cut at 50
+        ]
+        got = self._run(spark, turns)
+        assert got["c"] == (4, 3, [2, 3], 4 / 3)
+        # at a laxer threshold the 40% boundary coheres
+        got30 = self._run(spark, turns, pct=30)
+        assert got30["c"] == (4, 2, [2], 2.0)
+
+    def test_exact_threshold_is_not_a_cut(self, spark):
+        # J exactly = pct/100 must NOT cut (strict less-than contract)
+        turns = [("c", 0, "a b"), ("c", 1, "a c")]   # J = 1/3
+        got = self._run(spark, turns, pct=33)        # 100*1 < 33*3=99? no
+        assert got["c"][1] == 1
+        got34 = self._run(spark, turns, pct=34)      # 100 < 102 -> cut
+        assert got34["c"][1] == 2
+
+    def test_empty_turns(self, spark):
+        turns = [("c", 0, ""), ("c", 1, ""), ("c", 2, "words now here"),
+                 ("c", 3, None)]
+        got = self._run(spark, turns)
+        # empty-empty coheres; empty->words cuts; words->NULL cuts
+        assert got["c"] == (4, 3, [2, 3], 4 / 3)
+
+    def test_single_turn_and_no_boundaries(self, spark):
+        turns = [("solo", 0, "only one turn"),
+                 ("same", 0, "x y z"), ("same", 1, "x y z")]
+        got = self._run(spark, turns)
+        assert got["solo"] == (1, 1, [], 1.0)
+        assert got["same"] == (2, 1, [], 2.0)
