@@ -126,8 +126,33 @@ def main() -> None:
             df = df.unionByName(p)
         return df.repartition(64).cache()
 
+    def lines_of(d, k=12):
+        """Shape the flat word stream into 12-word lines (the line_dedup
+        entry's shaping): every non-final line recurs verbatim in all 10
+        copies (only the final line carries the copy token), so at 10×
+        each eligible line is a 10-member exact-dup group — the heaviest
+        realistic load for the first-occurrence join."""
+        bound = dedupe._bound_words(d, "text", "doc_id")
+        lines = F.when(
+            F.size("_w") > 0,
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.floor((F.size("_w") + (k - 1)) / F.lit(k))
+                            .cast("int") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_w"), (i * k + 1).cast("int"), k))),
+        ).otherwise(F.array().cast("array<string>"))
+        return bound.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+    from ragstudio_spark.operators import convlint
+
     ops = {
         "exact_dup": lambda d: dedupe.exact_duplicates(d).count(),
+        "line_dedup": lambda d: dedupe.line_dedup(lines_of(d)).count(),
+        "conversation_stats": lambda d: convlint.conversation_stats(
+            transcripts_of(d)).count(),
+        "topic_segments": lambda d: convlint.topic_segments(
+            transcripts_of(d)).count(),
         "minhash_8h2b": lambda d: dedupe.minhash_lsh_pairs(d).count(),
         "minhash_16h4b": lambda d: dedupe.minhash_lsh_pairs(
             d, n_hashes=16, n_bands=4).count(),
