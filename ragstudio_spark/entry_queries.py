@@ -4749,6 +4749,100 @@ GROUP BY conv_id
 _def("topic_segments", (_topic_seg_fn, _topic_seg_duck_sql()))
 
 
+# -- 56. MMR diversified reranking (rag_extras.mmr_rerank — langchain
+#        search_type="mmr" semantics over the reference's retriever
+#        candidate shape): greedy argmax of lam*qsim - (1-lam)*max-cos-
+#        to-selected, ties on rank asc. Same deterministic candidate
+#        shaping as the compression oracle. The twin UNROLLS the k greedy
+#        steps as plain window-argmax CTEs (no recursion, no correlated
+#        lambdas); all cosines are the shared order-fixed fold, products
+#        commute bit-exactly, and max-over-selected is order-independent,
+#        so scores are bit-identical across engines. Output is rank-only.
+_MMR_LAM = 0.5
+_MMR_K = 5
+
+
+def _mmr_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ragstudio_spark.operators import rag_extras
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries_df = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"))
+    w = Window.partitionBy(F.col("vec_id") % 4).orderBy("vec_id")
+    cands = (emb.filter("vec_id >= 4 AND vec_id < 200")
+             .select((F.col("vec_id") % 4).alias("query_id"),
+                     F.col("vec_id").alias("doc_id"), "embedding",
+                     F.row_number().over(w).alias("rank"))
+             .join(queries_df, on="query_id"))
+    return (rag_extras.mmr_rerank(cands, lambda_mult=_MMR_LAM, k=_MMR_K)
+            .orderBy("query_id", "rank"))
+
+
+def _mmr_duck_sql() -> str:
+    lam, k = _MMR_LAM, _MMR_K
+
+    def cos(a, b):
+        return (f"({_dot_duck(a, b)}) / "
+                f"(sqrt({_dot_duck(a, a)}) * sqrt({_dot_duck(b, b)}))")
+
+    parts = [f"""
+WITH cand AS (
+  SELECT e.vec_id % 4 AS query_id, e.vec_id AS doc_id,
+         e.embedding AS emb, q.embedding AS qemb,
+         row_number() OVER (PARTITION BY e.vec_id % 4
+                            ORDER BY e.vec_id) AS rank
+  FROM embeddings e JOIN embeddings q ON q.vec_id = e.vec_id % 4
+  WHERE e.vec_id >= 4 AND e.vec_id < 200
+), scored AS (
+  SELECT query_id, doc_id, rank, emb,
+         {cos('emb', 'qemb')} AS qsim
+  FROM cand
+), pairs AS (
+  SELECT a.query_id, a.rank AS r_a, b.rank AS r_b,
+         {cos('a.emb', 'b.emb')} AS cs
+  FROM scored a JOIN scored b
+    ON a.query_id = b.query_id AND a.rank <> b.rank
+), k1 AS (
+  SELECT query_id, rank, 1 AS step FROM (
+    SELECT query_id, rank,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {lam!r} * qsim DESC, rank) AS rn
+    FROM scored) WHERE rn = 1
+), kept1 AS (SELECT * FROM k1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""", k{i} AS (
+  SELECT query_id, rank, {i} AS step FROM (
+    SELECT c.query_id, c.rank,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {lam!r} * c.qsim - {1.0 - lam!r} * pen.mx DESC,
+                      c.rank) AS rn
+    FROM scored c
+    JOIN (SELECT p.query_id, p.r_a AS rank, max(p.cs) AS mx
+          FROM pairs p JOIN kept{i - 1} kp
+            ON kp.query_id = p.query_id AND kp.rank = p.r_b
+          GROUP BY p.query_id, p.r_a) pen
+      ON pen.query_id = c.query_id AND pen.rank = c.rank
+    LEFT JOIN kept{i - 1} kx
+      ON kx.query_id = c.query_id AND kx.rank = c.rank
+    WHERE kx.rank IS NULL) WHERE rn = 1
+), kept{i} AS (SELECT * FROM kept{i - 1} UNION ALL SELECT * FROM k{i})""")
+    parts.append(f"""
+SELECT s.query_id, s.doc_id, CAST(kf.step AS BIGINT) AS rank
+FROM kept{k} kf
+JOIN scored s ON s.query_id = kf.query_id AND s.rank = kf.rank
+ORDER BY s.query_id, rank
+""")
+    return "".join(parts)
+
+
+_def("rag_mmr_rerank", (_mmr_fn, _mmr_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -243,6 +243,43 @@ def multi_query_search(docs: DataFrame, query: str,
             .withColumn("rank", F.row_number().over(w_all).cast("bigint")))
 
 
+#: element type of the per-query rank-sorted hit list built by
+#: ``_ranked_hitlist`` — shared by the greedy retrieval folds below.
+_HIT_STRUCT = ("struct<rank:bigint, doc_id:bigint, emb:array<double>, "
+               "nrm:double, qsim:double>")
+
+
+def _ranked_hitlist(candidates: DataFrame, query_col: str, rank_col: str,
+                    id_col: str, vec_col: str,
+                    query_vec_col: str) -> DataFrame:
+    """(query_id, hl) where hl is the rank-sorted array of candidate
+    structs (rank, doc_id, emb, nrm=|emb|, qsim=cos(query, emb)) — the
+    shared front half of the greedy retrieval folds. Dots are pinned
+    left-to-right folds so both engines produce bit-identical doubles."""
+    qsim = F.expr(
+        f"aggregate(zip_with(CAST({vec_col} AS array<double>), "
+        f"CAST({query_vec_col} AS array<double>), (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)")
+    nrm = F.expr(
+        f"sqrt(aggregate(zip_with(CAST({vec_col} AS array<double>), "
+        f"CAST({vec_col} AS array<double>), (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v))")
+    qnrm = F.expr(
+        f"sqrt(aggregate(zip_with(CAST({query_vec_col} AS array<double>), "
+        f"CAST({query_vec_col} AS array<double>), (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v))")
+    return (candidates
+            .select(query_col,
+                    F.struct(
+                        F.col(rank_col).cast("bigint").alias("rank"),
+                        F.col(id_col).cast("bigint").alias("doc_id"),
+                        F.col(vec_col).cast("array<double>").alias("emb"),
+                        nrm.alias("nrm"),
+                        (qsim / (nrm * qnrm)).alias("qsim")).alias("c"))
+            .groupBy(query_col)
+            .agg(F.array_sort(F.collect_list("c")).alias("hl")))
+
+
 def compression_retrieve(candidates: DataFrame,
                          sim_threshold: float = 0.5,
                          redundancy_threshold: float = 0.95,
@@ -267,28 +304,8 @@ def compression_retrieve(candidates: DataFrame,
     groupBy is a per-query fold over a k-bounded hit list — the greedy
     chain is sequential by nature, but k is the retriever's top-k, so
     the aggregate state is O(k·dim), never corpus-sized."""
-    qsim = F.expr(
-        f"aggregate(zip_with(CAST({vec_col} AS array<double>), "
-        f"CAST({query_vec_col} AS array<double>), (x, y) -> x * y), "
-        f"cast(0.0 as double), (acc, v) -> acc + v)")
-    nrm = F.expr(
-        f"sqrt(aggregate(zip_with(CAST({vec_col} AS array<double>), "
-        f"CAST({vec_col} AS array<double>), (x, y) -> x * y), "
-        f"cast(0.0 as double), (acc, v) -> acc + v))")
-    qnrm = F.expr(
-        f"sqrt(aggregate(zip_with(CAST({query_vec_col} AS array<double>), "
-        f"CAST({query_vec_col} AS array<double>), (x, y) -> x * y), "
-        f"cast(0.0 as double), (acc, v) -> acc + v))")
-    hl = (candidates
-          .select(query_col,
-                  F.struct(
-                      F.col(rank_col).cast("bigint").alias("rank"),
-                      F.col(id_col).cast("bigint").alias("doc_id"),
-                      F.col(vec_col).cast("array<double>").alias("emb"),
-                      nrm.alias("nrm"),
-                      (qsim / (nrm * qnrm)).alias("qsim")).alias("c"))
-          .groupBy(query_col)
-          .agg(F.array_sort(F.collect_list("c")).alias("hl")))
+    hl = _ranked_hitlist(candidates, query_col, rank_col, id_col,
+                         vec_col, query_vec_col)
     # greedy leader walk: one fold whose accumulator is the kept list
     kept = F.expr(f"""
         aggregate(
@@ -312,6 +329,73 @@ def compression_retrieve(candidates: DataFrame,
             .filter(F.col("qsim") >= float(sim_threshold))
             .withColumn("rank", F.row_number().over(w).cast("bigint"))
             .drop("qsim", "orig_rank"))
+
+
+def mmr_rerank(candidates: DataFrame, lambda_mult: float = 0.5,
+               k: int = 4,
+               query_col: str = "query_id",
+               rank_col: str = "rank", id_col: str = "doc_id",
+               vec_col: str = "embedding",
+               query_vec_col: str = "query_embedding") -> DataFrame:
+    """Maximal-marginal-relevance diversified reranking (the langchain
+    ``search_type="mmr"`` the reference's retriever ecosystem exposes;
+    semantics of langchain's maximal_marginal_relevance): greedily pick
+    ``k`` candidates, the first by highest query cosine, each next by
+    argmax of ``lambda_mult * cos(query, c) - (1 - lambda_mult) *
+    max_{s in selected} cos(s, c)``; ties break on original rank asc.
+
+    ``candidates`` carries per-row (query_id, rank, doc_id, embedding,
+    query_embedding); returns (query_id, doc_id, rank) with rank =
+    selection order 1..min(k, n). Scale shape: after the one groupBy the
+    whole greedy walk is a per-query fold over a k-bounded hit list —
+    O(k^2 * n * dim) work on O(n * dim) state where n is the upstream
+    retriever's top-k, never corpus-sized; no shuffle beyond the groupBy
+    and no Python hop."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    lam = float(lambda_mult)
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lambda_mult must be in [0, 1]")
+    hl = _ranked_hitlist(candidates, query_col, rank_col, id_col,
+                         vec_col, query_vec_col)
+    # One fold per query: step ``k`` times; each step scores the not-yet-
+    # selected candidates (penalty fold starts at -2.0, strictly below
+    # any cosine, so the max over a NONEMPTY selection is the true max —
+    # the empty-selection first step short-circuits to lam * qsim, which
+    # selects argmax query-cosine exactly like the reference algorithm).
+    kept = F.expr(f"""
+        aggregate(
+          sequence(1, {int(k)}),
+          CAST(array() AS array<{_HIT_STRUCT}>),
+          (sel, stp) -> IF(size(sel) >= size(hl), sel,
+            array_append(sel, aggregate(
+              transform(
+                filter(hl, cnd -> NOT exists(sel, kp -> kp.rank = cnd.rank)),
+                cnd -> named_struct(
+                  'score', IF(size(sel) = 0,
+                    {lam!r} * cnd.qsim,
+                    {lam!r} * cnd.qsim - {1.0 - lam!r} * aggregate(
+                      sel, cast(-2.0 as double),
+                      (mx, kp2) -> greatest(mx,
+                        aggregate(zip_with(kp2.emb, cnd.emb,
+                                           (x, y) -> x * y),
+                                  cast(0.0 as double), (s, v) -> s + v)
+                          / (kp2.nrm * cnd.nrm)))),
+                  'cnd', cnd)),
+              CAST(NULL AS struct<score:double, cnd:{_HIT_STRUCT}>),
+              (bst, sc) -> CASE
+                WHEN bst IS NULL THEN sc
+                WHEN sc.score > bst.score THEN sc
+                WHEN sc.score = bst.score
+                     AND sc.cnd.rank < bst.cnd.rank THEN sc
+                ELSE bst END,
+              bst -> bst.cnd))),
+          sel -> sel)
+    """)
+    return (hl.withColumn("_k", kept)
+            .select(query_col, F.posexplode("_k").alias("_p", "c"))
+            .select(query_col, F.col("c.doc_id").alias("doc_id"),
+                    (F.col("_p") + 1).cast("bigint").alias("rank")))
 
 
 # --- re-ranking --------------------------------------------------------------

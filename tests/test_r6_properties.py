@@ -206,3 +206,98 @@ class TestGreedyCompressionProperties:
         for r in out.orderBy("query_id", "rank").collect():
             got.setdefault(r["query_id"], []).append(r["doc_id"])
         assert got == {q: docs for q, docs in expected.items() if docs}
+
+
+class TestMMRRerankProperties:
+    """mmr_rerank vs a from-scratch Python MMR (langchain
+    maximal_marginal_relevance contract: first pick = argmax query
+    cosine; each next = argmax lam*qsim - (1-lam)*max-cos-to-selected,
+    ties on original rank asc)."""
+
+    def _python_mmr(self, cands, qvec, lam, k):
+        import math
+
+        def dot(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s += x * y
+            return s
+
+        def cos(a, b):
+            return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+        sel, rem = [], sorted(cands)
+        while rem and len(sel) < k:
+            best = None
+            for c in rem:
+                qs = cos(c[2], qvec)
+                score = (lam * qs if not sel
+                         else lam * qs - (1 - lam)
+                         * max(cos(s[2], c[2]) for s in sel))
+                if (best is None or score > best[0]
+                        or (score == best[0] and c[0] < best[1][0])):
+                    best = (score, c)
+            sel.append(best[1])
+            rem.remove(best[1])
+        return [c[1] for c in sel]
+
+    def _run(self, spark, rows, lam, k):
+        from ragstudio_spark.operators import rag_extras
+
+        df = spark.createDataFrame(
+            rows, "query_id int, rank int, doc_id int, "
+            "embedding array<double>, query_embedding array<double>")
+        got = {}
+        out = rag_extras.mmr_rerank(df, lambda_mult=lam, k=k)
+        for r in out.orderBy("query_id", "rank").collect():
+            got.setdefault(r["query_id"], []).append(r["doc_id"])
+        return got
+
+    def test_random_candidate_sets_match_python_mmr(self, spark):
+        rng = random.Random(23)
+        for lam, k in ((0.5, 4), (0.3, 6), (1.0, 3)):
+            rows, expected = [], {}
+            for qid in range(10):
+                qvec = [rng.uniform(-1, 1) for _ in range(6)]
+                cands = [(r + 1, qid * 100 + r,
+                          [rng.uniform(-1, 1) for _ in range(6)])
+                         for r in range(rng.randrange(2, 12))]
+                rows += [(qid, rank, doc_id, emb, qvec)
+                         for rank, doc_id, emb in cands]
+                expected[qid] = self._python_mmr(cands, qvec, lam, k)
+            assert self._run(spark, rows, lam, k) == expected, (lam, k)
+
+    def test_diversification_skips_near_duplicate(self, spark):
+        # cand 1 is most query-similar; cand 2 is a near-duplicate of
+        # cand 1 (cos ~.9999) with the next-best qsim; cand 3 is less
+        # relevant but diverse (cos to cand 1 ~.45). Pure relevance
+        # (lam=1) keeps the near-dup second; diversifying (lam=.5) must
+        # jump to cand 3 instead. (cand 1 must NOT equal q itself —
+        # then qsim == cos-to-selected for every candidate and the
+        # two terms cancel identically.)
+        q = [1.0, 0.0]
+        rows = [(0, 1, 11, [0.9, 0.3], q),
+                (0, 2, 12, [0.89, 0.31], q),
+                (0, 3, 13, [0.6, -0.6], q)]
+        assert self._run(spark, rows, 1.0, 2) == {0: [11, 12]}
+        assert self._run(spark, rows, 0.5, 2) == {0: [11, 13]}
+
+    def test_k_exceeding_candidates_returns_all(self, spark):
+        q = [1.0, 0.0]
+        rows = [(0, 1, 11, [1.0, 0.1], q), (0, 2, 12, [0.2, 0.9], q)]
+        got = self._run(spark, rows, 0.5, 10)
+        assert sorted(got[0]) == [11, 12]
+
+    def test_invalid_params_raise(self, spark):
+        import pytest
+
+        from ragstudio_spark.operators import rag_extras
+
+        df = spark.createDataFrame(
+            [(0, 1, 1, [1.0], [1.0])],
+            "query_id int, rank int, doc_id int, "
+            "embedding array<double>, query_embedding array<double>")
+        with pytest.raises(ValueError):
+            rag_extras.mmr_rerank(df, k=0)
+        with pytest.raises(ValueError):
+            rag_extras.mmr_rerank(df, lambda_mult=1.5)
