@@ -4843,6 +4843,77 @@ ORDER BY s.query_id, rank
 _def("rag_mmr_rerank", (_mmr_fn, _mmr_duck_sql()))
 
 
+# -- 57. HLL distinct sketch (operators/sketches.py): per-source
+#        distinct-word cardinality estimate. Registers are md5-hex
+#        arithmetic (substr/regexp/CASE — integers and strings only);
+#        the harmonic denominator is an exact bigint of 2^(29-rho)
+#        terms; the single float step is one pinned-literal division +
+#        floor (correctly-rounded IEEE, identical both engines). The
+#        non-twin check is the hashlib replica + accuracy bound in
+#        tests/test_sketches.py.
+def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import sketches
+
+    _register(spark, sf_dir, "documents")
+    words = (spark.table("documents")
+             .select("source",
+                     F.explode(F.expr(
+                         _words_expr("COALESCE(text, '')", "spark")))
+                     .alias("w")))
+    return (sketches.hll_estimate(words, "w", ("source",))
+            .orderBy("source"))
+
+
+def _hll_duck_sql() -> str:
+    from ragstudio_spark.operators.sketches import _LZ4, _RHO_BITS, _alpha
+
+    m, scale = 256, _RHO_BITS + 1
+    alpha_num = _alpha(m) * m * m * float(1 << scale)
+    lz4 = ("CASE " + " ".join(
+        f"WHEN _f = '{d}' THEN {z}" for d, z in _LZ4.items())
+        + " ELSE 0 END")
+    words = _words_expr("COALESCE(text, '')", "duck")
+    return f"""
+WITH w AS (
+  SELECT source, md5(CAST(u.w AS VARCHAR)) AS _h
+  FROM documents, unnest({words}) AS u(w)
+), t AS (
+  SELECT source, substr(_h, 1, 2) AS bucket, substr(_h, 3, 7) AS _t
+  FROM w
+), nz AS (
+  SELECT source, bucket, _t,
+         length(regexp_extract(_t, '^0*', 0)) AS _nz
+  FROM t
+), rho0 AS (
+  SELECT source, bucket, _nz, substr(_t, _nz + 1, 1) AS _f FROM nz
+), regs AS (
+  SELECT source, bucket,
+         max(CAST(IF(_nz = 7, {scale}, 4 * _nz + {lz4} + 1) AS INT))
+           AS rho
+  FROM rho0 GROUP BY source, bucket
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << ({scale} - rho)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY source
+)
+SELECT source,
+       CAST({m} AS BIGINT) AS n_buckets,
+       CAST({m} - n_present AS BIGINT) AS n_zero_registers,
+       CAST(floor({alpha_num!r} / CAST(
+         s_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {scale})
+       AS DOUBLE)) AS BIGINT) AS est_hll
+FROM agg
+ORDER BY source
+"""
+
+
+_def("distinct_hll", (_hll_fn, _hll_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

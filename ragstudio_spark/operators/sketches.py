@@ -1,0 +1,135 @@
+"""Cardinality sketches: a deterministic, engine-portable HyperLogLog.
+
+The 100-TB problem this solves: ``COUNT(DISTINCT x)`` over a trillion-row
+corpus is a full shuffle of every distinct value; an HLL register table is
+a fixed ``m``-row (per group) aggregate whose per-partition state is
+``m`` bytes and whose combiner is ``max`` — map-side combinable, stream-
+mergeable (register-wise max), and exact-deterministic given the hash.
+
+Design constraints that differ from library HLLs (datasketches, Spark's
+own ``approx_count_distinct``):
+
+* **Determinism across engines.** The hash is md5 (identical lowercase
+  hex in Spark and DuckDB), bucket = first ``b_hex`` hex chars, and
+  rho = leading-zero-bits of the next 7 hex chars (28 bits) + 1, computed
+  with only substr/regexp/CASE — every intermediate is integer or string,
+  so the register table is bit-identical in both engines (oracle-checkable),
+  unlike library sketches whose hashes and tie handling are private.
+* **Integer estimator core.** The harmonic-mean denominator is computed as
+  the exact bigint ``S = sum(2^(29 - rho)) + n_empty * 2^29`` (max rho is
+  29, so every term is integral; S <= m * 2^29 < 2^53, exactly
+  representable as a double). The only float step is one pinned-literal
+  division ``floor(ALPHA_NUM / S)`` — a single correctly-rounded IEEE op,
+  identical in both engines. No float accumulation ever crosses engines.
+* **Raw estimator only.** Flajolet's small-range linear-counting branch
+  needs ``ln`` (libm, not guaranteed bit-identical across engines), so the
+  operator emits ``n_zero_registers`` alongside the raw estimate and leaves
+  the correction to the consumer (the accuracy unit applies it in Python).
+
+Reference anchor: the engine's dedup/analytics tier (SURVEY §2 #59,
+metrics tier) counts distincts exactly; this is the sketch path a
+100-TB deployment swaps in. Public-knowledge algorithm:
+Flajolet–Fuss–Gandouet–Meunier, "HyperLogLog" (AofA 2007).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: bits of the rho tail (7 hex chars); max rho = _RHO_BITS + 1.
+_RHO_BITS = 28
+
+#: leading-zero-bit count of the first non-zero hex digit.
+_LZ4 = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+
+
+def _alpha(m: int) -> float:
+    """Flajolet's alpha_m bias constant (m >= 128 branch)."""
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_registers(df: DataFrame, value_col: str,
+                  group_cols: tuple[str, ...] = (),
+                  b_hex: int = 2) -> DataFrame:
+    """Register table: one row per (group, bucket) PRESENT in the data,
+    with ``rho = max`` over hashed values. Missing buckets mean register
+    value 0 (the estimator accounts for them). The aggregate is a plain
+    groupBy-max: map-side combinable, and two register tables over
+    disjoint (or overlapping) data merge by ``max`` — union this output
+    across shards/streams and re-aggregate to sketch their union.
+
+    bucket = first ``b_hex`` hex chars of md5 (string key — the register
+    id); rho = 1 + leading-zero-bits of the next 7 hex chars, i.e. the
+    position of the first 1-bit in a 28-bit tail, 29 if the tail is all
+    zeros. Pure substr/regexp/CASE — portable to the DuckDB twin. Each
+    intermediate (hash, tail, zero-run length, first non-zero digit) is
+    bound to a column attribute in its own select before reuse — an
+    in-expression md5 referenced by bucket + tail + CASE arms would be
+    recomputed per reference (the CollapseProject inlining trap)."""
+    if b_hex not in (1, 2, 3):
+        raise ValueError("b_hex must be 1, 2, or 3")
+    lz4 = ("CASE " + " ".join(
+        f"WHEN _f = '{d}' THEN {z}" for d, z in _LZ4.items())
+        + " ELSE 0 END")
+    gb = list(group_cols)
+    return (df
+            .select(*gb, F.expr(f"md5(CAST({value_col} AS STRING))")
+                    .alias("_h"))
+            .filter(F.col("_h").isNotNull())
+            .select(*gb, F.expr(f"substr(_h, 1, {b_hex})").alias("bucket"),
+                    F.expr(f"substr(_h, {b_hex + 1}, 7)").alias("_t"))
+            .select(*gb, "bucket", "_t",
+                    F.expr("length(regexp_extract(_t, '^0*', 0))")
+                    .alias("_nz"))
+            .select(*gb, "bucket", "_nz",
+                    F.expr("substr(_t, _nz + 1, 1)").alias("_f"))
+            .select(*gb, "bucket",
+                    F.expr(f"CAST(IF(_nz = 7, {_RHO_BITS + 1}, "
+                           f"4 * _nz + {lz4} + 1) AS INT)").alias("rho"))
+            .groupBy(*gb, "bucket")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union-merge register tables (register-wise max) — the sketch of
+    the union of the underlying datasets."""
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    keys = [c for c in merged.columns if c != "rho"]
+    return merged.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(df: DataFrame, value_col: str,
+                 group_cols: tuple[str, ...] = (),
+                 b_hex: int = 2) -> DataFrame:
+    """Per-group raw HLL cardinality estimate.
+
+    Output: (group..., n_buckets, n_zero_registers, est_hll). The
+    denominator S is an exact bigint (shiftleft, never power()); the
+    estimate is one pinned-literal double division + floor. Consumers
+    needing Flajolet's small-range correction apply
+    ``m * ln(m / n_zero_registers)`` when est <= 2.5 * m and zeros > 0."""
+    m = 16 ** b_hex
+    scale = _RHO_BITS + 1
+    alpha_num = _alpha(m) * m * m * float(1 << scale)
+    regs = hll_registers(df, value_col, group_cols, b_hex)
+    gb = list(group_cols)
+    per_group = (regs.groupBy(*gb).agg(
+        F.count("*").cast("bigint").alias("_n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - rho)"))
+        .cast("bigint").alias("_s_present")))
+    s_total = (F.col("_s_present")
+               + (F.lit(m) - F.col("_n_present"))
+               * F.lit(1 << scale).cast("bigint"))
+    return (per_group
+            .withColumn("_s", s_total)
+            .select(*gb,
+                    F.lit(m).cast("bigint").alias("n_buckets"),
+                    (F.lit(m) - F.col("_n_present")).cast("bigint")
+                    .alias("n_zero_registers"),
+                    F.floor(F.lit(alpha_num)
+                            / F.col("_s").cast("double"))
+                    .cast("bigint").alias("est_hll")))

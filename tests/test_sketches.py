@@ -1,0 +1,94 @@
+"""HLL sketch tier (operators/sketches.py): non-twin checks.
+
+The oracle row (`distinct_hll`) proves engine portability; these prove
+the SEMANTICS against an independent hashlib-based Python replica of
+the published algorithm, plus the merge law and an accuracy bound.
+"""
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ragstudio_spark.operators import sketches
+
+
+def _py_regs(values, b=2):
+    regs = {}
+    for v in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        bucket, tail = h[:b], h[b:b + 7]
+        n = int(tail, 16)
+        rho = 29 if n == 0 else bin(n)[2:].zfill(28).index("1") + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _py_est(values, b=2):
+    m = 16 ** b
+    regs = _py_regs(values, b)
+    s = (sum(1 << (29 - r) for r in regs.values())
+         + (m - len(regs)) * (1 << 29))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return (m, m - len(regs),
+            math.floor(alpha * m * m * float(1 << 29) / float(s)))
+
+
+class TestHLLReplica:
+    def test_registers_match_hashlib_replica(self, spark):
+        rng = random.Random(31)
+        vals = [f"tok{rng.randrange(5000)}" for _ in range(8000)]
+        df = spark.createDataFrame([(v,) for v in vals], "w string")
+        got = {r.bucket: r.rho
+               for r in sketches.hll_registers(df, "w").collect()}
+        assert got == _py_regs(vals)
+
+    def test_estimate_matches_replica_and_truth_bound(self, spark):
+        rng = random.Random(32)
+        vals = [f"tok{rng.randrange(60000)}" for _ in range(40000)]
+        truth = len(set(vals))
+        df = spark.createDataFrame([(v,) for v in vals], "w string")
+        row = sketches.hll_estimate(df, "w").collect()[0]
+        assert ((row.n_buckets, row.n_zero_registers, row.est_hll)
+                == _py_est(vals))
+        # 3 sigma for m=256 is ~19.5% (sigma = 1.04 / 16)
+        assert abs(row.est_hll - truth) / truth < 0.2
+
+    def test_grouped_estimates_are_per_group(self, spark):
+        rows = [("a", f"x{i}") for i in range(300)] + \
+               [("b", f"x{i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "g string, w string")
+        out = {r.g: r for r in
+               sketches.hll_estimate(df, "w", ("g",)).collect()}
+        exp_a = _py_est([f"x{i}" for i in range(300)])
+        exp_b = _py_est([f"x{i}" for i in range(40)])
+        assert (out["a"].n_zero_registers, out["a"].est_hll) == exp_a[1:]
+        assert (out["b"].n_zero_registers, out["b"].est_hll) == exp_b[1:]
+
+    def test_merge_equals_union_sketch(self, spark):
+        rng = random.Random(33)
+        vals = [f"v{rng.randrange(3000)}" for _ in range(5000)]
+        half = len(vals) // 2
+        da = spark.createDataFrame([(v,) for v in vals[:half]], "w string")
+        db = spark.createDataFrame([(v,) for v in vals[half:]], "w string")
+        merged = sketches.hll_merge(sketches.hll_registers(da, "w"),
+                                    sketches.hll_registers(db, "w"))
+        got = {r.bucket: r.rho for r in merged.collect()}
+        assert got == _py_regs(vals)
+
+    def test_partition_independence(self, spark):
+        vals = [(f"p{i % 997}",) for i in range(4000)]
+        df = spark.createDataFrame(vals, "w string")
+        a = sketches.hll_estimate(df.repartition(1), "w").collect()[0]
+        b = sketches.hll_estimate(df.repartition(32), "w").collect()[0]
+        assert a == b
+
+    def test_null_values_ignored_and_bad_b_raises(self, spark):
+        df = spark.createDataFrame(
+            [("x",), (None,), ("y",)], "w string")
+        row = sketches.hll_estimate(df, "w").collect()[0]
+        assert row.n_zero_registers == 254  # only x and y hashed
+        with pytest.raises(ValueError):
+            sketches.hll_registers(df, "w", b_hex=4)
