@@ -4914,6 +4914,55 @@ ORDER BY source
 _def("distinct_hll", (_hll_fn, _hll_duck_sql()))
 
 
+# -- 58. corpus snapshot diff (operators/snapshot.py): row-level
+#        added/removed/changed/unchanged between two simulated corpus
+#        snapshots (old = doc_id < 400 as-is; new = doc_id >= 100 with
+#        every 7th doc's text suffixed — concat, not case-mapping, so no
+#        engine-specific string semantics enter the fixture). The twin
+#        replays the digest (md5 of null-tagged per-column md5s) and the
+#        full outer join verbatim.
+def _snapdiff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import snapshot
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    old = docs.filter("doc_id < 400").select("doc_id", "text")
+    new = (docs.filter("doc_id >= 100")
+           .select("doc_id",
+                   F.expr("IF(doc_id % 7 = 0, concat(text, ' v2'), text)")
+                   .alias("text")))
+    return (snapshot.snapshot_diff(old, new, ("doc_id",), ("text",))
+            .orderBy("doc_id"))
+
+
+_SNAPDIFF_DUCK = """
+WITH o AS (
+  SELECT doc_id,
+         md5(IF(text IS NULL, 'n', md5(CAST(text AS VARCHAR)))) AS ho
+  FROM documents WHERE doc_id < 400
+), nw AS (
+  SELECT doc_id,
+         md5(IF(t IS NULL, 'n', md5(CAST(t AS VARCHAR)))) AS hn
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                 AS t
+        FROM documents WHERE doc_id >= 100)
+)
+SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+       CASE WHEN o.ho IS NULL THEN 'added'
+            WHEN nw.hn IS NULL THEN 'removed'
+            WHEN o.ho = nw.hn THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+ORDER BY doc_id
+"""
+
+
+_def("corpus_diff", (_snapdiff_fn, _SNAPDIFF_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -1,0 +1,74 @@
+"""Corpus snapshot diffing: what changed between two runs of a pipeline.
+
+The reference tracks run-over-run state through its metadata store and
+run index (/root/reference/src/core/storage — mirrored by
+pipeline/lineage.py + history.py); what it lacks, and what a 100-TB
+training-data pipeline needs daily, is a DATA-level answer to "what did
+this refresh actually change": which documents appeared, vanished, or
+were edited between snapshot A and snapshot B — the input to incremental
+re-chunking, re-embedding, and cache invalidation.
+
+Scale shape: one full outer join on the key (a single co-partitioned
+shuffle per side; AQE handles skew), comparing fixed-width content
+digests computed in a projection — no content column ever crosses the
+join, so the shuffle payload is key + 32-byte digest regardless of
+document size. Per-column digests are md5'd individually and then
+re-hashed, so NULL vs 'null'-string vs column-boundary ambiguities
+cannot collide (the null-tagged encoding convention from the cache
+tier's bulk keys).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+#: diff statuses, in output order.
+STATUSES = ("added", "removed", "changed", "unchanged")
+
+
+def _content_digest(content_cols: Sequence[str]):
+    """Fixed-width digest of the content columns: md5 of the concat of
+    per-column null-tagged md5s ('n' for NULL, else md5 of the string
+    cast) — unambiguous because every piece is fixed-length."""
+    pieces = [
+        F.expr(f"IF({c} IS NULL, 'n', md5(CAST({c} AS STRING)))")
+        for c in content_cols]
+    return F.md5(F.concat(*pieces))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_cols: Sequence[str],
+                  content_cols: Sequence[str]) -> DataFrame:
+    """Row-level diff: (key_cols..., status) with status in
+    added (key only in ``new``), removed (only in ``old``), changed
+    (both, digests differ), unchanged. Keys must be unique per
+    snapshot — this is a diff of keyed states, not a multiset diff."""
+    if not key_cols or not content_cols:
+        raise ValueError("key_cols and content_cols must be non-empty")
+    ho = old.select(*key_cols, _content_digest(content_cols).alias("_ho"))
+    hn = new.select(*key_cols, _content_digest(content_cols).alias("_hn"))
+    joined = ho.join(hn, on=list(key_cols), how="full_outer")
+    status = (F.when(F.col("_ho").isNull(), F.lit("added"))
+              .when(F.col("_hn").isNull(), F.lit("removed"))
+              .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return joined.select(*key_cols, status.alias("status"))
+
+
+def snapshot_diff_summary(old: DataFrame, new: DataFrame,
+                          key_cols: Sequence[str],
+                          content_cols: Sequence[str]) -> DataFrame:
+    """(status, n) counts — every status present (zero-filled), so
+    dashboards and assertions see a stable 4-row shape."""
+    spark = old.sparkSession
+    counts = (snapshot_diff(old, new, key_cols, content_cols)
+              .groupBy("status").agg(F.count("*").cast("bigint")
+                                     .alias("n")))
+    shape = spark.range(len(STATUSES)).select(
+        F.element_at(F.array(*[F.lit(s) for s in STATUSES]),
+                     (F.col("id") + 1).cast("int")).alias("status"))
+    return (shape.join(counts, on="status", how="left")
+            .select("status", F.coalesce(F.col("n"), F.lit(0))
+                    .cast("bigint").alias("n")))
