@@ -4963,6 +4963,90 @@ ORDER BY doc_id
 _def("corpus_diff", (_snapdiff_fn, _SNAPDIFF_DUCK))
 
 
+# -- 59. rank-aware retrieval evaluation (retrieval.ranked_eval): MRR@k
+#        / precision@k / recall@k numerators in exact integer ppm over a
+#        deterministic fixture — rankings are md5-ordered (pseudo-random
+#        but engine-identical), judgments a modular rule that leaves
+#        some queries with unretrieved relevant docs (recall < 1) and
+#        some retrieved docs unjudged. The metric arithmetic (integer
+#        div, NULL-when-unjudged) is the surface under oracle test; the
+#        ann_recall_report oracle already covers approx-vs-exact sets.
+_REVAL_K = 10
+
+
+def _reval_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ragstudio_spark.operators import retrieval
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id")
+    qs = spark.range(8).select(F.col("id").alias("query_id"))
+    w = Window.partitionBy("query_id").orderBy("_m", "doc_id")
+    results = (qs.crossJoin(docs.filter("doc_id < 120"))
+               .withColumn("_m", F.expr(
+                   "md5(concat(CAST(query_id AS STRING), ':', "
+                   "CAST(doc_id AS STRING)))"))
+               .withColumn("rank", F.row_number().over(w))
+               .filter("rank <= 15")
+               .select("query_id", "doc_id", "rank"))
+    qrels = (qs.crossJoin(docs.filter("doc_id < 150"))
+             .filter("(doc_id * 3 + query_id) % 11 = 0")
+             .select("query_id", "doc_id"))
+    return (retrieval.ranked_eval(results, qrels, k=_REVAL_K)
+            .orderBy("query_id"))
+
+
+_REVAL_DUCK = f"""
+WITH qs AS (
+  SELECT CAST(i AS BIGINT) AS query_id FROM range(0, 8) t(i)
+), results AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT q.query_id, d.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY md5(CAST(q.query_id AS VARCHAR) || ':'
+                          || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+             AS rank
+    FROM qs q, documents d WHERE d.doc_id < 120)
+  WHERE rank <= 15
+), qrels AS (
+  SELECT q.query_id, d.doc_id
+  FROM qs q, documents d
+  WHERE d.doc_id < 150 AND (d.doc_id * 3 + q.query_id) % 11 = 0
+), hits AS (
+  SELECT r.query_id,
+         CAST(sum(CASE WHEN j.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rel_ret,
+         CAST(min(CASE WHEN j.doc_id IS NOT NULL THEN r.rank END)
+              AS BIGINT) AS first_rel_rank
+  FROM results r LEFT JOIN qrels j
+    ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+  WHERE r.rank <= {_REVAL_K}
+  GROUP BY r.query_id
+), uni AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+  FROM qrels GROUP BY query_id
+)
+SELECT COALESCE(u.query_id, h.query_id) AS query_id,
+       COALESCE(u.n_rel, 0) AS n_rel,
+       COALESCE(h.n_rel_ret, 0) AS n_rel_ret,
+       h.first_rel_rank,
+       CAST(COALESCE(1000000 // h.first_rel_rank, 0) AS BIGINT)
+         AS rr_ppm,
+       CAST((1000000 * COALESCE(h.n_rel_ret, 0)) // {_REVAL_K} AS BIGINT)
+         AS p_at_k_ppm,
+       CASE WHEN COALESCE(u.n_rel, 0) > 0
+            THEN CAST((1000000 * COALESCE(h.n_rel_ret, 0)) // u.n_rel
+                      AS BIGINT) END AS recall_ppm
+FROM uni u FULL OUTER JOIN hits h ON u.query_id = h.query_id
+ORDER BY query_id
+"""
+
+
+_def("retrieval_eval", (_reval_fn, _REVAL_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -196,3 +196,62 @@ def hybrid_search(docs: DataFrame, vectors: DataFrame, terms: list[str],
     if require_both is None:
         require_both = candidate_limit is None
     return rrf_fuse(bm25, vec, doc_id_col, cfg, require_both=require_both)
+
+
+def ranked_eval(results: DataFrame, qrels: DataFrame, k: int = 10,
+                query_col: str = "query_id", doc_col: str = "doc_id",
+                rank_col: str = "rank") -> DataFrame:
+    """Retrieval-quality metrics @k over a ranked results table vs a
+    relevance-judgment (qrels) table — the IR evaluation harness that
+    complements ``similarity.ann_recall_report`` (set recall) with
+    rank-aware metrics. All metrics are EXACT integers (parts-per-
+    million via integer div), the oracle discipline: no float
+    accumulation, so results are bit-identical across engines and
+    partitionings.
+
+    Per query (the qrels side defines the universe; queries with
+    results but no judgments report n_rel = 0 and NULL ratio metrics):
+    n_rel, n_rel_ret (relevant among the top-k results),
+    first_rel_rank (NULL if no relevant doc in the top-k),
+    rr_ppm = 1e6 div first_rel_rank (MRR@k numerator, 0 if none),
+    p_at_k_ppm = 1e6 * n_rel_ret div k,
+    recall_ppm = 1e6 * n_rel_ret div n_rel (NULL when n_rel = 0).
+    Macro-average downstream with integer sums over rr_ppm etc.
+
+    Scale shape: one filter to rank <= k (top-k tables are tiny by
+    construction), one join on (query, doc), two map-side-combinable
+    aggregates, one key join — no window over the corpus."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    hits = (results
+            .filter(F.col(rank_col) <= k)
+            .select(query_col, doc_col, F.col(rank_col).cast("bigint")
+                    .alias("_r"))
+            .join(qrels.select(query_col, doc_col)
+                  .distinct().withColumn("_rel", F.lit(1)),
+                  on=[query_col, doc_col], how="left")
+            .groupBy(query_col)
+            .agg(F.sum(F.coalesce("_rel", F.lit(0))).cast("bigint")
+                 .alias("n_rel_ret"),
+                 F.min(F.when(F.col("_rel").isNotNull(), F.col("_r")))
+                 .alias("first_rel_rank")))
+    universe = (qrels.select(query_col, doc_col).distinct()
+                .groupBy(query_col)
+                .agg(F.count("*").cast("bigint").alias("n_rel")))
+    joined = universe.join(hits, on=query_col, how="full_outer")
+    n_rel = F.coalesce("n_rel", F.lit(0)).cast("bigint")
+    n_rel_ret = F.coalesce("n_rel_ret", F.lit(0)).cast("bigint")
+    return joined.select(
+        query_col,
+        n_rel.alias("n_rel"),
+        n_rel_ret.alias("n_rel_ret"),
+        F.col("first_rel_rank").cast("bigint").alias("first_rel_rank"),
+        F.coalesce(F.expr("1000000 div first_rel_rank"), F.lit(0))
+        .cast("bigint").alias("rr_ppm"),
+        F.expr(f"(1000000 * coalesce(n_rel_ret, CAST(0 AS BIGINT))) "
+               f"div {int(k)}")
+        .cast("bigint").alias("p_at_k_ppm"),
+        F.expr("IF(coalesce(n_rel, CAST(0 AS BIGINT)) > 0, "
+               "(1000000 * coalesce(n_rel_ret, CAST(0 AS BIGINT))) "
+               "div n_rel, CAST(NULL AS BIGINT))")
+        .alias("recall_ppm"))

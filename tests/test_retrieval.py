@@ -109,3 +109,53 @@ class TestTermEscaping:
         out = {r["doc_id"]: r["bm25_score"]
                for r in retrieval.bm25_scores(docs, ["Spark"]).collect()}
         assert out[1] > 0.0 and out[2] == 0.0
+
+
+class TestRankedEval:
+    def _eval(self, spark, results, qrels, k):
+        from ragstudio_spark.operators.retrieval import ranked_eval
+
+        r = spark.createDataFrame(results,
+                                  "query_id int, doc_id int, rank int")
+        j = spark.createDataFrame(qrels, "query_id int, doc_id int")
+        out = ranked_eval(r, j, k=k)
+        return {row.query_id: row.asDict() for row in out.collect()}
+
+    def test_hand_computed_metrics(self, spark):
+        # q0: rel docs {1, 3, 9}; top-3 ranking hits 3 at rank 2 —
+        # rr = 1/2, p@3 = 1/3, recall = 1/3 (doc 9 never retrieved).
+        results = [(0, 5, 1), (0, 3, 2), (0, 1, 4)]  # rank 4 > k
+        qrels = [(0, 1), (0, 3), (0, 9)]
+        got = self._eval(spark, results, qrels, k=3)[0]
+        assert got == {"query_id": 0, "n_rel": 3, "n_rel_ret": 1,
+                       "first_rel_rank": 2, "rr_ppm": 500000,
+                       "p_at_k_ppm": 333333, "recall_ppm": 333333}
+
+    def test_perfect_and_zero_rankings(self, spark):
+        results = [(0, 1, 1), (0, 2, 2), (1, 7, 1)]
+        qrels = [(0, 1), (0, 2), (1, 8)]
+        got = self._eval(spark, results, qrels, k=2)
+        assert got[0]["rr_ppm"] == 1000000
+        assert got[0]["recall_ppm"] == 1000000
+        assert got[1] == {"query_id": 1, "n_rel": 1, "n_rel_ret": 0,
+                          "first_rel_rank": None, "rr_ppm": 0,
+                          "p_at_k_ppm": 0, "recall_ppm": 0}
+
+    def test_unjudged_query_reports_null_recall(self, spark):
+        got = self._eval(spark, [(5, 1, 1)], [(0, 1)], k=2)
+        assert got[5]["n_rel"] == 0 and got[5]["recall_ppm"] is None
+        assert got[0]["n_rel"] == 1 and got[0]["n_rel_ret"] == 0
+
+    def test_duplicate_judgments_count_once(self, spark):
+        got = self._eval(spark, [(0, 1, 1)], [(0, 1), (0, 1)], k=1)
+        assert got[0]["n_rel"] == 1 and got[0]["recall_ppm"] == 1000000
+
+    def test_invalid_k_raises(self, spark):
+        import pytest
+
+        from ragstudio_spark.operators.retrieval import ranked_eval
+
+        df = spark.createDataFrame([(0, 1, 1)],
+                                   "query_id int, doc_id int, rank int")
+        with pytest.raises(ValueError):
+            ranked_eval(df, df.select("query_id", "doc_id"), k=0)
