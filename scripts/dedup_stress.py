@@ -144,9 +144,53 @@ def main() -> None:
         ).otherwise(F.array().cast("array<string>"))
         return bound.select("doc_id", F.array_join(lines, "\n").alias("text"))
 
-    from ragstudio_spark.operators import convlint
+    from ragstudio_spark.operators import convlint, rag_extras, retrieval, \
+        sketches, snapshot
+
+    def mmr_candidates(d):
+        """One query per 25 vectors (query count scales with the corpus,
+        per-query candidate list FIXED at 24) — the shape the per-query
+        fold must stay linear in."""
+        vecs = vectors_of(d)
+        qs = (vecs.filter("vec_id % 25 = 0")
+              .select((F.col("vec_id") / 25).cast("bigint")
+                      .alias("query_id"),
+                      F.col("embedding").alias("query_embedding")))
+        return (vecs.filter("vec_id % 25 != 0")
+                .select((F.col("vec_id") / 25).cast("bigint")
+                        .alias("query_id"),
+                        F.col("vec_id").alias("doc_id"), "embedding",
+                        (F.col("vec_id") % 25).cast("int").alias("rank"))
+                .join(qs, on="query_id"))
+
+    def eval_tables(d):
+        """Ranked results + judgments derived from the corpus: query
+        count scales linearly, 10 ranks per query."""
+        res = d.select((F.col("doc_id") / 10).cast("bigint")
+                       .alias("query_id"),
+                       F.col("doc_id"),
+                       (F.col("doc_id") % 10 + 1).cast("int").alias("rank"))
+        qrels = d.filter("doc_id % 3 = 0").select(
+            (F.col("doc_id") / 10).cast("bigint").alias("query_id"),
+            F.col("doc_id"))
+        return res, qrels
 
     ops = {
+        "mmr_rerank_k5": lambda d: rag_extras.mmr_rerank(
+            mmr_candidates(d), k=5).count(),
+        "hll_distinct_words": lambda d: sketches.hll_estimate(
+            d.select((F.col("doc_id") % 50).alias("g"),
+                     F.explode(F.expr(
+                         "filter(split(lower(text), '\\\\s+'), "
+                         "w -> w != '')")).alias("w")),
+            "w", ("g",)).count(),
+        "snapshot_diff": lambda d: snapshot.snapshot_diff(
+            d, d.select("doc_id", F.expr(
+                "IF(doc_id % 7 = 0, concat(text, ' v2'), text)")
+                .alias("text")),
+            ("doc_id",), ("text",)).count(),
+        "ranked_eval_k10": lambda d: retrieval.ranked_eval(
+            *eval_tables(d), k=10).count(),
         "exact_dup": lambda d: dedupe.exact_duplicates(d).count(),
         "line_dedup": lambda d: dedupe.line_dedup(lines_of(d)).count(),
         "conversation_stats": lambda d: convlint.conversation_stats(
