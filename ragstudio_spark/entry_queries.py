@@ -5047,6 +5047,44 @@ ORDER BY query_id
 _def("retrieval_eval", (_reval_fn, _REVAL_DUCK))
 
 
+# -- 60. budgeted greedy selection (sampling.select_to_budget): per-
+#        source "take best until the token budget is spent" prefix-cap
+#        walk — quality proxy = n_chars % 97 (pseudo-random but engine-
+#        identical), tokens = n_chars // 4 (the pack oracle's proxy),
+#        budget 900 (binds: per-source totals run ~2,000). Pure window cumsum; all integers.
+def _budget_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import sampling
+
+    _register(spark, sf_dir, "documents")
+    shaped = (spark.table("documents")
+              .select("source", "doc_id",
+                      (F.col("n_chars") % 97).cast("bigint").alias("q"),
+                      F.expr("n_chars div 4").cast("bigint")
+                      .alias("tokens")))
+    return (sampling.select_to_budget(shaped, 900, "q", "tokens")
+            .orderBy("source", "cum_tokens"))
+
+
+_BUDGET_DUCK = """
+SELECT source, doc_id, q, tokens, cum_tokens FROM (
+  SELECT source, doc_id,
+         CAST(n_chars % 97 AS BIGINT) AS q,
+         CAST(n_chars // 4 AS BIGINT) AS tokens,
+         CAST(sum(n_chars // 4) OVER (
+           PARTITION BY source
+           ORDER BY n_chars % 97 DESC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM documents)
+WHERE cum_tokens <= 900
+ORDER BY source, cum_tokens
+"""
+
+
+_def("budget_select", (_budget_fn, _BUDGET_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

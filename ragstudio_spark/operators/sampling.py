@@ -215,3 +215,37 @@ def mixture_sample(df: DataFrame, key_col: str, shares: dict[str, float],
     return (df.join(F.broadcast(counts), on=key_col)
             .filter(hash_fraction(list(key_cols), salt) < rate)
             .drop("_n"))
+
+
+def select_to_budget(df: DataFrame, token_budget: int,
+                     order_col: str, token_col: str,
+                     group_cols=("source",),
+                     tie_col: str = "doc_id") -> DataFrame:
+    """Budgeted greedy curation: walk each group's rows in ``order_col``
+    DESC (quality first; ties on ``tie_col`` asc), keeping rows while
+    the RUNNING token total stays within ``token_budget`` — the
+    "take best until the budget is spent" selection every
+    mixture-targeted training run performs after scoring.
+
+    Semantics: prefix-cap — the walk STOPS at the first row that would
+    overflow (rows after it are dropped even if they would individually
+    fit). That keeps the rule a pure window cumsum, deterministic and
+    partition-independent; skip-and-continue knapsack filling would need
+    a sequential per-group fold over the whole group (not scale-safe on
+    corpus-sized groups) for a marginal utilization gain.
+
+    Output: group cols + (doc_id…, tokens, cum_tokens) for kept rows.
+    Scale shape: ONE window cumsum per group — groups (sources,
+    languages) must be bounded-cardinality keys, NOT a single global
+    group (an ungrouped call funnels the corpus through one partition;
+    pass group_cols=() only on small inputs)."""
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    gb = list(group_cols)
+    w = (Window.partitionBy(*[F.col(c) for c in gb])
+         .orderBy(F.desc(order_col), F.asc(tie_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df
+            .withColumn("cum_tokens",
+                        F.sum(F.col(token_col).cast("bigint")).over(w))
+            .filter(F.col("cum_tokens") <= int(token_budget)))

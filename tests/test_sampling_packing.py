@@ -349,3 +349,54 @@ class TestMixtureSample:
             sampling.mixture_sample(df, "lang", {}, budget=10)
         with pytest.raises(ValueError, match="positive"):
             sampling.mixture_sample(df, "lang", {"a": 1.0}, budget=0)
+
+
+class TestSelectToBudget:
+    def _run(self, spark, rows, budget):
+        from ragstudio_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            rows, "source string, doc_id long, q long, tokens long")
+        out = sampling.select_to_budget(df, budget, "q", "tokens")
+        return [(r.doc_id, r.cum_tokens)
+                for r in out.orderBy("source", "cum_tokens").collect()]
+
+    def test_prefix_cap_stops_at_first_overflow(self, spark):
+        # quality order: d1 (q9, 50), d2 (q8, 60), d3 (q7, 10).
+        # budget 70: d1 fits (50), d2 would reach 110 -> STOP; d3
+        # (which would individually fit at 60) is dropped too —
+        # the documented prefix-cap rule, not skip-and-continue.
+        rows = [("s", 1, 9, 50), ("s", 2, 8, 60), ("s", 3, 7, 10)]
+        assert self._run(spark, rows, 70) == [(1, 50)]
+
+    def test_budget_binds_per_group_independently(self, spark):
+        rows = [("a", 1, 9, 50), ("a", 2, 8, 50),
+                ("b", 3, 9, 90), ("b", 4, 8, 90)]
+        assert self._run(spark, rows, 100) == [(1, 50), (2, 100), (3, 90)]
+
+    def test_quality_ties_break_on_doc_id(self, spark):
+        rows = [("s", 5, 7, 40), ("s", 2, 7, 40), ("s", 9, 7, 40)]
+        assert self._run(spark, rows, 80) == [(2, 40), (5, 80)]
+
+    def test_partition_independence(self, spark):
+        from ragstudio_spark.operators import sampling
+
+        rows = [("s%d" % (i % 7), i, i % 13, 10 + i % 17)
+                for i in range(300)]
+        df = spark.createDataFrame(
+            rows, "source string, doc_id long, q long, tokens long")
+        a = sorted(map(tuple, sampling.select_to_budget(
+            df.repartition(1), 200, "q", "tokens").collect()))
+        b = sorted(map(tuple, sampling.select_to_budget(
+            df.repartition(32), 200, "q", "tokens").collect()))
+        assert a == b and a
+
+    def test_invalid_budget_raises(self, spark):
+        import pytest
+
+        from ragstudio_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [("s", 1, 1, 1)], "source string, doc_id long, q long, tokens long")
+        with pytest.raises(ValueError):
+            sampling.select_to_budget(df, 0, "q", "tokens")
