@@ -5085,6 +5085,81 @@ ORDER BY source, cum_tokens
 _def("budget_select", (_budget_fn, _BUDGET_DUCK))
 
 
+# -- 61. bloom-prefiltered decontamination (dedupe.bloom_decontaminate):
+#        the 100-TB shape of decontaminate_ngram_overlap — benchmark
+#        grams folded into a driver-built bloom literal, corpus grams
+#        screened MAP-SIDE, only survivors exact-verified. m = 4096 bits
+#        deliberately small so false positives are plentiful and the
+#        precision accounting (n_exact_shared = 0 rows) is non-vacuous.
+#        The twin realizes the SAME bit set as a position TABLE (a bloom
+#        bit array IS the set of positions): membership = three semi
+#        joins; the hex→int position math is the shared engine-neutral
+#        _hex_positions fold.
+_BLOOM_M, _BLOOM_K = 1 << 12, 3
+
+
+def _bloom_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    bench = docs.filter("doc_id % 50 = 3")
+    return (dedupe.bloom_decontaminate(
+        docs, bench, n=_DECON_N, m_bits=_BLOOM_M, k=_BLOOM_K)
+        .orderBy("corpus_id"))
+
+
+def _bloom_duck_sql() -> str:
+    from ragstudio_spark.operators.dedupe import _hex_positions
+
+    w = "w"
+    cat = " || ' ' || ".join(f"{w}[i+{j}]" for j in range(_DECON_N))
+    grams = (f"CASE WHEN len({w}) >= {_DECON_N} THEN "
+             f"list_transform(range(1, len({w}) - {_DECON_N - 2}), "
+             f"i -> {cat}) ELSE [] END")
+    words = _words_expr("text", "duckdb")
+    p = _hex_positions("_h", _BLOOM_M, _BLOOM_K)
+    return f"""
+WITH wrds AS (
+  SELECT doc_id, {words} AS w FROM documents
+), cg AS (
+  SELECT doc_id AS corpus_id, unnest(list_distinct({grams})) AS gram
+  FROM wrds
+), bgd AS (
+  SELECT DISTINCT unnest(list_distinct({grams})) AS gram
+  FROM wrds WHERE doc_id % 50 = 3
+), bh AS (
+  SELECT md5(CAST(gram AS VARCHAR)) AS _h FROM bgd
+), bpos AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {p[0]} AS pos FROM bh
+    UNION ALL SELECT {p[1]} FROM bh
+    UNION ALL SELECT {p[2]} FROM bh)
+), ch AS (
+  SELECT corpus_id, gram, md5(CAST(gram AS VARCHAR)) AS _h FROM cg
+), cp AS (
+  SELECT corpus_id, gram, {p[0]} AS p0, {p[1]} AS p1, {p[2]} AS p2
+  FROM ch
+), cand AS (
+  SELECT cp.corpus_id, cp.gram
+  FROM cp
+  JOIN bpos b0 ON b0.pos = cp.p0
+  JOIN bpos b1 ON b1.pos = cp.p1
+  JOIN bpos b2 ON b2.pos = cp.p2
+)
+SELECT c.corpus_id,
+       CAST(count(*) AS BIGINT) AS n_candidate_grams,
+       CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_shared
+FROM cand c LEFT JOIN bgd e ON e.gram = c.gram
+GROUP BY c.corpus_id
+ORDER BY c.corpus_id
+"""
+
+
+_def("bloom_decontaminate", (_bloom_fn, _bloom_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

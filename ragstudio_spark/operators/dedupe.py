@@ -766,3 +766,113 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      lambda s: s["line"]),
                  sep).alias("kept_text"))
     )
+
+
+# --- bloom-prefiltered decontamination ---------------------------------------
+
+def _hex_positions(h: str, m_bits: int, k: int) -> list[str]:
+    """k bloom bit positions from a bound md5-hex column ``h``: position
+    i = int(hex[8i : 8i+8], 16) % m_bits, with the hex→int conversion
+    spelled as an 8-digit instr()/multiply fold so the SAME string works
+    in Spark SQL and DuckDB (neither needs conv()/from_hex). Every term
+    casts to BIGINT before the 16^j multiply — the int32 product would
+    silently wrap with ANSI off."""
+    if not 1 <= k <= 4:
+        raise ValueError("k must be in 1..4 (md5 supplies 4x32 bits)")
+    out = []
+    for i in range(k):
+        terms = " + ".join(
+            f"(CAST(instr('0123456789abcdef', "
+            f"substr({h}, {8 * i + j + 1}, 1)) AS BIGINT) - 1) "
+            f"* {16 ** (7 - j)}"
+            for j in range(8))
+        out.append(f"(({terms}) % {int(m_bits)})")
+    return out
+
+
+def bloom_build(grams: DataFrame, m_bits: int = 1 << 16, k: int = 3,
+                gram_col: str = "gram") -> list[int]:
+    """Driver-side bloom bit array (as ``m_bits // 64`` Python ints) from
+    a gram table — the BENCHMARK side of decontamination, tiny by
+    contract (eval suites), so the distinct-position collect is bounded
+    by min(k·|grams|, m_bits) rows. The array ships to executors as a
+    literal in the filter expression: membership tests are then pure
+    map-side column math — no join, no shuffle, no broadcast variable
+    plumbing."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    hashed = grams.select(
+        F.md5(F.col(gram_col).cast("string")).alias("_h"))
+    pos_exprs = _hex_positions("_h", m_bits, k)
+    stacked = hashed.select(
+        F.explode(F.array(*[F.expr(p).cast("bigint")
+                            for p in pos_exprs])).alias("pos"))
+    words = [0] * (m_bits // 64)
+    for r in stacked.distinct().collect():
+        words[r.pos // 64] |= 1 << (r.pos % 64)
+    # two's-complement into signed 64-bit (Spark bigint literals)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bind_bloom_positions(df: DataFrame, hash_col: str, m_bits: int,
+                         k: int) -> tuple[DataFrame, list[str]]:
+    """Bind the k position folds to column attributes ``_bp0.._bp{k-1}``
+    (each 8-digit instr fold would otherwise re-execute per reference in
+    the membership check — the bind-once rule)."""
+    pos_cols = [f"_bp{i}" for i in range(k)]
+    out = df.select(
+        "*", *[F.expr(p).cast("bigint").alias(c)
+               for c, p in zip(pos_cols,
+                               _hex_positions(hash_col, m_bits, k))])
+    return out, pos_cols
+
+
+def bloom_member_col(pos_cols: list[str], words: list[int]) -> Column:
+    """Boolean column: all bloom bits at the BOUND position columns set.
+    False ⇒ definitely not in the build set (no false negatives); True
+    may be a false positive at the standard (1 - e^(-kn/m))^k rate —
+    callers exact-verify the survivors."""
+    arr = F.array(*[F.lit(w).cast("bigint") for w in words])
+    out = None
+    for c in pos_cols:
+        word = F.element_at(arr, (F.col(c) / 64).cast("int") + 1)
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST({c} % 64 AS INT))")
+        check = word.bitwiseAND(bit) != 0
+        out = check if out is None else out & check
+    return out
+
+
+def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 13, m_bits: int = 1 << 16,
+                        k: int = 3) -> DataFrame:
+    """Bloom-prefiltered eval-decontamination screening — the 100-TB
+    shape of ``ngram_decontaminate``: the benchmark's grams are folded
+    into an ``m_bits`` bloom filter ON THE DRIVER (the eval side is tiny
+    by contract) and shipped as an expression literal, so the corpus
+    gram stream is screened MAP-SIDE — zero shuffle, zero join for the
+    overwhelmingly-common miss path. Only bloom survivors (true hits +
+    the filter's false positives) enter the exact broadcast join.
+
+    Returns per flagged doc: (corpus_id, n_candidate_grams [bloom
+    survivors], n_exact_shared [verified against the benchmark gram
+    set]) — a row with n_exact_shared = 0 is entirely false positives,
+    making the filter's precision directly observable. No false
+    negatives by construction: every gram of ``ngram_decontaminate``'s
+    flagged docs survives the prefilter."""
+    bg = (distinct_ngrams(benchmark, text_col, id_col, n,
+                          out_id="benchmark_id")
+          .select("gram").distinct())
+    words = bloom_build(bg, m_bits, k)
+    cg = (distinct_ngrams(corpus, text_col, id_col, n,
+                          out_id="corpus_id")
+          .withColumn("_h", F.md5(F.col("gram").cast("string"))))
+    cg, pos_cols = bind_bloom_positions(cg, "_h", m_bits, k)
+    cand = cg.filter(bloom_member_col(pos_cols, words))
+    exact = bg.withColumn("_hit", F.lit(1))
+    return (cand.join(F.broadcast(exact), on="gram", how="left")
+            .groupBy("corpus_id")
+            .agg(F.count("*").cast("bigint").alias("n_candidate_grams"),
+                 F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint")
+                 .alias("n_exact_shared")))

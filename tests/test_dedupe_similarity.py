@@ -670,3 +670,86 @@ class TestCutRepeatedSpans:
         assert cut[0] == text0                    # both canonicals intact
         assert "a0 a1 a2 a3" not in cut[1]
         assert "a2 a3 c2 c3" not in cut[2]
+
+
+class TestBloomDecontaminate:
+    def _py_positions(self, gram, m_bits, k):
+        import hashlib
+
+        h = hashlib.md5(gram.encode()).hexdigest()
+        return [int(h[8 * i:8 * i + 8], 16) % m_bits for i in range(k)]
+
+    def test_positions_match_hashlib_replica(self, spark):
+        from ragstudio_spark.operators import dedupe
+
+        grams = [f"some gram {i}" for i in range(40)]
+        df = (spark.createDataFrame([(g,) for g in grams], "gram string")
+              .withColumn("_h", F.md5(F.col("gram"))))
+        bound, cols = dedupe.bind_bloom_positions(df, "_h", 4096, 3)
+        got = {r.gram: [r[c] for c in cols] for r in bound.collect()}
+        assert got == {g: self._py_positions(g, 4096, 3) for g in grams}
+
+    def test_bloom_build_matches_replica_bits(self, spark):
+        from ragstudio_spark.operators import dedupe
+
+        grams = [f"g{i}" for i in range(100)]
+        df = spark.createDataFrame([(g,) for g in grams], "gram string")
+        words = dedupe.bloom_build(df, m_bits=1024, k=2)
+        bits = set()
+        for g in grams:
+            bits.update(self._py_positions(g, 1024, 2))
+        exp = [0] * 16
+        for b in bits:
+            exp[b // 64] |= 1 << (b % 64)
+        exp = [w - (1 << 64) if w >= (1 << 63) else w for w in exp]
+        assert words == exp
+
+    def _corpora(self, spark, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(60)]
+        mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+        bench = [(i, mk(12)) for i in range(5)]
+        # half the corpus embeds a benchmark doc verbatim (contaminated)
+        corpus = [(100 + i,
+                   (mk(6) + " " + bench[i % 5][1] + " " + mk(6))
+                   if i % 2 == 0 else mk(30))
+                  for i in range(30)]
+        return (spark.createDataFrame(corpus, "doc_id long, text string"),
+                spark.createDataFrame(bench, "doc_id long, text string"))
+
+    def test_no_false_negatives_vs_exact(self, spark):
+        from ragstudio_spark.operators import dedupe
+
+        corpus, bench = self._corpora(spark)
+        for m in (256, 4096):
+            got = {r.corpus_id: r.n_exact_shared
+                   for r in dedupe.bloom_decontaminate(
+                       corpus, bench, n=8, m_bits=m, k=3).collect()}
+            exact = (dedupe.ngram_decontaminate(corpus, bench, n=8)
+                     .groupBy("corpus_id")
+                     .agg(F.sum("n_shared").alias("n")).collect())
+            for r in exact:
+                assert got.get(r.corpus_id, 0) >= 1, (m, r)
+
+    def test_tiny_filter_shows_false_positives(self, spark):
+        from ragstudio_spark.operators import dedupe
+
+        corpus, bench = self._corpora(spark)
+        out = dedupe.bloom_decontaminate(corpus, bench, n=8,
+                                         m_bits=64, k=1).collect()
+        # at 64 bits the filter saturates: clean docs get flagged, and
+        # their rows carry n_exact_shared = 0 (observable imprecision)
+        assert any(r.n_exact_shared == 0 for r in out)
+
+    def test_build_validation(self, spark):
+        import pytest
+
+        from ragstudio_spark.operators import dedupe
+
+        df = spark.createDataFrame([("g",)], "gram string")
+        with pytest.raises(ValueError):
+            dedupe.bloom_build(df, m_bits=100)
+        with pytest.raises(ValueError):
+            dedupe.bloom_build(df, m_bits=1024, k=5)
