@@ -175,7 +175,18 @@ def main() -> None:
             F.col("doc_id"))
         return res, qrels
 
+    from ragstudio_spark.operators import sampling
+
     ops = {
+        "budget_select": lambda d: sampling.select_to_budget(
+            d.select((F.col("doc_id") % 50).cast("string").alias("source"),
+                     "doc_id",
+                     (F.col("doc_id") % 97).cast("bigint").alias("q"),
+                     F.expr("length(text) div 4").cast("bigint")
+                     .alias("tokens")),
+            5000, "q", "tokens").count(),
+        "bloom_decontam_13g": lambda d: dedupe.bloom_decontaminate(
+            d, bench, n=13, m_bits=1 << 16, k=3).count(),
         "mmr_rerank_k5": lambda d: rag_extras.mmr_rerank(
             mmr_candidates(d), k=5).count(),
         "hll_distinct_words": lambda d: sketches.hll_estimate(
