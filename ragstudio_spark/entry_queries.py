@@ -2909,6 +2909,16 @@ _def("curate_corpus", (_curate_fn, _curate_duck_sql()))
 _DECON_N = 13
 
 
+def _gram_list_expr_duck(n: int, words: str = "w") -> str:
+    """DuckDB n-word-gram list over a bound words array — single source
+    for every decontamination twin (two hand-maintained copies had to
+    stay in lockstep with dedupe.distinct_ngrams — review-found)."""
+    cat = " || ' ' || ".join(f"{words}[i+{j}]" for j in range(n))
+    return (f"CASE WHEN len({words}) >= {n} THEN "
+            f"list_transform(range(1, len({words}) - {n - 2}), "
+            f"i -> {cat}) ELSE [] END")
+
+
 def _ngram_decon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -2922,11 +2932,7 @@ def _ngram_decon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_decon_duck_sql() -> str:
-    w = "w"
-    cat = " || ' ' || ".join(f"{w}[i+{j}]" for j in range(_DECON_N))
-    grams = (f"CASE WHEN len({w}) >= {_DECON_N} THEN "
-             f"list_transform(range(1, len({w}) - {_DECON_N - 2}), "
-             f"i -> {cat}) ELSE [] END")
+    grams = _gram_list_expr_duck(_DECON_N)
     words = _words_expr("text", "duckdb")
     return f"""
 WITH wrds AS (
@@ -4810,7 +4816,7 @@ WITH cand AS (
   SELECT query_id, rank, 1 AS step FROM (
     SELECT query_id, rank,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY {lam!r} * qsim DESC, rank) AS rn
+                              ORDER BY qsim DESC, rank) AS rn
     FROM scored) WHERE rn = 1
 ), kept1 AS (SELECT * FROM k1)"""]
     for i in range(2, k + 1):
@@ -4867,13 +4873,12 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_duck_sql() -> str:
-    from ragstudio_spark.operators.sketches import _LZ4, _RHO_BITS, _alpha
+    from ragstudio_spark.operators.sketches import (_RHO_BITS, _alpha,
+                                                    lz4_case_sql)
 
     m, scale = 256, _RHO_BITS + 1
     alpha_num = _alpha(m) * m * m * float(1 << scale)
-    lz4 = ("CASE " + " ".join(
-        f"WHEN _f = '{d}' THEN {z}" for d, z in _LZ4.items())
-        + " ELSE 0 END")
+    lz4 = lz4_case_sql("_f")
     words = _words_expr("COALESCE(text, '')", "duck")
     return f"""
 WITH w AS (
@@ -5112,11 +5117,7 @@ def _bloom_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bloom_duck_sql() -> str:
     from ragstudio_spark.operators.dedupe import _hex_positions
 
-    w = "w"
-    cat = " || ' ' || ".join(f"{w}[i+{j}]" for j in range(_DECON_N))
-    grams = (f"CASE WHEN len({w}) >= {_DECON_N} THEN "
-             f"list_transform(range(1, len({w}) - {_DECON_N - 2}), "
-             f"i -> {cat}) ELSE [] END")
+    grams = _gram_list_expr_duck(_DECON_N)
     words = _words_expr("text", "duckdb")
     p = _hex_positions("_h", _BLOOM_M, _BLOOM_K)
     return f"""

@@ -776,7 +776,11 @@ def _hex_positions(h: str, m_bits: int, k: int) -> list[str]:
     spelled as an 8-digit instr()/multiply fold so the SAME string works
     in Spark SQL and DuckDB (neither needs conv()/from_hex). Every term
     casts to BIGINT before the 16^j multiply — the int32 product would
-    silently wrap with ANSI off."""
+    silently wrap with ANSI off. The outer double-modulo clamps the
+    result into [0, m_bits) even when ``h`` carries non-lowercase-hex
+    garbage (every instr miss contributes -1; a plain % would keep the
+    dividend's negative sign in BOTH engines and index the bit array
+    out of range — review-found); lowercase-md5 inputs are unaffected."""
     if not 1 <= k <= 4:
         raise ValueError("k must be in 1..4 (md5 supplies 4x32 bits)")
     out = []
@@ -786,7 +790,8 @@ def _hex_positions(h: str, m_bits: int, k: int) -> list[str]:
             f"substr({h}, {8 * i + j + 1}, 1)) AS BIGINT) - 1) "
             f"* {16 ** (7 - j)}"
             for j in range(8))
-        out.append(f"(({terms}) % {int(m_bits)})")
+        m = int(m_bits)
+        out.append(f"(((({terms}) % {m}) + {m}) % {m})")
     return out
 
 
@@ -801,8 +806,10 @@ def bloom_build(grams: DataFrame, m_bits: int = 1 << 16, k: int = 3,
     plumbing."""
     if m_bits % 64 != 0 or m_bits <= 0:
         raise ValueError("m_bits must be a positive multiple of 64")
-    hashed = grams.select(
+    hashed = (grams.select(
         F.md5(F.col(gram_col).cast("string")).alias("_h"))
+        .filter(F.col("_h").isNotNull()))  # NULL grams hash to NULL —
+    # an unguarded collect would crash on r.pos = None (review-found)
     pos_exprs = _hex_positions("_h", m_bits, k)
     stacked = hashed.select(
         F.explode(F.array(*[F.expr(p).cast("bigint")
@@ -818,13 +825,16 @@ def bind_bloom_positions(df: DataFrame, hash_col: str, m_bits: int,
                          k: int) -> tuple[DataFrame, list[str]]:
     """Bind the k position folds to column attributes ``_bp0.._bp{k-1}``
     (each 8-digit instr fold would otherwise re-execute per reference in
-    the membership check — the bind-once rule)."""
+    the membership check — the bind-once rule). The hash is lowercased
+    first (bound once) so caller-supplied uppercase-hex columns land on
+    the same positions as the build side."""
     pos_cols = [f"_bp{i}" for i in range(k)]
-    out = df.select(
+    low = df.select("*", F.lower(F.col(hash_col)).alias("_bhl"))
+    out = low.select(
         "*", *[F.expr(p).cast("bigint").alias(c)
                for c, p in zip(pos_cols,
-                               _hex_positions(hash_col, m_bits, k))])
-    return out, pos_cols
+                               _hex_positions("_bhl", m_bits, k))])
+    return out.drop("_bhl"), pos_cols
 
 
 def bloom_member_col(pos_cols: list[str], words: list[int]) -> Column:
@@ -863,7 +873,9 @@ def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     flagged docs survives the prefilter."""
     bg = (distinct_ngrams(benchmark, text_col, id_col, n,
                           out_id="benchmark_id")
-          .select("gram").distinct())
+          .select("gram").distinct()
+          .localCheckpoint())  # 2 consumers (build collect + exact
+    # join) — without it the benchmark shingle lineage runs twice
     words = bloom_build(bg, m_bits, k)
     cg = (distinct_ngrams(corpus, text_col, id_col, n,
                           out_id="corpus_id")

@@ -361,8 +361,10 @@ def mmr_rerank(candidates: DataFrame, lambda_mult: float = 0.5,
     # One fold per query: step ``k`` times; each step scores the not-yet-
     # selected candidates (penalty fold starts at -2.0, strictly below
     # any cosine, so the max over a NONEMPTY selection is the true max —
-    # the empty-selection first step short-circuits to lam * qsim, which
-    # selects argmax query-cosine exactly like the reference algorithm).
+    # the empty-selection first step short-circuits to plain qsim, which
+    # selects argmax query-cosine for EVERY lambda_mult, including 0
+    # (lam * qsim would collapse to an all-zero tie at lam = 0 and pick
+    # by rank instead — review-found), like the reference algorithm).
     kept = F.expr(f"""
         aggregate(
           sequence(1, {int(k)}),
@@ -373,7 +375,7 @@ def mmr_rerank(candidates: DataFrame, lambda_mult: float = 0.5,
                 filter(hl, cnd -> NOT exists(sel, kp -> kp.rank = cnd.rank)),
                 cnd -> named_struct(
                   'score', IF(size(sel) = 0,
-                    {lam!r} * cnd.qsim,
+                    cnd.qsim,
                     {lam!r} * cnd.qsim - {1.0 - lam!r} * aggregate(
                       sel, cast(-2.0 as double),
                       (mx, kp2) -> greatest(mx,

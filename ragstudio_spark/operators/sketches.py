@@ -43,6 +43,15 @@ _RHO_BITS = 28
 _LZ4 = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
 
 
+def lz4_case_sql(col: str = "_f") -> str:
+    """CASE expression mapping a non-zero hex digit column to the
+    leading-zero-bit count of its 4-bit value — shared by the Spark
+    registers and the DuckDB twin (single source, review-found)."""
+    return ("CASE " + " ".join(
+        f"WHEN {col} = '{d}' THEN {z}" for d, z in _LZ4.items())
+        + " ELSE 0 END")
+
+
 def _alpha(m: int) -> float:
     """Flajolet's alpha_m bias constant (m >= 128 branch)."""
     if m >= 128:
@@ -70,9 +79,7 @@ def hll_registers(df: DataFrame, value_col: str,
     recomputed per reference (the CollapseProject inlining trap)."""
     if b_hex not in (1, 2, 3):
         raise ValueError("b_hex must be 1, 2, or 3")
-    lz4 = ("CASE " + " ".join(
-        f"WHEN _f = '{d}' THEN {z}" for d, z in _LZ4.items())
-        + " ELSE 0 END")
+    lz4 = lz4_case_sql("_f")
     gb = list(group_cols)
     return (df
             .select(*gb, F.expr(f"md5(CAST({value_col} AS STRING))")
@@ -111,7 +118,14 @@ def hll_estimate(df: DataFrame, value_col: str,
     denominator S is an exact bigint (shiftleft, never power()); the
     estimate is one pinned-literal double division + floor. Consumers
     needing Flajolet's small-range correction apply
-    ``m * ln(m / n_zero_registers)`` when est <= 2.5 * m and zeros > 0."""
+    ``m * ln(m / n_zero_registers)`` when est <= 2.5 * m and zeros > 0.
+
+    The group universe is ``df``'s group keys, not the hashed rows': a
+    group whose values are all NULL still reports, with
+    n_zero_registers = m and est_hll = 0 — matching the
+    ``COUNT(DISTINCT x) GROUP BY g`` aggregate this swaps in for
+    (the raw estimator would read alpha*m on an empty register set —
+    review-found)."""
     m = 16 ** b_hex
     scale = _RHO_BITS + 1
     alpha_num = _alpha(m) * m * m * float(1 << scale)
@@ -121,15 +135,28 @@ def hll_estimate(df: DataFrame, value_col: str,
         F.count("*").cast("bigint").alias("_n_present"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - rho)"))
         .cast("bigint").alias("_s_present")))
-    s_total = (F.col("_s_present")
-               + (F.lit(m) - F.col("_n_present"))
+    if gb:
+        universe = df.select(*gb).distinct()
+        cond = None
+        for c in gb:
+            eq = universe[c].eqNullSafe(per_group[c])
+            cond = eq if cond is None else cond & eq
+        per_group = (universe.join(per_group, on=cond, how="left")
+                     .select(*[universe[c] for c in gb],
+                             "_n_present", "_s_present"))
+    n_present = F.coalesce("_n_present", F.lit(0)).cast("bigint")
+    s_total = (F.coalesce("_s_present", F.lit(0)).cast("bigint")
+               + (F.lit(m) - n_present)
                * F.lit(1 << scale).cast("bigint"))
     return (per_group
+            .withColumn("_np", n_present)
             .withColumn("_s", s_total)
             .select(*gb,
                     F.lit(m).cast("bigint").alias("n_buckets"),
-                    (F.lit(m) - F.col("_n_present")).cast("bigint")
+                    (F.lit(m) - F.col("_np")).cast("bigint")
                     .alias("n_zero_registers"),
-                    F.floor(F.lit(alpha_num)
-                            / F.col("_s").cast("double"))
+                    F.when(F.col("_np") > 0,
+                           F.floor(F.lit(alpha_num)
+                                   / F.col("_s").cast("double")))
+                    .otherwise(F.lit(0))
                     .cast("bigint").alias("est_hll")))

@@ -49,12 +49,24 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
         raise ValueError("key_cols and content_cols must be non-empty")
     ho = old.select(*key_cols, _content_digest(content_cols).alias("_ho"))
     hn = new.select(*key_cols, _content_digest(content_cols).alias("_hn"))
-    joined = ho.join(hn, on=list(key_cols), how="full_outer")
+    # null-SAFE key equality: a NULL-keyed row present in both snapshots
+    # must match itself (an equality join would emit it twice, as both
+    # 'added' and 'removed' — review-found). String-qualified aliases:
+    # both sides often share lineage (two filters of one table), so
+    # DataFrame-indexed columns are ambiguous in the self-join.
+    o, nw = ho.alias("_snap_o"), hn.alias("_snap_n")
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_snap_o.{c}").eqNullSafe(F.col(f"_snap_n.{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(nw, on=cond, how="full_outer")
     status = (F.when(F.col("_ho").isNull(), F.lit("added"))
               .when(F.col("_hn").isNull(), F.lit("removed"))
               .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
               .otherwise(F.lit("changed")))
-    return joined.select(*key_cols, status.alias("status"))
+    keys = [F.coalesce(F.col(f"_snap_o.{c}"), F.col(f"_snap_n.{c}"))
+            .alias(c) for c in key_cols]
+    return joined.select(*keys, status.alias("status"))
 
 
 def snapshot_diff_summary(old: DataFrame, new: DataFrame,

@@ -753,3 +753,34 @@ class TestBloomDecontaminate:
             dedupe.bloom_build(df, m_bits=100)
         with pytest.raises(ValueError):
             dedupe.bloom_build(df, m_bits=1024, k=5)
+
+
+class TestBloomRobustness:
+    def test_null_grams_ignored_in_build(self, spark):
+        from ragstudio_spark.operators import dedupe
+
+        with_null = spark.createDataFrame(
+            [("a",), (None,), ("b",)], "gram string")
+        without = spark.createDataFrame([("a",), ("b",)], "gram string")
+        assert (dedupe.bloom_build(with_null, m_bits=512, k=2)
+                == dedupe.bloom_build(without, m_bits=512, k=2))
+
+    def test_uppercase_hash_lands_on_lowercase_positions(self, spark):
+        from ragstudio_spark.operators import dedupe
+
+        df = (spark.createDataFrame([("g1",), ("g2",)], "gram string")
+              .withColumn("_h", F.upper(F.md5(F.col("gram")))))
+        bound, cols = dedupe.bind_bloom_positions(df, "_h", 4096, 3)
+        low = (spark.createDataFrame([("g1",), ("g2",)], "gram string")
+               .withColumn("_h", F.md5(F.col("gram"))))
+        lbound, lcols = dedupe.bind_bloom_positions(low, "_h", 4096, 3)
+        got = {r.gram: [r[c] for c in cols] for r in bound.collect()}
+        exp = {r.gram: [r[c] for c in lcols] for r in lbound.collect()}
+        assert got == exp
+        # and garbage hex clamps into range instead of going negative
+        g = (spark.createDataFrame([("x",)], "gram string")
+             .withColumn("_h", F.lit("zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")))
+        gb, gc = dedupe.bind_bloom_positions(g, "_h", 4096, 2)
+        for r in gb.collect():
+            for c in gc:
+                assert 0 <= r[c] < 4096

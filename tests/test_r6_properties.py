@@ -231,7 +231,7 @@ class TestMMRRerankProperties:
             best = None
             for c in rem:
                 qs = cos(c[2], qvec)
-                score = (lam * qs if not sel
+                score = (qs if not sel
                          else lam * qs - (1 - lam)
                          * max(cos(s[2], c[2]) for s in sel))
                 if (best is None or score > best[0]
@@ -255,7 +255,7 @@ class TestMMRRerankProperties:
 
     def test_random_candidate_sets_match_python_mmr(self, spark):
         rng = random.Random(23)
-        for lam, k in ((0.5, 4), (0.3, 6), (1.0, 3)):
+        for lam, k in ((0.5, 4), (0.3, 6), (1.0, 3), (0.0, 4)):
             rows, expected = [], {}
             for qid in range(10):
                 qvec = [rng.uniform(-1, 1) for _ in range(6)]

@@ -92,3 +92,16 @@ class TestHLLReplica:
         assert row.n_zero_registers == 254  # only x and y hashed
         with pytest.raises(ValueError):
             sketches.hll_registers(df, "w", b_hex=4)
+
+    def test_all_null_group_reports_zero(self, spark):
+        # the group universe is df's keys: a group with only NULL
+        # values reports (m zeros, est 0) instead of vanishing —
+        # matching COUNT(DISTINCT x) GROUP BY g (review-found)
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", None)], "g string, w string")
+        out = {r.g: r for r in
+               sketches.hll_estimate(df, "w", ("g",)).collect()}
+        assert set(out) == {"a", "b"}
+        assert out["b"].n_zero_registers == 256
+        assert out["b"].est_hll == 0
+        assert out["a"].est_hll > 0

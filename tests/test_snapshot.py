@@ -58,3 +58,17 @@ class TestSnapshotDiff:
             snapshot.snapshot_diff(df, df, (), ("text",))
         with pytest.raises(ValueError):
             snapshot.snapshot_diff(df, df, ("doc_id",), ())
+
+
+class TestNullKeys:
+    def test_null_key_matches_itself(self, spark):
+        # a NULL-keyed row present in both snapshots is ONE row, not an
+        # added+removed pair (null-safe key equality — review-found)
+        old = spark.createDataFrame([(None, "a"), (1, "b")],
+                                    "doc_id long, text string")
+        new = spark.createDataFrame([(None, "a2"), (1, "b")],
+                                    "doc_id long, text string")
+        out = [(r.doc_id, r.status)
+               for r in snapshot.snapshot_diff(
+                   old, new, ("doc_id",), ("text",)).collect()]
+        assert sorted(out, key=str) == [(1, "unchanged"), (None, "changed")]
