@@ -5161,6 +5161,79 @@ ORDER BY c.corpus_id
 _def("bloom_decontaminate", (_bloom_fn, _bloom_duck_sql()))
 
 
+# -- 62. count-min word-frequency sketch (sketches.cms_build/cms_query):
+#        counters over the corpus word stream (width 1024 × depth 3),
+#        point-queried with doc 0's distinct words plus two absent
+#        probes. Counters and estimates are pure integers; the hash is
+#        the same engine-neutral instr fold as the bloom tier. The twin
+#        realizes posexplode as a 3-way UNION ALL with literal row
+#        indices. Non-twin checks (overcount bound, Counter-replica
+#        equality) live in tests/test_sketches.py.
+_CMS_W, _CMS_D = 1024, 3
+
+
+def _cms_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import sketches
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    words = docs.select(F.explode(F.expr(
+        _words_expr("COALESCE(text, '')", "spark"))).alias("w"))
+    cms = sketches.cms_build(words, "w", width=_CMS_W, depth=_CMS_D)
+    probes = (docs.filter("doc_id = 0")
+              .select(F.explode(F.expr(
+                  _words_expr("COALESCE(text, '')", "spark")))
+                  .alias("w"))
+              .unionByName(spark.range(2).select(
+                  F.concat(F.lit("zz_absent_probe_"), F.col("id"))
+                  .alias("w"))))
+    return (sketches.cms_query(cms, probes, "w",
+                               width=_CMS_W, depth=_CMS_D)
+            .orderBy("value"))
+
+
+def _cms_duck_sql() -> str:
+    from ragstudio_spark.operators.dedupe import _hex_positions
+
+    words = _words_expr("COALESCE(text, '')", "duck")
+    p = _hex_positions("_h", _CMS_W, _CMS_D)
+    pos_union = " UNION ALL ".join(
+        f"SELECT value, {i} AS row_idx, {p[i]} AS bucket FROM qh"
+        for i in range(_CMS_D))
+    cpos_union = " UNION ALL ".join(
+        f"SELECT {i} AS row_idx, {p[i]} AS bucket FROM wh"
+        for i in range(_CMS_D))
+    return f"""
+WITH w AS (
+  SELECT unnest({words}) AS w FROM documents
+), wh AS (
+  SELECT md5(CAST(w AS VARCHAR)) AS _h FROM w
+), cms AS (
+  SELECT row_idx, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM ({cpos_union})
+  GROUP BY row_idx, bucket
+), q AS (
+  SELECT DISTINCT value FROM (
+    SELECT unnest({words}) AS value FROM documents WHERE doc_id = 0
+    UNION ALL
+    SELECT 'zz_absent_probe_' || CAST(i AS VARCHAR) FROM range(0, 2) t(i))
+), qh AS (
+  SELECT value, md5(CAST(value AS VARCHAR)) AS _h FROM q
+)
+SELECT value,
+       CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+FROM ({pos_union}) qp
+LEFT JOIN cms c ON c.row_idx = qp.row_idx AND c.bucket = qp.bucket
+GROUP BY value
+ORDER BY value
+"""
+
+
+_def("cms_word_counts", (_cms_fn, _cms_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -160,3 +160,83 @@ def hll_estimate(df: DataFrame, value_col: str,
                                    / F.col("_s").cast("double")))
                     .otherwise(F.lit(0))
                     .cast("bigint").alias("est_hll")))
+
+
+# --- count-min sketch --------------------------------------------------------
+
+def cms_build(df: DataFrame, value_col: str,
+              group_cols: tuple[str, ...] = (),
+              width: int = 1024, depth: int = 3) -> DataFrame:
+    """Count-min sketch counters (Cormode–Muthukrishnan, public
+    algorithm): ``depth`` rows of ``width`` counters; value v increments
+    counter (i, h_i(v)) for each row i. Frequency estimates (cms_query)
+    are upper bounds — exact for collision-free values, inflated by
+    collisions otherwise, never under.
+
+    The 100-TB story mirrors hll_registers: exact n-gram/token frequency
+    over a trillion rows shuffles the full vocabulary; the sketch is a
+    bounded ``depth × width``-row aggregate (per group) whose combiner
+    is ``+`` — map-side combinable, mergeable by summing counter tables.
+    Determinism: h_i = disjoint 32-bit segments of ONE md5, via the same
+    engine-portable instr fold as the bloom tier
+    (dedupe._hex_positions) — bit-identical counters in both engines.
+
+    Output: (group…, row_idx, bucket, cnt) for NONZERO counters only
+    (a trillion-row build leaves most of a wide sketch dense, but
+    sparse groups stay sparse — absent counters read 0)."""
+    from ragstudio_spark.operators.dedupe import _hex_positions
+
+    if width <= 0:
+        raise ValueError("width must be positive")
+    gb = list(group_cols)
+    hashed = (df.select(*gb,
+                        F.expr(f"md5(CAST({value_col} AS STRING))")
+                        .alias("_h"))
+              .filter(F.col("_h").isNotNull()))
+    positions = _hex_positions("_h", width, depth)
+    return (hashed
+            .select(*gb, F.posexplode(F.array(
+                *[F.expr(p).cast("bigint") for p in positions]))
+                .alias("row_idx", "bucket"))
+            .groupBy(*gb, "row_idx", "bucket")
+            .agg(F.count("*").cast("bigint").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum-merge counter tables — the sketch of the concatenated data."""
+    merged = sketches[0]
+    for t in sketches[1:]:
+        merged = merged.unionByName(t)
+    keys = [c for c in merged.columns if c != "cnt"]
+    return merged.groupBy(*keys).agg(F.sum("cnt").cast("bigint")
+                                     .alias("cnt"))
+
+
+def cms_query(cms: DataFrame, queries: DataFrame, value_col: str,
+              width: int = 1024, depth: int = 3) -> DataFrame:
+    """Point-frequency estimates for ``queries``' values against a
+    cms_build table (same width/depth): est = min over the depth
+    counters, 0 when any counter row is absent. One positions explode
+    on the (small) query side + one key join against the counter table
+    — the corpus never rescans. Takes an UNGROUPED counter table; for a
+    grouped build, filter to one group (or add the group key to the
+    join) first — silently min-ing across groups would under-estimate."""
+    from ragstudio_spark.operators.dedupe import _hex_positions
+
+    extra = set(cms.columns) - {"row_idx", "bucket", "cnt"}
+    if extra:
+        raise ValueError(
+            f"cms carries group columns {sorted(extra)}; filter to one "
+            "group before querying")
+    hashed = (queries.select(F.col(value_col).alias("value"))
+              .distinct()
+              .withColumn("_h", F.expr("md5(CAST(value AS STRING))")))
+    positions = _hex_positions("_h", width, depth)
+    qpos = hashed.select(
+        "value", F.posexplode(F.array(
+            *[F.expr(p).cast("bigint") for p in positions]))
+        .alias("row_idx", "bucket"))
+    joined = qpos.join(cms, on=["row_idx", "bucket"], how="left")
+    return (joined.groupBy("value")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint")
+                 .alias("est_count")))

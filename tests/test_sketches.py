@@ -105,3 +105,73 @@ class TestHLLReplica:
         assert out["b"].n_zero_registers == 256
         assert out["b"].est_hll == 0
         assert out["a"].est_hll > 0
+
+
+class TestCountMinSketch:
+    def _py_cms(self, values, width, depth):
+        import hashlib
+        from collections import Counter
+
+        cms = Counter()
+        for v in values:
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            for i in range(depth):
+                cms[(i, int(h[8 * i:8 * i + 8], 16) % width)] += 1
+        return cms
+
+    def _py_query(self, cms, value, width, depth):
+        import hashlib
+
+        h = hashlib.md5(str(value).encode()).hexdigest()
+        return min(cms.get((i, int(h[8 * i:8 * i + 8], 16) % width), 0)
+                   for i in range(depth))
+
+    def test_counters_and_estimates_match_replica(self, spark):
+        import random
+
+        rng = random.Random(41)
+        vals = [f"t{rng.randrange(200)}" for _ in range(3000)]
+        df = spark.createDataFrame([(v,) for v in vals], "w string")
+        cms = sketches.cms_build(df, "w", width=256, depth=3)
+        got = {(r.row_idx, r.bucket): r.cnt for r in cms.collect()}
+        assert got == dict(self._py_cms(vals, 256, 3))
+        probes = spark.createDataFrame(
+            [(f"t{i}",) for i in range(0, 400, 7)], "w string")
+        est = {r.value: r.est_count
+               for r in sketches.cms_query(cms, probes, "w",
+                                           width=256, depth=3).collect()}
+        pycms = self._py_cms(vals, 256, 3)
+        from collections import Counter
+
+        true = Counter(vals)
+        for v, e in est.items():
+            assert e == self._py_query(pycms, v, 256, 3)
+            assert e >= true.get(v, 0)  # the CMS overcount bound
+
+    def test_wide_sketch_is_exact_without_collisions(self, spark):
+        vals = [f"x{i}" for i in range(30)] * 4
+        df = spark.createDataFrame([(v,) for v in vals], "w string")
+        cms = sketches.cms_build(df, "w", width=1 << 16, depth=3)
+        probes = spark.createDataFrame(
+            [(f"x{i}",) for i in range(30)], "w string")
+        est = {r.value: r.est_count
+               for r in sketches.cms_query(cms, probes, "w",
+                                           width=1 << 16, depth=3).collect()}
+        assert est == {f"x{i}": 4 for i in range(30)}
+
+    def test_merge_equals_concatenated_build(self, spark):
+        vals = [f"m{i % 50}" for i in range(1000)]
+        half = 500
+        a = spark.createDataFrame([(v,) for v in vals[:half]], "w string")
+        b = spark.createDataFrame([(v,) for v in vals[half:]], "w string")
+        merged = sketches.cms_merge(
+            sketches.cms_build(a, "w", width=128, depth=2),
+            sketches.cms_build(b, "w", width=128, depth=2))
+        got = {(r.row_idx, r.bucket): r.cnt for r in merged.collect()}
+        assert got == dict(self._py_cms(vals, 128, 2))
+
+    def test_grouped_table_rejected_by_query(self, spark):
+        df = spark.createDataFrame([("g", "v")], "g string, w string")
+        cms = sketches.cms_build(df, "w", ("g",), width=64, depth=2)
+        with pytest.raises(ValueError):
+            sketches.cms_query(cms, df, "w", width=64, depth=2)
