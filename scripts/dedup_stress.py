@@ -189,6 +189,13 @@ def main() -> None:
             d, bench, n=13, m_bits=1 << 16, k=3).count(),
         "mmr_rerank_k5": lambda d: rag_extras.mmr_rerank(
             mmr_candidates(d), k=5).count(),
+        "cms_word_counts": lambda d: sketches.cms_query(
+            sketches.cms_build(
+                d.select(F.explode(F.expr(
+                    "filter(split(lower(text), '\\\\s+'), "
+                    "w -> w != '')")).alias("w")), "w"),
+            d.limit(20).select(F.expr("split(text, ' ')[0]").alias("w")),
+            "w").count(),
         "hll_distinct_words": lambda d: sketches.hll_estimate(
             d.select((F.col("doc_id") % 50).alias("g"),
                      F.explode(F.expr(
