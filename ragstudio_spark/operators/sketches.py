@@ -126,17 +126,31 @@ def hll_estimate(df: DataFrame, value_col: str,
     ``COUNT(DISTINCT x) GROUP BY g`` aggregate this swaps in for
     (the raw estimator would read alpha*m on an empty register set —
     review-found)."""
+    gb = list(group_cols)
+    regs = hll_registers(df, value_col, group_cols, b_hex)
+    universe = df.select(*gb).distinct() if gb else None
+    return hll_estimate_from_registers(regs, group_cols, b_hex, universe)
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_cols: tuple[str, ...] = (),
+                                b_hex: int = 2,
+                                universe: DataFrame | None = None
+                                ) -> DataFrame:
+    """The estimator half of ``hll_estimate``, over an existing register
+    table (hll_registers output, or a merged/streamed one). ``universe``
+    optionally supplies the group-key set the output must cover (keys
+    null-safe-joined; absent groups report est 0) — a register table
+    alone cannot know about groups whose values never hashed."""
     m = 16 ** b_hex
     scale = _RHO_BITS + 1
     alpha_num = _alpha(m) * m * m * float(1 << scale)
-    regs = hll_registers(df, value_col, group_cols, b_hex)
     gb = list(group_cols)
     per_group = (regs.groupBy(*gb).agg(
         F.count("*").cast("bigint").alias("_n_present"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - rho)"))
         .cast("bigint").alias("_s_present")))
-    if gb:
-        universe = df.select(*gb).distinct()
+    if universe is not None and gb:
         cond = None
         for c in gb:
             eq = universe[c].eqNullSafe(per_group[c])

@@ -570,3 +570,53 @@ def windowed_chunk_counts(
             "content_type", "n_chunks", "n_convs",
         )
     )
+
+
+#: streamed sketch-ingest input: grouped values to sketch
+SKETCH_INGEST_SCHEMA = "source string, w string"
+
+
+def hll_stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    b_hex: int = 2,
+    trigger_available_now: bool = True,
+):
+    """Streaming HLL ingestion: each micro-batch's per-group register
+    PARTIALS (sketches.hll_registers over just the batch) append to a
+    register log; the read path (read_hll_registers) max-merges the log.
+
+    Exactness story, same family as the cache sink's: register merge is
+    ``max``, which is idempotent AND commutative — an at-least-once
+    crash retry that re-appends a batch's partial registers changes
+    NOTHING a reader sees, and any arrival order yields the batch-mode
+    sketch (both tested). The log grows by ≤ groups × m rows per batch;
+    a compaction pass (maintenance.swap_in over the merged table) can
+    collapse it without changing reads."""
+    from ragstudio_spark.operators import sketches
+
+    stream = (
+        spark.readStream.schema(SKETCH_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        regs = sketches.hll_registers(batch_df, "w", ("source",), b_hex)
+        regs.write.mode("append").parquet(store_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hll_registers(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merged register table over a streamed register log — feed to
+    sketches.hll_estimate_from_registers for estimates."""
+    from ragstudio_spark.operators import sketches
+
+    return sketches.hll_merge(spark.read.parquet(store_dir))

@@ -309,3 +309,58 @@ class TestCacheStreamIngest:
         # vacuum collapses the physical duplicates without changing reads
         cache.vacuum(spark, store, now=50)
         assert resolve_set(store) == before
+
+
+class TestHllStreamIngest:
+    def test_streamed_registers_equal_batch_and_dup_append_invisible(
+            self, spark, tmp_path):
+        """Two micro-batches of grouped values into the register log:
+        (1) the merged log equals batch-mode hll_registers over the full
+        input (max-merge makes arrival order irrelevant), (2) restart
+        does not re-read offsets, (3) a simulated crash-retry (one
+        batch's partials appended AGAIN) changes nothing a reader sees —
+        max is idempotent, the at-least-once story needs no reader-side
+        dedup."""
+        from ragstudio_spark.operators import sketches
+
+        rows = [(f"s{i % 3}", f"w{i % 40}") for i in range(200)]
+        inp = str(tmp_path / "in")
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        b1, b2 = rows[:90], rows[90:]
+        spark.createDataFrame(b1, stream_jobs.SKETCH_INGEST_SCHEMA) \
+            .write.parquet(inp)
+        q = stream_jobs.hll_stream_ingest(spark, inp, store, ckpt)
+        q.awaitTermination(120)
+        spark.createDataFrame(b2, stream_jobs.SKETCH_INGEST_SCHEMA) \
+            .write.mode("append").parquet(inp)
+        q = stream_jobs.hll_stream_ingest(spark, inp, store, ckpt)
+        q.awaitTermination(120)
+
+        merged = {(r.source, r.bucket): r.rho
+                  for r in stream_jobs.read_hll_registers(
+                      spark, store).collect()}
+        full = spark.createDataFrame(rows, stream_jobs.SKETCH_INGEST_SCHEMA)
+        batch = {(r.source, r.bucket): r.rho
+                 for r in sketches.hll_registers(
+                     full, "w", ("source",)).collect()}
+        assert merged == batch
+
+        # crash retry: re-append batch 1's partials verbatim
+        sketches.hll_registers(
+            spark.createDataFrame(b1, stream_jobs.SKETCH_INGEST_SCHEMA),
+            "w", ("source",)).write.mode("append").parquet(store)
+        again = {(r.source, r.bucket): r.rho
+                 for r in stream_jobs.read_hll_registers(
+                     spark, store).collect()}
+        assert again == batch
+
+        # estimates off the streamed log match batch-mode estimates
+        est_stream = {r.source: r.est_hll
+                      for r in sketches.hll_estimate_from_registers(
+                          stream_jobs.read_hll_registers(spark, store),
+                          ("source",)).collect()}
+        est_batch = {r.source: r.est_hll
+                     for r in sketches.hll_estimate(
+                         full, "w", ("source",)).collect()}
+        assert est_stream == est_batch
