@@ -5234,6 +5234,63 @@ ORDER BY value
 _def("cms_word_counts", (_cms_fn, _cms_duck_sql()))
 
 
+# -- 63. hard-negative mining (similarity.hard_negatives): top-20 exact
+#        cosine ranking anti-joined against a modular judgment rule,
+#        keeping the 5 most similar NON-relevant docs per query — the
+#        contrastive-training negatives. Rank-only output; the twin
+#        replays ranking + anti-join + re-rank.
+def _hardneg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import similarity
+
+    _register(spark, sf_dir, "embeddings")
+    vectors = spark.table("embeddings")
+    queries_df = vectors.filter("vec_id < 8")
+    ranked = similarity.brute_force_topk(vectors, queries_df, k=20).select(
+        "query_id", "neighbor_id", "rank")
+    qrels = (vectors.selectExpr("vec_id AS neighbor_id")
+             .crossJoin(queries_df.selectExpr("vec_id AS query_id"))
+             .filter("(neighbor_id * 5 + query_id) % 13 = 0"))
+    return (similarity.hard_negatives(ranked, qrels, k=5)
+            .orderBy("query_id", "neg_rank"))
+
+
+def _hardneg_duck_sql() -> str:
+    cos = _cosine("duckdb")
+    return f"""
+WITH sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {cos} AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < 8 AND b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM sims) r
+  WHERE rank <= 20
+), neg AS (
+  SELECT r.query_id, r.neighbor_id, r.rank
+  FROM ranked r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM embeddings e
+    WHERE e.vec_id = r.neighbor_id
+      AND (r.neighbor_id * 5 + r.query_id) % 13 = 0)
+)
+SELECT query_id, neighbor_id, neg_rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rank ASC, neighbor_id ASC)
+              AS BIGINT) AS neg_rank
+  FROM neg) t
+WHERE neg_rank <= 5
+ORDER BY query_id, neg_rank
+"""
+
+
+_def("hard_negatives", (_hardneg_fn, _hardneg_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

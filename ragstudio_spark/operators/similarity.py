@@ -642,3 +642,32 @@ def sq8_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def hard_negatives(ranked: DataFrame, qrels: DataFrame, k: int = 5,
+                   query_col: str = "query_id",
+                   id_col: str = "neighbor_id",
+                   rank_col: str = "rank") -> DataFrame:
+    """Hard-negative mining for contrastive training: from a ranked
+    similarity table (any of this module's ANN outputs — brute force,
+    IVF, SQ8 — over a candidate pool LARGER than ``k``), drop the
+    known-relevant (query, doc) pairs and keep the ``k`` most similar
+    survivors per query: the docs that look most like the answer but
+    are not — the negatives a contrastive/embedding trainer wants.
+
+    Pure composition: one anti-join on (query, doc) + one re-rank
+    window over k-bounded per-query lists. Output (query_col, id_col,
+    neg_rank), rank-only (the oracle discipline). At scale the ranked
+    input comes from the cell-pruned index scan, never a full cross
+    join; the anti-join broadcast the (tiny) judgment set."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    neg = ranked.join(
+        F.broadcast(qrels.select(query_col, id_col).distinct()),
+        on=[query_col, id_col], how="left_anti")
+    w = (Window.partitionBy(query_col)
+         .orderBy(F.asc(rank_col), F.asc(id_col)))
+    return (neg.withColumn("neg_rank",
+                           F.row_number().over(w).cast("bigint"))
+            .filter(F.col("neg_rank") <= int(k))
+            .select(query_col, id_col, "neg_rank"))

@@ -784,3 +784,42 @@ class TestBloomRobustness:
         for r in gb.collect():
             for c in gc:
                 assert 0 <= r[c] < 4096
+
+
+class TestHardNegatives:
+    def test_hand_computed_mining(self, spark):
+        from ragstudio_spark.operators import similarity
+
+        ranked = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3), (0, 13, 4),
+             (1, 20, 1), (1, 21, 2)],
+            "query_id int, neighbor_id int, rank int")
+        qrels = spark.createDataFrame(
+            [(0, 10), (0, 12), (1, 21)], "query_id int, neighbor_id int")
+        out = {(r.query_id, r.neg_rank): r.neighbor_id
+               for r in similarity.hard_negatives(
+                   ranked, qrels, k=2).collect()}
+        # q0: relevant 10/12 removed -> negatives 11 (rank 2), 13 (rank 4)
+        # q1: relevant 21 removed -> only 20 remains
+        assert out == {(0, 1): 11, (0, 2): 13, (1, 1): 20}
+
+    def test_no_judgments_keeps_top_k_as_negatives(self, spark):
+        from ragstudio_spark.operators import similarity
+
+        ranked = spark.createDataFrame(
+            [(0, i, i) for i in range(1, 8)],
+            "query_id int, neighbor_id int, rank int")
+        qrels = spark.createDataFrame([], "query_id int, neighbor_id int")
+        got = [r.neighbor_id for r in similarity.hard_negatives(
+            ranked, qrels, k=3).orderBy("neg_rank").collect()]
+        assert got == [1, 2, 3]
+
+    def test_invalid_k_raises(self, spark):
+        import pytest
+
+        from ragstudio_spark.operators import similarity
+
+        df = spark.createDataFrame(
+            [(0, 1, 1)], "query_id int, neighbor_id int, rank int")
+        with pytest.raises(ValueError):
+            similarity.hard_negatives(df, df, k=0)
