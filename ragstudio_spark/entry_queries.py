@@ -5291,6 +5291,69 @@ ORDER BY query_id, neg_rank
 _def("hard_negatives", (_hardneg_fn, _hardneg_duck_sql()))
 
 
+# -- 64. PMI collocations (lm_filter.pmi_collocations): top-50 bigrams
+#        by observed/expected frequency ratio in integer ppm. The ppm
+#        value is two correctly-rounded IEEE ops (divide, multiply) on
+#        exactly-representable integer products + floor — bit-identical
+#        across engines; ranking ties break on the bigram string.
+def _pmi_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import lm_filter
+
+    _register(spark, sf_dir, "documents")
+    return lm_filter.pmi_collocations(
+        spark.table("documents"), min_count=5, top_n=50)
+
+
+def _pmi_duck_sql() -> str:
+    words = _words_expr("text", "duckdb")
+    return f"""
+WITH wrds AS (
+  SELECT doc_id, {words} AS w FROM documents
+), uni AS (
+  SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
+  FROM wrds, unnest(w) AS u(w)
+  GROUP BY u.w
+), bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2 THEN
+                  list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])
+                ELSE [] END) AS bigram
+  FROM wrds
+), bc AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+  FROM bg GROUP BY bigram HAVING count(*) >= 5
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM bg
+), scored AS (
+  SELECT b.bigram, b.cnt,
+         string_split(b.bigram, ' ')[1] AS w1,
+         string_split(b.bigram, ' ')[2] AS w2
+  FROM bc b
+), joined AS (
+  SELECT s.bigram, s.cnt, u1.c AS c1, u2.c AS c2, t.n_total
+  FROM scored s
+  JOIN uni u1 ON u1.w = s.w1
+  JOIN uni u2 ON u2.w = s.w2
+  CROSS JOIN tot t
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi_ratio_ppm DESC, bigram ASC)
+            AS BIGINT) AS rank,
+       bigram, cnt AS c_xy, c1, c2, pmi_ratio_ppm
+FROM (
+  SELECT bigram, cnt, c1, c2,
+         CAST(floor(CAST(cnt * n_total AS DOUBLE)
+                    / CAST(c1 * c2 AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS pmi_ratio_ppm
+  FROM joined)
+ORDER BY pmi_ratio_ppm DESC, bigram ASC
+LIMIT 50
+"""
+
+
+_def("pmi_collocations", (_pmi_fn, _pmi_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -30,7 +30,7 @@ dropped from the report).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ragstudio_spark.operators.dedupe import _bound_words, shingles_col
 
@@ -118,3 +118,52 @@ def familiarity_filter(df: DataFrame, ref_bigrams: DataFrame,
         >= F.lit(round(min_known_frac * scale)) * F.col("n_bigrams")
     ).select(id_col)
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 5,
+                     top_n: int = 50) -> DataFrame:
+    """Top-N PMI collocations (pointwise mutual information, public
+    Church–Hanks measure): bigrams whose observed frequency most exceeds
+    the unigram-independence expectation — the corpus-analytics view of
+    the same bigram machinery the familiarity filter uses.
+
+    score = c_xy * N_bigrams / (c_x * c_y) over unigram counts c_x, c_y,
+    emitted as ``pmi_ratio_ppm`` = floor(score * 1e6). Float discipline:
+    both operands of the division are EXACT integers (products below
+    2^53 — holds to ~10^7-bigram corpora; beyond that the trailing bits
+    of a ranking score are noise anyway), so the ppm value is two
+    correctly-rounded IEEE ops (one divide, one multiply) + floor —
+    bit-identical across engines, no float accumulation. ``min_count``
+    suppresses hapax noise. Scale shape: two groupBy counts + two key
+    joins + one 1-row-broadcast total; the top-N is a
+    TakeOrderedAndProject, never a full sort."""
+    if min_count < 1 or top_n < 1:
+        raise ValueError("min_count and top_n must be positive")
+    uni = (_bound_words(df, text_col, id_col)
+           .select(F.explode("_w").alias("w"))
+           .groupBy("w").agg(F.count("*").cast("bigint").alias("c")))
+    big = (bigram_counts(df, text_col, id_col)
+           .filter(F.col("cnt") >= int(min_count))
+           .withColumn("w1", F.expr("split(bigram, ' ')[0]"))
+           .withColumn("w2", F.expr("split(bigram, ' ')[1]")))
+    total = (_bigrams(df, text_col, id_col)
+             .agg(F.count("*").cast("bigint").alias("n_total")))
+    scored = (big
+              .join(uni.withColumnRenamed("w", "w1")
+                    .withColumnRenamed("c", "c1"), on="w1")
+              .join(uni.withColumnRenamed("w", "w2")
+                    .withColumnRenamed("c", "c2"), on="w2")
+              .crossJoin(F.broadcast(total))
+              .withColumn(
+                  "pmi_ratio_ppm",
+                  F.expr("CAST(floor(CAST(cnt * n_total AS DOUBLE) "
+                         "/ CAST(c1 * c2 AS DOUBLE) * 1000000.0) "
+                         "AS BIGINT)")))
+    w = Window.orderBy(F.desc("pmi_ratio_ppm"), F.asc("bigram"))
+    return (scored
+            .orderBy(F.desc("pmi_ratio_ppm"), F.asc("bigram"))
+            .limit(int(top_n))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select("rank", "bigram", F.col("cnt").alias("c_xy"),
+                    "c1", "c2", "pmi_ratio_ppm"))

@@ -67,3 +67,71 @@ class TestLmFamiliarity:
         b = sorted(map(repr, lm_filter.lm_familiarity(
             docs.repartition(7), ref).collect()))
         assert a == b
+
+
+class TestPMICollocations:
+    def _py_pmi(self, texts, min_count, top_n):
+        import math
+        from collections import Counter
+
+        uni, big = Counter(), Counter()
+        total = 0
+        for t in texts:
+            ws = [w for w in t.lower().split() if w]
+            uni.update(ws)
+            pairs = list(zip(ws, ws[1:]))
+            big.update(" ".join(p) for p in pairs)
+            total += len(pairs)
+        rows = []
+        for bg, cxy in big.items():
+            if cxy < min_count:
+                continue
+            w1, w2 = bg.split(" ")
+            ppm = math.floor(cxy * total / (uni[w1] * uni[w2]) * 1e6)
+            rows.append((bg, cxy, uni[w1], uni[w2], ppm))
+        rows.sort(key=lambda r: (-r[4], r[0]))
+        return [(i + 1, *r) for i, r in enumerate(rows[:top_n])]
+
+    def test_matches_counter_replica(self, spark):
+        import random
+
+        from ragstudio_spark.operators import lm_filter
+
+        rng = random.Random(19)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab) for _ in range(60))
+                 for _ in range(40)]
+        # seed a strong collocation: 'aa bb' always adjacent
+        texts += ["aa bb " * 10 for _ in range(3)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        got = [(r.rank, r.bigram, r.c_xy, r.c1, r.c2, r.pmi_ratio_ppm)
+               for r in lm_filter.pmi_collocations(
+                   df, min_count=3, top_n=20)
+               .orderBy("rank").collect()]
+        assert got == self._py_pmi(texts, 3, 20)
+        # the seeded collocation dominates the ranking
+        assert got[0][1] in ("aa bb", "bb aa")
+
+    def test_min_count_suppresses_hapax(self, spark):
+        from ragstudio_spark.operators import lm_filter
+
+        df = spark.createDataFrame(
+            [(0, "unique pair here"), (1, "common duo common duo")],
+            "doc_id long, text string")
+        got = [r.bigram for r in lm_filter.pmi_collocations(
+            df, min_count=2, top_n=10).collect()]
+        assert "unique pair" not in got
+        assert "common duo" in got
+
+    def test_validation(self, spark):
+        import pytest
+
+        from ragstudio_spark.operators import lm_filter
+
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            lm_filter.pmi_collocations(df, min_count=0)
+        with pytest.raises(ValueError):
+            lm_filter.pmi_collocations(df, top_n=0)
