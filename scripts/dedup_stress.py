@@ -145,7 +145,7 @@ def main() -> None:
         return bound.select("doc_id", F.array_join(lines, "\n").alias("text"))
 
     from ragstudio_spark.operators import convlint, rag_extras, retrieval, \
-        sketches, snapshot
+        similarity, sketches, snapshot
 
     def mmr_candidates(d):
         """One query per 25 vectors (query count scales with the corpus,
@@ -187,6 +187,10 @@ def main() -> None:
             5000, "q", "tokens").count(),
         "bloom_decontam_13g": lambda d: dedupe.bloom_decontaminate(
             d, bench, n=13, m_bits=1 << 16, k=3).count(),
+        "pmi_collocations": lambda d: lm_filter.pmi_collocations(
+            d, min_count=5, top_n=50).count(),
+        "hard_negatives_k5": lambda d: similarity.hard_negatives(
+            *eval_tables(d), k=5, id_col="doc_id").count(),
         "mmr_rerank_k5": lambda d: rag_extras.mmr_rerank(
             mmr_candidates(d), k=5).count(),
         "cms_word_counts": lambda d: sketches.cms_query(
