@@ -5342,8 +5342,9 @@ SELECT CAST(row_number() OVER (ORDER BY pmi_ratio_ppm DESC, bigram ASC)
        bigram, cnt AS c_xy, c1, c2, pmi_ratio_ppm
 FROM (
   SELECT bigram, cnt, c1, c2,
-         CAST(floor(CAST(cnt * n_total AS DOUBLE)
-                    / CAST(c1 * c2 AS DOUBLE) * 1000000.0) AS BIGINT)
+         CAST(floor(CAST(cnt AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))
+                    * 1000000.0) AS BIGINT)
            AS pmi_ratio_ppm
   FROM joined)
 ORDER BY pmi_ratio_ppm DESC, bigram ASC

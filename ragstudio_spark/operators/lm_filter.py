@@ -130,25 +130,28 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
 
     score = c_xy * N_bigrams / (c_x * c_y) over unigram counts c_x, c_y,
     emitted as ``pmi_ratio_ppm`` = floor(score * 1e6). Float discipline:
-    both operands of the division are EXACT integers (products below
-    2^53 — holds to ~10^7-bigram corpora; beyond that the trailing bits
-    of a ranking score are noise anyway), so the ppm value is two
-    correctly-rounded IEEE ops (one divide, one multiply) + floor —
-    bit-identical across engines, no float accumulation. ``min_count``
-    suppresses hapax noise. Scale shape: two groupBy counts + two key
-    joins + one 1-row-broadcast total; the top-N is a
+    every count casts to DOUBLE BEFORE multiplying (a bigint product
+    wraps past 2^63 at trillion-bigram scale in ANSI-off Spark while
+    DuckDB raises — review-found; doubles lose only trailing ranking
+    bits past 2^53, exact below it), so the ppm value is four
+    correctly-rounded IEEE ops in a pinned order + floor — bit-
+    identical across engines, no float accumulation. ``min_count``
+    suppresses hapax noise. Scale shape: the bigram table is counted
+    ONCE and localCheckpointed (it feeds the filter branch AND the
+    total — the multi-consumer rule), one more scan for unigrams, two
+    key joins, one 1-row-broadcast total; the top-N is a
     TakeOrderedAndProject, never a full sort."""
     if min_count < 1 or top_n < 1:
         raise ValueError("min_count and top_n must be positive")
     uni = (_bound_words(df, text_col, id_col)
            .select(F.explode("_w").alias("w"))
            .groupBy("w").agg(F.count("*").cast("bigint").alias("c")))
-    big = (bigram_counts(df, text_col, id_col)
+    bc_all = bigram_counts(df, text_col, id_col).localCheckpoint()
+    big = (bc_all
            .filter(F.col("cnt") >= int(min_count))
            .withColumn("w1", F.expr("split(bigram, ' ')[0]"))
            .withColumn("w2", F.expr("split(bigram, ' ')[1]")))
-    total = (_bigrams(df, text_col, id_col)
-             .agg(F.count("*").cast("bigint").alias("n_total")))
+    total = bc_all.agg(F.sum("cnt").cast("bigint").alias("n_total"))
     scored = (big
               .join(uni.withColumnRenamed("w", "w1")
                     .withColumnRenamed("c", "c1"), on="w1")
@@ -157,9 +160,10 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
               .crossJoin(F.broadcast(total))
               .withColumn(
                   "pmi_ratio_ppm",
-                  F.expr("CAST(floor(CAST(cnt * n_total AS DOUBLE) "
-                         "/ CAST(c1 * c2 AS DOUBLE) * 1000000.0) "
-                         "AS BIGINT)")))
+                  F.expr("CAST(floor(CAST(cnt AS DOUBLE) "
+                         "* CAST(n_total AS DOUBLE) "
+                         "/ (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) "
+                         "* 1000000.0) AS BIGINT)")))
     w = Window.orderBy(F.desc("pmi_ratio_ppm"), F.asc("bigram"))
     return (scored
             .orderBy(F.desc("pmi_ratio_ppm"), F.asc("bigram"))

@@ -647,7 +647,8 @@ def sq8_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 def hard_negatives(ranked: DataFrame, qrels: DataFrame, k: int = 5,
                    query_col: str = "query_id",
                    id_col: str = "neighbor_id",
-                   rank_col: str = "rank") -> DataFrame:
+                   rank_col: str = "rank",
+                   broadcast_qrels: bool = True) -> DataFrame:
     """Hard-negative mining for contrastive training: from a ranked
     similarity table (any of this module's ANN outputs — brute force,
     IVF, SQ8 — over a candidate pool LARGER than ``k``), drop the
@@ -659,12 +660,15 @@ def hard_negatives(ranked: DataFrame, qrels: DataFrame, k: int = 5,
     window over k-bounded per-query lists. Output (query_col, id_col,
     neg_rank), rank-only (the oracle discipline). At scale the ranked
     input comes from the cell-pruned index scan, never a full cross
-    join; the anti-join broadcast the (tiny) judgment set."""
+    join; ``broadcast_qrels=False`` drops the hint when the judgment
+    set is itself corpus-sized (the lm_filter broadcast_ref
+    convention) and lets AQE pick the join strategy."""
     if k <= 0:
         raise ValueError("k must be positive")
-    neg = ranked.join(
-        F.broadcast(qrels.select(query_col, id_col).distinct()),
-        on=[query_col, id_col], how="left_anti")
+    judged = qrels.select(query_col, id_col).distinct()
+    if broadcast_qrels:
+        judged = F.broadcast(judged)
+    neg = ranked.join(judged, on=[query_col, id_col], how="left_anti")
     w = (Window.partitionBy(query_col)
          .orderBy(F.asc(rank_col), F.asc(id_col)))
     return (neg.withColumn("neg_rank",

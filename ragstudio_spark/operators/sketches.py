@@ -99,14 +99,21 @@ def hll_registers(df: DataFrame, value_col: str,
             .agg(F.max("rho").alias("rho")))
 
 
+def _merge_tables(tables, value_col: str, agg_fn) -> DataFrame:
+    """Union tables and re-aggregate ``value_col`` with ``agg_fn`` over
+    every other column — the shared shape of both sketch merges."""
+    merged = tables[0]
+    for t in tables[1:]:
+        merged = merged.unionByName(t)
+    keys = [c for c in merged.columns if c != value_col]
+    return merged.groupBy(*keys).agg(
+        agg_fn(value_col).alias(value_col))
+
+
 def hll_merge(*register_tables: DataFrame) -> DataFrame:
     """Union-merge register tables (register-wise max) — the sketch of
     the union of the underlying datasets."""
-    merged = register_tables[0]
-    for t in register_tables[1:]:
-        merged = merged.unionByName(t)
-    keys = [c for c in merged.columns if c != "rho"]
-    return merged.groupBy(*keys).agg(F.max("rho").alias("rho"))
+    return _merge_tables(register_tables, "rho", F.max)
 
 
 def hll_estimate(df: DataFrame, value_col: str,
@@ -141,13 +148,21 @@ def hll_estimate_from_registers(regs: DataFrame,
     table (hll_registers output, or a merged/streamed one). ``universe``
     optionally supplies the group-key set the output must cover (keys
     null-safe-joined; absent groups report est 0) — a register table
-    alone cannot know about groups whose values never hashed."""
+    alone cannot know about groups whose values never hashed.
+
+    The log carries no b_hex, so a mismatched reader (e.g. a b_hex=1
+    ingest read with the default 2) cannot be caught at call time;
+    bucket width IS observable per group, so a width inconsistent with
+    ``b_hex`` yields est_hll NULL — loudly wrong instead of a silently
+    plausible under/over-estimate (review-found)."""
     m = 16 ** b_hex
     scale = _RHO_BITS + 1
     alpha_num = _alpha(m) * m * m * float(1 << scale)
     gb = list(group_cols)
     per_group = (regs.groupBy(*gb).agg(
         F.count("*").cast("bigint").alias("_n_present"),
+        F.min(F.length("bucket")).alias("_bw_min"),
+        F.max(F.length("bucket")).alias("_bw_max"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - rho)"))
         .cast("bigint").alias("_s_present")))
     if universe is not None and gb:
@@ -157,11 +172,16 @@ def hll_estimate_from_registers(regs: DataFrame,
             cond = eq if cond is None else cond & eq
         per_group = (universe.join(per_group, on=cond, how="left")
                      .select(*[universe[c] for c in gb],
-                             "_n_present", "_s_present"))
+                             "_n_present", "_bw_min", "_bw_max",
+                             "_s_present"))
     n_present = F.coalesce("_n_present", F.lit(0)).cast("bigint")
     s_total = (F.coalesce("_s_present", F.lit(0)).cast("bigint")
                + (F.lit(m) - n_present)
                * F.lit(1 << scale).cast("bigint"))
+    width_ok = ((F.col("_np") == 0)
+                | ((F.col("_bw_min") == b_hex)
+                   & (F.col("_bw_max") == b_hex)
+                   & (F.col("_np") <= m)))
     return (per_group
             .withColumn("_np", n_present)
             .withColumn("_s", s_total)
@@ -169,9 +189,10 @@ def hll_estimate_from_registers(regs: DataFrame,
                     F.lit(m).cast("bigint").alias("n_buckets"),
                     (F.lit(m) - F.col("_np")).cast("bigint")
                     .alias("n_zero_registers"),
-                    F.when(F.col("_np") > 0,
-                           F.floor(F.lit(alpha_num)
-                                   / F.col("_s").cast("double")))
+                    F.when(~width_ok, F.lit(None))
+                    .when(F.col("_np") > 0,
+                          F.floor(F.lit(alpha_num)
+                                  / F.col("_s").cast("double")))
                     .otherwise(F.lit(0))
                     .cast("bigint").alias("est_hll")))
 
@@ -218,12 +239,8 @@ def cms_build(df: DataFrame, value_col: str,
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Sum-merge counter tables — the sketch of the concatenated data."""
-    merged = sketches[0]
-    for t in sketches[1:]:
-        merged = merged.unionByName(t)
-    keys = [c for c in merged.columns if c != "cnt"]
-    return merged.groupBy(*keys).agg(F.sum("cnt").cast("bigint")
-                                     .alias("cnt"))
+    return _merge_tables(
+        sketches, "cnt", lambda c: F.sum(c).cast("bigint"))
 
 
 def cms_query(cms: DataFrame, queries: DataFrame, value_col: str,
@@ -234,9 +251,14 @@ def cms_query(cms: DataFrame, queries: DataFrame, value_col: str,
     on the (small) query side + one key join against the counter table
     — the corpus never rescans. Takes an UNGROUPED counter table; for a
     grouped build, filter to one group (or add the group key to the
-    join) first — silently min-ing across groups would under-estimate."""
+    join) first — silently min-ing across groups would under-estimate.
+    width/depth MUST match the build call (the counter table carries
+    neither): a mismatch computes different buckets and can silently
+    under-estimate, which no guard here can see."""
     from ragstudio_spark.operators.dedupe import _hex_positions
 
+    if width <= 0:
+        raise ValueError("width must be positive")
     extra = set(cms.columns) - {"row_idx", "bucket", "cnt"}
     if extra:
         raise ValueError(

@@ -87,7 +87,9 @@ class TestPMICollocations:
             if cxy < min_count:
                 continue
             w1, w2 = bg.split(" ")
-            ppm = math.floor(cxy * total / (uni[w1] * uni[w2]) * 1e6)
+            ppm = math.floor(float(cxy) * float(total)
+                             / (float(uni[w1]) * float(uni[w2]))
+                             * 1e6)
             rows.append((bg, cxy, uni[w1], uni[w2], ppm))
         rows.sort(key=lambda r: (-r[4], r[0]))
         return [(i + 1, *r) for i, r in enumerate(rows[:top_n])]

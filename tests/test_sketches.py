@@ -175,3 +175,23 @@ class TestCountMinSketch:
         cms = sketches.cms_build(df, "w", ("g",), width=64, depth=2)
         with pytest.raises(ValueError):
             sketches.cms_query(cms, df, "w", width=64, depth=2)
+
+    def test_bucket_width_mismatch_yields_null_estimate(self, spark):
+        # registers written at b_hex=1, read with the default b_hex=2:
+        # est_hll must be NULL (loudly wrong), never a plausible number
+        df = spark.createDataFrame(
+            [("g", f"v{i}") for i in range(50)], "g string, w string")
+        regs1 = sketches.hll_registers(df, "w", ("g",), b_hex=1)
+        out = sketches.hll_estimate_from_registers(
+            regs1, ("g",), b_hex=2).collect()[0]
+        assert out.est_hll is None
+        # matching width still estimates
+        ok = sketches.hll_estimate_from_registers(
+            regs1, ("g",), b_hex=1).collect()[0]
+        assert ok.est_hll is not None and ok.est_hll > 0
+
+    def test_cms_query_invalid_width_raises(self, spark):
+        df = spark.createDataFrame([("v",)], "w string")
+        cms = sketches.cms_build(df, "w", width=64, depth=2)
+        with pytest.raises(ValueError):
+            sketches.cms_query(cms, df, "w", width=0, depth=2)
