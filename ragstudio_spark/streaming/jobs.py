@@ -620,3 +620,56 @@ def read_hll_registers(spark: SparkSession, store_dir: str) -> DataFrame:
     from ragstudio_spark.operators import sketches
 
     return sketches.hll_merge(spark.read.parquet(store_dir))
+
+
+def cms_stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    width: int = 1024,
+    depth: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming count-min ingestion: each micro-batch's counter
+    PARTIALS (sketches.cms_build over just the batch) append to a log
+    TAGGED WITH THE BATCH ID; read_cms_counters dedups per batch before
+    summing.
+
+    Unlike the HLL log (max-merge — duplicates free), CMS merges by
+    SUM, so an at-least-once crash retry would double-count without the
+    tag: the reader collapses byte-identical (batch_id, row_idx,
+    bucket) rows first (foreachBatch re-delivers the same batch_id on
+    retry — Spark's documented exactly-once-by-batch-id recipe), then
+    sums across batches. Batch-mode equality and duplicate-append
+    invisibility are both tested."""
+    from ragstudio_spark.operators import sketches
+
+    stream = (
+        spark.readStream.schema(SKETCH_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        partial = sketches.cms_build(
+            batch_df.select("w"), "w", width=width, depth=depth)
+        (partial.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+         .write.mode("append").parquet(store_dir))
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_counters(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merged counter table over a streamed partial log: per-batch dedup
+    (retried appends are byte-identical within a batch_id) then
+    cross-batch sum — feed to sketches.cms_query."""
+    raw = spark.read.parquet(store_dir)
+    per_batch = (raw.groupBy("batch_id", "row_idx", "bucket")
+                 .agg(F.max("cnt").alias("cnt")))
+    return (per_batch.groupBy("row_idx", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt")))

@@ -364,3 +364,65 @@ class TestHllStreamIngest:
                      for r in sketches.hll_estimate(
                          full, "w", ("source",)).collect()}
         assert est_stream == est_batch
+
+
+class TestCmsStreamIngest:
+    def test_streamed_counters_equal_batch_and_dup_append_invisible(
+            self, spark, tmp_path):
+        """Two micro-batches of values into the batch-tagged counter
+        log: the deduped-then-summed read equals batch-mode cms_build
+        over the full input; a simulated crash retry (one batch's
+        partials re-appended VERBATIM under the same batch_id) changes
+        nothing — per-batch dedup absorbs it (sum-merge alone would
+        double-count, unlike the HLL max)."""
+        from pyspark.sql import functions as F
+
+        from ragstudio_spark.operators import sketches
+
+        rows = [("s", f"w{i % 25}") for i in range(160)]
+        inp = str(tmp_path / "in")
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        b1, b2 = rows[:70], rows[70:]
+        spark.createDataFrame(b1, stream_jobs.SKETCH_INGEST_SCHEMA) \
+            .write.parquet(inp)
+        q = stream_jobs.cms_stream_ingest(spark, inp, store, ckpt,
+                                          width=128, depth=2)
+        q.awaitTermination(120)
+        spark.createDataFrame(b2, stream_jobs.SKETCH_INGEST_SCHEMA) \
+            .write.mode("append").parquet(inp)
+        q = stream_jobs.cms_stream_ingest(spark, inp, store, ckpt,
+                                          width=128, depth=2)
+        q.awaitTermination(120)
+
+        merged = {(r.row_idx, r.bucket): r.cnt
+                  for r in stream_jobs.read_cms_counters(
+                      spark, store).collect()}
+        full = spark.createDataFrame(rows, stream_jobs.SKETCH_INGEST_SCHEMA)
+        batch = {(r.row_idx, r.bucket): r.cnt
+                 for r in sketches.cms_build(
+                     full.select("w"), "w",
+                     width=128, depth=2).collect()}
+        assert merged == batch
+
+        # crash retry: re-append one batch's partials with its batch_id
+        one_batch = spark.read.parquet(store).filter("batch_id = 0")
+        one_batch.write.mode("append").parquet(store)
+        again = {(r.row_idx, r.bucket): r.cnt
+                 for r in stream_jobs.read_cms_counters(
+                     spark, store).collect()}
+        assert again == batch
+
+        # estimates off the streamed log match the batch sketch
+        probes = spark.createDataFrame(
+            [(f"w{i}",) for i in range(0, 30, 3)], "w string")
+        est_stream = {r.value: r.est_count
+                      for r in sketches.cms_query(
+                          stream_jobs.read_cms_counters(spark, store),
+                          probes, "w", width=128, depth=2).collect()}
+        est_batch = {r.value: r.est_count
+                     for r in sketches.cms_query(
+                         sketches.cms_build(full.select("w"), "w",
+                                            width=128, depth=2),
+                         probes, "w", width=128, depth=2).collect()}
+        assert est_stream == est_batch
