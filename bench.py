@@ -180,7 +180,14 @@ def main() -> None:
                  # round-6 operators
                  "cache_asof_read", "rag_context_assembly",
                  "rag_answer_format", "rag_multi_query_fused",
-                 "rag_compression_retrieve", "ingest_guard_listing"):
+                 "rag_compression_retrieve", "ingest_guard_listing",
+                 # round-6 continuation operators
+                 "line_dedup", "conversation_stats", "ann_sq8_topk",
+                 "topic_segments",
+                 # round-6 late-widening operators
+                 "rag_mmr_rerank", "distinct_hll", "corpus_diff",
+                 "retrieval_eval", "budget_select", "bloom_decontaminate",
+                 "cms_word_counts", "hard_negatives", "pmi_collocations"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # post-run serial probe: drift vs the pre-run probe means the host's
