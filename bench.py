@@ -187,7 +187,8 @@ def main() -> None:
                  # round-6 late-widening operators
                  "rag_mmr_rerank", "distinct_hll", "corpus_diff",
                  "retrieval_eval", "budget_select", "bloom_decontaminate",
-                 "cms_word_counts", "hard_negatives", "pmi_collocations"):
+                 "cms_word_counts", "hard_negatives", "pmi_collocations",
+                 "asof_click_view"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # post-run serial probe: drift vs the pre-run probe means the host's

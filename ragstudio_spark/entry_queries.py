@@ -5355,6 +5355,56 @@ LIMIT 50
 _def("pmi_collocations", (_pmi_fn, _pmi_duck_sql()))
 
 
+# -- 65. as-of join (operators/asof.py): latest prior view per click,
+#        per user — the temporal-join primitive. The Spark side is the
+#        union-tag + window-last algorithm (one shuffle, linear per
+#        key); the twin is DuckDB's NATIVE ASOF LEFT JOIN — two
+#        independent implementations of the same public algorithm.
+#        The fixture has no (user, ts) view ties at either SF (checked),
+#        so tie semantics cannot diverge. Timestamps are emitted as
+#        epoch MICROS (bigint): a NULLABLE raw timestamp column turns
+#        into pandas object dtype on the Spark side ('None' strings
+#        after normalize) while DuckDB stays datetime64 — integer
+#        micros sidestep the representation trap entirely (the NTZ →
+#        TIMESTAMP cast is identity under the session's pinned UTC).
+def _asof_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators.asof import asof_join
+
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "ts", "user_id")
+    views = ev.filter("event_type = 'view'").select(
+        "event_id", "ts", "user_id", "value")
+    return (asof_join(clicks, views, right_cols=("event_id", "value"),
+                      by=("user_id",), right_tiebreak="event_id")
+            .select("event_id",
+                    F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                    .alias("ts_us"),
+                    "user_id", "event_id_asof", "value",
+                    F.expr("unix_micros(CAST(ts_asof AS TIMESTAMP))")
+                    .alias("ts_asof_us"))
+            .orderBy("event_id"))
+
+
+_ASOF_DUCK = """
+SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.user_id,
+       r.event_id AS event_id_asof, r.value,
+       epoch_us(r.ts) AS ts_asof_us
+FROM (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT event_id, ts, user_id, value FROM events
+                WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+_def("asof_click_view", (_asof_fn, _ASOF_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -177,7 +177,26 @@ def main() -> None:
 
     from ragstudio_spark.operators import sampling
 
+    from ragstudio_spark.operators.asof import asof_join
+
+    def asof_tables(d):
+        """Clicks/views shaped from the corpus: event stream scales
+        linearly, 50 users (bounded keys, the per-key window shape)."""
+        l = d.select(F.col("doc_id").alias("lid"),
+                     F.timestamp_seconds(F.col("doc_id") % 86400)
+                     .alias("ts"),
+                     (F.col("doc_id") % 50).alias("k"))
+        r = d.filter("doc_id % 3 = 0").select(
+            F.col("doc_id").alias("rid"),
+            F.timestamp_seconds((F.col("doc_id") * 7) % 86400).alias("ts"),
+            (F.col("doc_id") % 50).alias("k"),
+            F.col("doc_id").alias("v"))
+        return l, r
+
     ops = {
+        "asof_join": lambda d: (lambda lr: asof_join(
+            lr[0], lr[1], right_cols=("rid", "v"), by=("k",),
+            right_tiebreak="rid").count())(asof_tables(d)),
         "budget_select": lambda d: sampling.select_to_budget(
             d.select((F.col("doc_id") % 50).cast("string").alias("source"),
                      "doc_id",
