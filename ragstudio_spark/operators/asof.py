@@ -45,26 +45,43 @@ def asof_join(left: DataFrame, right: DataFrame,
     per-key window."""
     if not right_cols:
         raise ValueError("right_cols must be non-empty")
+    if ts_col in right_cols:
+        raise ValueError(
+            f"{ts_col!r} is emitted automatically as {ts_col}{suffix}; "
+            "drop it from right_cols")
     overlap = set(right_cols) & set(left.columns)
     bys = list(by)
     payload = [*right_cols, ts_col]
     if right_tiebreak is not None and right_tiebreak not in payload:
         payload.append(right_tiebreak)
-    # the union's null sides are cast to the OTHER side's exact struct
-    # type (taken from the built frames), so unionByName stays typed
+    # equi-join NULL semantics (the DuckDB-ASOF contract the oracle pins):
+    # a right row with a NULL key or NULL ts can never match anything —
+    # unfiltered, NULLS-FIRST ordering would make a NULL-ts row act as
+    # ts = -infinity and match every predecessor-less left row, and
+    # partitionBy groups NULL keys together (both review-found, both
+    # invisible to the NULL-free oracle fixture). NULL-ts/NULL-key LEFT
+    # rows sort before every surviving right row, so they emit no match.
+    r_clean = right.filter(F.col(ts_col).isNotNull())
+    for c in bys:
+        r_clean = r_clean.filter(F.col(c).isNotNull())
+    # ship by/ts ONCE: the struct carries only the remaining left
+    # columns; by/ts re-emit from the top-level union columns
+    l_extra = [c for c in left.columns if c not in bys and c != ts_col]
     r_struct = F.struct(*[F.col(c) for c in payload])
     l_tag = left.select(
         *bys, F.col(ts_col).alias("_ts"), F.lit(1).alias("_side"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_l"))
-    r_tag = right.select(
+        *([F.struct(*[F.col(c) for c in l_extra]).alias("_l")]
+          if l_extra else []))
+    r_tag = r_clean.select(
         *bys, F.col(ts_col).alias("_ts"), F.lit(0).alias("_side"),
         r_struct.alias("_r"))
-    u = (l_tag.withColumn("_r", F.lit(None).cast(
-            r_tag.schema["_r"].dataType))
-         .unionByName(
-            r_tag.withColumn("_l", F.lit(None).cast(
-                l_tag.schema["_l"].dataType))
-            .select(*bys, "_ts", "_side", "_l", "_r")))
+    u = l_tag.withColumn("_r", F.lit(None).cast(
+        r_tag.schema["_r"].dataType))
+    r_all = r_tag
+    if l_extra:
+        r_all = r_all.withColumn("_l", F.lit(None).cast(
+            l_tag.schema["_l"].dataType))
+    u = u.unionByName(r_all.select(*u.columns))
     order = [F.asc("_ts"), F.asc("_side")]
     if right_tiebreak is not None:
         order.append(F.asc(F.col("_r").getField(right_tiebreak)))
@@ -73,11 +90,21 @@ def asof_join(left: DataFrame, right: DataFrame,
     matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
     out = matched.filter(F.col("_side") == 1)
     if tolerance_s is not None:
-        in_tol = ((F.unix_micros(F.col("_ts"))
-                   - F.unix_micros(F.col("_m").getField(ts_col)))
+        # cast through TIMESTAMP: unix_micros rejects TIMESTAMP_NTZ
+        # (identity under the engine's pinned-UTC sessions)
+        in_tol = ((F.unix_micros(F.col("_ts").cast("timestamp"))
+                   - F.unix_micros(F.col("_m").getField(ts_col)
+                                   .cast("timestamp")))
                   <= int(tolerance_s * 1_000_000))
         out = out.withColumn("_m", F.when(in_tol, F.col("_m")))
-    cols = [F.col("_l").getField(c).alias(c) for c in left.columns]
+    cols = []
+    for c in left.columns:
+        if c in bys:
+            cols.append(F.col(c))
+        elif c == ts_col:
+            cols.append(F.col("_ts").alias(ts_col))
+        else:
+            cols.append(F.col("_l").getField(c).alias(c))
     cols += [F.col("_m").getField(c).alias(
         f"{c}{suffix}" if (c in overlap or c == ts_col) else c)
         for c in [*right_cols, ts_col]]

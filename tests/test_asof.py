@@ -81,3 +81,35 @@ class TestAsofJoin:
         l, r = _frames(spark, [(1, _ts(1), 0)], [(2, _ts(1), 0, 1)])
         with pytest.raises(ValueError):
             asof_join(l, r, right_cols=(), by=("k",))
+
+
+class TestAsofNullSemantics:
+    def test_null_ts_right_rows_never_match(self, spark):
+        # a NULL-ts right row must not act as ts = -infinity
+        # (equi-ASOF semantics: NULL comparisons never match)
+        left = [(1, _ts(5), 0)]
+        right = [(100, None, 0, 7), (101, _ts(50), 0, 8)]
+        assert _run(spark, left, right) == {1: (None, None)}
+
+    def test_null_key_rows_never_match_each_other(self, spark):
+        left = [(1, _ts(5), None)]
+        right = [(100, _ts(1), None, 7)]
+        assert _run(spark, left, right) == {1: (None, None)}
+
+    def test_null_ts_left_row_gets_no_match(self, spark):
+        left = [(1, None, 0)]
+        right = [(100, _ts(1), 0, 7)]
+        assert _run(spark, left, right) == {1: (None, None)}
+
+    def test_ts_in_right_cols_rejected(self, spark):
+        l, r = _frames(spark, [(1, _ts(1), 0)], [(2, _ts(1), 0, 1)])
+        with pytest.raises(ValueError):
+            asof_join(l, r, right_cols=("ts", "v"), by=("k",))
+
+    def test_minimal_left_frame_works(self, spark):
+        # left consisting of ONLY key + ts (no extra payload columns)
+        l = spark.createDataFrame([(_ts(10), 0)], "ts timestamp, k long")
+        r = spark.createDataFrame([(9, _ts(5), 0, 3)],
+                                  "rid long, ts timestamp, k long, v long")
+        out = asof_join(l, r, right_cols=("rid", "v"), by=("k",)).collect()
+        assert out[0].rid == 9 and out[0].v == 3

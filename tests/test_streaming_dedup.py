@@ -42,11 +42,11 @@ class TestIncrementalNearDedupStream:
 
         q = stream_jobs.incremental_near_dedup_stream(
             spark, inp, corpus, pairs, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         _df(spark, b2).write.mode("append").parquet(inp)
         q = stream_jobs.incremental_near_dedup_stream(
             spark, inp, corpus, pairs, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
         got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
 
@@ -100,7 +100,7 @@ class TestIncrementalNearDedupStream:
         _df(spark, batch).write.parquet(inp)
         q = stream_jobs.incremental_near_dedup_stream(
             spark, inp, corpus, pairs, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         audit = {(r["left_id"], r["right_id"])
                  for r in spark.read.parquet(pairs).collect()}
         assert all(left != right for left, right in audit)
@@ -121,7 +121,7 @@ class TestIncrementalNearDedupStream:
         _df(spark, batch).write.parquet(inp)
         q = stream_jobs.incremental_near_dedup_stream(
             spark, inp, corpus, pairs, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
         assert got == {0, 1, 2}  # both in-batch near-dups accepted
 
@@ -159,12 +159,12 @@ class TestIvfpqStreamIngest:
             .write.parquet(inp)
         q = stream_jobs.ivfpq_stream_ingest(
             spark, inp, idx_dir, cdir, bdir, ckpt, m=2)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         spark.createDataFrame(b2, stream_jobs.EMBEDDING_SCHEMA) \
             .write.mode("append").parquet(inp)
         q = stream_jobs.ivfpq_stream_ingest(
             spark, inp, idx_dir, cdir, bdir, ckpt, m=2)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
         streamed = spark.read.parquet(idx_dir)
         batch = similarity.ivfpq_index(full, cents, books, m=2)
@@ -209,10 +209,10 @@ class TestCurationStream:
         b2 = [(3, GOOD + " Extra tail sentence lives here."), (4, SPAMMY)]
         _df(spark, b1).write.parquet(inp)
         q = stream_jobs.curation_stream(spark, inp, out, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         _df(spark, b2).write.mode("append").parquet(inp)
         q = stream_jobs.curation_stream(spark, inp, out, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
         got = {r["doc_id"]: r.asDict()
                for r in spark.read.parquet(out).collect()}
@@ -250,7 +250,7 @@ class TestCurationStream:
         _df(spark, batch).write.parquet(inp)
         q = stream_jobs.curation_stream(spark, inp, out, ckpt,
                                         benchmark_dir=bdir)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         got = {r["doc_id"]: r["contaminated"]
                for r in spark.read.parquet(out).collect()}
         assert got == {0: True, 2: False}
@@ -279,12 +279,12 @@ class TestCacheStreamIngest:
             .write.parquet(inp)
         q = stream_jobs.cache_stream_ingest(spark, inp, store, ckpt,
                                             ttl=100)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         spark.createDataFrame(b2, stream_jobs.CACHE_INGEST_SCHEMA) \
             .write.mode("append").parquet(inp)
         q = stream_jobs.cache_stream_ingest(spark, inp, store, ckpt,
                                             ttl=100)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
         from pyspark.sql import functions as F
 
@@ -331,11 +331,11 @@ class TestHllStreamIngest:
         spark.createDataFrame(b1, stream_jobs.SKETCH_INGEST_SCHEMA) \
             .write.parquet(inp)
         q = stream_jobs.hll_stream_ingest(spark, inp, store, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         spark.createDataFrame(b2, stream_jobs.SKETCH_INGEST_SCHEMA) \
             .write.mode("append").parquet(inp)
         q = stream_jobs.hll_stream_ingest(spark, inp, store, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
         merged = {(r.source, r.bucket): r.rho
                   for r in stream_jobs.read_hll_registers(
@@ -388,12 +388,12 @@ class TestCmsStreamIngest:
             .write.parquet(inp)
         q = stream_jobs.cms_stream_ingest(spark, inp, store, ckpt,
                                           width=128, depth=2)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         spark.createDataFrame(b2, stream_jobs.SKETCH_INGEST_SCHEMA) \
             .write.mode("append").parquet(inp)
         q = stream_jobs.cms_stream_ingest(spark, inp, store, ckpt,
                                           width=128, depth=2)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
         merged = {(r.row_idx, r.bucket): r.cnt
                   for r in stream_jobs.read_cms_counters(
