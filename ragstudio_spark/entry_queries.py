@@ -5405,6 +5405,62 @@ ORDER BY l.event_id
 _def("asof_click_view", (_asof_fn, _ASOF_DUCK))
 
 
+# -- 66. exact phrase search over the positional inverted index
+#        (operators/index.py phrase_search): the anchor-join algorithm —
+#        a posting of phrase term i votes for anchor pos-i; an anchor
+#        holding all k distinct i's is a verbatim occurrence. The term
+#        filter runs before the only shuffle; (doc, anchor) cardinality
+#        is bounded by the phrase's rarest term, not corpus size. The
+#        fixture phrase 'slow hash batch' occurs at both SFs (8 hits /
+#        5 docs at sf0.01, 6/6 at sf0.1). Twin: independent DuckDB
+#        construction via range-transform position structs.
+_PHRASE = ("slow", "hash", "batch")
+
+
+def _phrase_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.index import phrase_search
+
+    _register(spark, sf_dir, "documents")
+    return phrase_search(spark.table("documents"), list(_PHRASE))
+
+
+def _phrase_duck_sql() -> str:
+    words = _words_expr("text", "duckdb")
+    values = ", ".join(f"('{w}', {i})" for i, w in enumerate(_PHRASE))
+    return f"""
+WITH w AS (
+  SELECT doc_id, {words} AS ws FROM documents
+), post AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+      i -> struct_pack(pos := i - 1, term := ws[i]))) AS p
+  FROM w
+), flat AS (
+  SELECT doc_id, p.pos AS pos, p.term AS term FROM post
+), phr AS (
+  SELECT * FROM (VALUES {values}) AS t(term, i)
+), votes AS (
+  SELECT f.doc_id, f.pos - p.i AS anchor, p.i
+  FROM flat f JOIN phr p ON f.term = p.term
+  WHERE f.pos - p.i >= 0
+), occ AS (
+  SELECT doc_id, anchor FROM votes
+  GROUP BY doc_id, anchor
+  HAVING count(DISTINCT i) = {len(_PHRASE)}
+), cnt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM occ GROUP BY doc_id
+)
+SELECT doc_id, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM cnt
+ORDER BY rank
+"""
+
+
+_def("phrase_search", (_phrase_fn, _phrase_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -1,0 +1,118 @@
+"""Positional inverted index + exact phrase search.
+
+The reference's retrieval tier scores bags of terms (BM25 via LangChain,
+/root/reference/src/core/rag/hybrid_search.py:37-130) but has no exact
+*phrase* query; a production corpus-curation deployment needs one (finding
+verbatim template sentences, boilerplate leads, licence headers). This
+module supplies the classic IR primitive in DataFrame form:
+
+* :func:`positional_postings` — one row per (doc, term, position): the
+  distributed positional inverted index. Persisted with
+  ``write_postings`` it becomes a term-bucketed parquet layout so a
+  phrase query prunes to the handful of buckets its terms hash into.
+* :func:`phrase_search` — exact k-term adjacency match via the
+  anchor-join algorithm: every posting of phrase term i votes for anchor
+  position ``pos - i``; an anchor that collects all k distinct i's is a
+  verbatim occurrence.
+
+Scale shape (the 100-TB story):
+* the phrase-term filter runs BEFORE the only shuffle — postings for
+  terms outside the phrase never leave the map side (and with a
+  persisted index, never leave the parquet scan: the ``term IN (...)``
+  predicate is pushed down and prunes term-hash buckets);
+* the single shuffle groups by (doc, anchor) — cardinality is bounded by
+  occurrences of the phrase's RAREST term, not corpus size;
+* the phrase table (k rows) is a literal broadcast; no per-row Python.
+
+Exactness: counts are exact integers; ranking ties break on doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ragstudio_spark.operators.dedupe import _bound_words
+
+
+def positional_postings(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(id, term, pos) positional postings — whitespace tokens, lowered.
+
+    The words array is bound to a column attribute first (_bound_words):
+    posexplode references its input once so the bind is not load-bearing
+    here, but keeping every tokenizer call site on the shared helper
+    means one place defines the token contract.
+    """
+    return (_bound_words(docs, text_col, id_col)
+            .select(id_col, F.posexplode("_w").alias("pos", "term")))
+
+
+def write_postings(docs: DataFrame, path: str, n_buckets: int = 64,
+                   text_col: str = "text", id_col: str = "doc_id") -> None:
+    """Persist the index term-bucketed: ``bucket = pmod(hash(term), n)``.
+
+    A phrase query then reads only the buckets its terms hash into —
+    dynamic partition pruning over a literal IN-list, the same layout
+    discipline as similarity.write_ivfpq_index (cell-partitioned ANN).
+    """
+    (positional_postings(docs, text_col, id_col)
+     .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def read_postings(spark, path: str, terms: list[str]) -> DataFrame:
+    """Read a persisted postings index filtered to the query's terms.
+
+    The ``term IN (...)`` filter is pushed into the parquet scan
+    (PushedFilters); bucket-level pruning needs the term-hash buckets,
+    which live JVM-side — computing them portably driver-side would
+    duplicate Spark's Murmur3, so the pushed filter (row-group stats on
+    the sorted-within-bucket term column) carries the pruning instead.
+    """
+    terms = [t.lower() for t in terms]
+    return spark.read.parquet(path).filter(F.col("term").isin(terms))
+
+
+def phrase_search(docs_or_postings: DataFrame, phrase: list[str],
+                  id_col: str = "doc_id", text_col: str = "text",
+                  postings: bool = False) -> DataFrame:
+    """Exact phrase occurrences per doc: (doc_id, n_occurrences, rank).
+
+    Anchor-join: a posting (doc, term, pos) where ``term == phrase[i]``
+    votes for anchor ``pos - i``; a (doc, anchor) group holding all k
+    distinct i's is one verbatim occurrence. Duplicate words inside the
+    phrase are handled naturally — a posting joins once per i it can
+    serve. Docs with zero occurrences are absent (inner semantics).
+
+    ``postings=True`` treats the input as an existing (id, term, pos)
+    postings frame (e.g. from :func:`read_postings`).
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    phrase = [w.lower() for w in phrase]
+    k = len(phrase)
+    post = (docs_or_postings if postings
+            else positional_postings(docs_or_postings, text_col, id_col))
+    # literal broadcast side: k rows of (term, offset)
+    pairs = F.array(*[
+        F.struct(F.lit(w).alias("term"), F.lit(i).alias("i"))
+        for i, w in enumerate(phrase)])
+    spark = post.sparkSession
+    phrase_df = (spark.range(1)
+                 .select(F.explode(pairs).alias("p"))
+                 .select("p.term", "p.i"))
+    votes = (post.join(F.broadcast(phrase_df), "term")
+             .select(id_col, (F.col("pos") - F.col("i")).alias("anchor"),
+                     "i")
+             .filter(F.col("anchor") >= 0))
+    occurrences = (votes.groupBy(id_col, "anchor")
+                   .agg(F.countDistinct("i").alias("n_i"))
+                   .filter(F.col("n_i") == k))
+    counts = (occurrences.groupBy(id_col)
+              .agg(F.count("*").alias("n_occurrences")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc(id_col))
+    return (counts
+            .select(id_col, "n_occurrences",
+                    F.row_number().over(w).cast("bigint").alias("rank"))
+            .orderBy("rank"))
