@@ -5461,6 +5461,73 @@ ORDER BY rank
 _def("phrase_search", (_phrase_fn, _phrase_duck_sql()))
 
 
+# -- 67. turn grounding (operators/grounding.py): per assistant turn, the
+#        share of its DISTINCT bigrams that appear in an EARLIER user turn
+#        of the same conversation — the echo/parroting signal a transcript
+#        curation filter keys on. Shaping shared with conversation_stats.
+#        Exactness: integer gram counts; ppm = floor of one double
+#        division of exact integers (correctly rounded identically in
+#        both engines); zero-bigram turns emit NULL ppm in both.
+def _grounding_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.grounding import turn_grounding
+
+    return turn_grounding(_conv_stats_shaped(spark, sf_dir))
+
+
+def _grounding_duck_sql() -> str:
+    words = _words_expr("COALESCE(text, '')", "duckdb")
+    return f"""
+WITH shaped AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) - 1
+              AS INT) AS turn_idx,
+         CASE WHEN doc_id % 5 < 2 THEN 'user'
+              WHEN doc_id % 5 < 4 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         text
+  FROM documents
+), w AS (
+  SELECT conv_id, turn_idx, role, {words} AS ws FROM shaped
+), grams AS (
+  SELECT DISTINCT conv_id, turn_idx, role, gram FROM (
+    SELECT conv_id, turn_idx, role,
+           unnest(CASE WHEN len(ws) >= 2 THEN
+                    list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])
+                  ELSE [] END) AS gram
+    FROM w) t
+), uf AS (
+  SELECT conv_id, gram, min(turn_idx) AS first_user_idx
+  FROM grams WHERE role = 'user' GROUP BY conv_id, gram
+), m AS (
+  SELECT a.conv_id, a.turn_idx,
+         CASE WHEN u.first_user_idx < a.turn_idx THEN 1 ELSE 0 END
+           AS is_grounded
+  FROM (SELECT conv_id, turn_idx, gram FROM grams
+        WHERE role = 'assistant') a
+  LEFT JOIN uf u ON a.conv_id = u.conv_id AND a.gram = u.gram
+), per_turn AS (
+  SELECT conv_id, turn_idx, count(*) AS n_bigrams,
+         sum(is_grounded) AS n_grounded
+  FROM m GROUP BY conv_id, turn_idx
+)
+SELECT aa.conv_id, aa.turn_idx,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.n_grounded, 0) AS BIGINT) AS n_grounded,
+       CAST(CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                 THEN floor(1000000 * COALESCE(p.n_grounded, 0)
+                            / p.n_bigrams) END AS BIGINT) AS grounded_ppm
+FROM (SELECT DISTINCT conv_id, turn_idx FROM shaped
+      WHERE role = 'assistant') aa
+LEFT JOIN per_turn p
+  ON aa.conv_id = p.conv_id AND aa.turn_idx = p.turn_idx
+ORDER BY aa.conv_id, aa.turn_idx
+"""
+
+
+_def("turn_grounding", (_grounding_fn, _grounding_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------
