@@ -5528,6 +5528,56 @@ ORDER BY aa.conv_id, aa.turn_idx
 _def("turn_grounding", (_grounding_fn, _grounding_duck_sql()))
 
 
+# -- 68. directed n-gram containment (operators/dedupe.py
+#        containment_pairs): Broder's containment |A∩B|/|A| over distinct
+#        shingle sets — the doc-IN-doc detector Jaccard resemblance
+#        misses (a quote inside a 100× longer doc). Same shared-shingle
+#        candidate join as ngram_jaccard_top_pairs; both directions in
+#        exact ppm; top-20 by strongest direction.
+def _containment_duck_sql() -> str:
+    words = _words_expr("text", "duckdb")
+    sh = _shingles_expr("words", "duckdb")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh FROM
+    (SELECT doc_id, list_distinct({sh}) AS shingles
+     FROM (SELECT doc_id, {words} AS words FROM documents) w) s
+), ex AS (
+  SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM docs
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter,
+         CAST(min(a.n_sh) AS BIGINT) AS na,
+         CAST(min(b.n_sh) AS BIGINT) AS nb
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, na, nb,
+       CAST(floor(1000000 * inter / na) AS BIGINT) AS contain_a_in_b_ppm,
+       CAST(floor(1000000 * inter / nb) AS BIGINT) AS contain_b_in_a_ppm
+FROM pairs
+ORDER BY greatest(floor(1000000 * inter / na),
+                  floor(1000000 * inter / nb)) DESC,
+         doc_a ASC, doc_b ASC
+LIMIT 20
+"""
+
+
+def _containment_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    pairs = dedupe.containment_pairs(spark.table("documents"))
+    return (pairs.orderBy(
+        F.desc(F.greatest("contain_a_in_b_ppm", "contain_b_in_a_ppm")),
+        F.asc("doc_a"), F.asc("doc_b")).limit(20))
+
+
+_def("dedup_containment", (_containment_fn, _containment_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

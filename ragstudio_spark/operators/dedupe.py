@@ -708,6 +708,65 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return out.filter(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      min_containment_ppm: int = 0,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """Directed n-gram containment — the doc-IN-doc detector.
+
+    Jaccard resemblance misses asymmetric duplication: a paragraph quoted
+    inside a 100× longer document has tiny Jaccard but containment ≈ 1 on
+    the smaller side. Broder's original resemblance/containment pair
+    (SEQUENCES '97, public) defines containment(A→B) = |S(A)∩S(B)| / |S(A)|
+    over shingle SETS; a curation pipeline uses it to drop quoted/extracted
+    sub-documents that survive the resemblance passes.
+
+    Output per candidate pair (doc_a < doc_b, sharing ≥1 shingle):
+    exact integers ``inter``/``na``/``nb`` plus
+    ``contain_a_in_b_ppm`` = floor(1e6·inter/na) and
+    ``contain_b_in_a_ppm`` = floor(1e6·inter/nb); rows where the LARGER
+    direction clears ``min_containment_ppm`` survive.
+
+    Scale shape is jaccard_pairs' exactly: candidate generation through
+    the shared-shingle join, O(Σ df²) without ``max_shingle_df`` — corpus
+    runs MUST cap it (pairs for capped stop-shingles surface through
+    rarer shared shingles); set sizes stay exact either way.
+    """
+    distinct_sh = (
+        _bound_words(df, text_col, id_col)
+        .select(F.col(id_col),
+                F.array_distinct(shingles_col(F.col("_w"), k)).alias("sh"))
+        .select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    )
+    if max_shingle_df is not None:
+        hot = (
+            distinct_sh.groupBy("shingle").agg(F.count("*").alias("shingle_df"))
+            .filter(F.col("shingle_df") > max_shingle_df)
+            .select("shingle")
+        )
+        distinct_sh = distinct_sh.join(hot, on="shingle", how="left_anti")
+    a, b = distinct_sh.alias("a"), distinct_sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"),
+             F.min("a.n_sh").alias("na"), F.min("b.n_sh").alias("nb"))
+    )
+    out = inter.select(
+        "doc_a", "doc_b", "inter", "na", "nb",
+        F.floor(F.lit(1_000_000) * F.col("inter") / F.col("na"))
+        .cast("bigint").alias("contain_a_in_b_ppm"),
+        F.floor(F.lit(1_000_000) * F.col("inter") / F.col("nb"))
+        .cast("bigint").alias("contain_b_in_a_ppm"))
+    if min_containment_ppm > 0:
+        out = out.filter(
+            F.greatest("contain_a_in_b_ppm", "contain_b_in_a_ppm")
+            >= min_containment_ppm)
+    return out
+
+
 def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                sep: str = "\n", min_words: int = 5) -> DataFrame:
     """C4/CCNet-style duplicated-line removal across the whole corpus.

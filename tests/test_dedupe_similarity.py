@@ -823,3 +823,60 @@ class TestHardNegatives:
             [(0, 1, 1)], "query_id int, neighbor_id int, rank int")
         with pytest.raises(ValueError):
             similarity.hard_negatives(df, df, k=0)
+
+
+class TestContainment:
+    """containment_pairs (dedupe.py): hand-computed doc-in-doc fixtures —
+    the non-twin check for this operator."""
+
+    def test_full_containment_asymmetric(self, spark):
+        from ragstudio_spark.operators.dedupe import containment_pairs
+
+        quote = "alpha beta gamma delta epsilon"
+        rows = [(1, quote),
+                (2, "intro words here " + quote + " closing remarks trail")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        [r] = containment_pairs(df, k=3).collect()
+        # doc1 shingles: 3 distinct, all inside doc2 (9 distinct shingles)
+        assert (r.doc_a, r.doc_b, r.inter, r.na, r.nb) == (1, 2, 3, 3, 9)
+        assert r.contain_a_in_b_ppm == 1_000_000
+        assert r.contain_b_in_a_ppm == 333_333
+        # Jaccard would be 3/9 = 0.33 — the asymmetry is the point
+
+    def test_threshold_keeps_larger_direction(self, spark):
+        from ragstudio_spark.operators.dedupe import containment_pairs
+
+        rows = [(1, "a b c d e"), (2, "x y a b c d z w q")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        # inter=2 ('a b c','b c d'), na=3, nb=7 -> max ppm=666_666
+        got = containment_pairs(df, k=3, min_containment_ppm=600_000).count()
+        assert got == 1
+        got = containment_pairs(df, k=3, min_containment_ppm=700_000).count()
+        assert got == 0
+
+    def test_disjoint_docs_emit_nothing(self, spark):
+        from ragstudio_spark.operators.dedupe import containment_pairs
+
+        rows = [(1, "p q r s"), (2, "t u v w")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        assert containment_pairs(df, k=3).count() == 0
+
+    def test_df_cap_drops_stop_shingle_candidates(self, spark):
+        from ragstudio_spark.operators.dedupe import containment_pairs
+
+        boiler = "the same legal footer text"
+        rows = [(i, f"unique{i} body {boiler}") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        uncapped = containment_pairs(df, k=3).count()
+        capped = containment_pairs(df, k=3, max_shingle_df=2).count()
+        assert uncapped == 10 and capped == 0
+
+    def test_parallelism_invariance(self, spark):
+        from ragstudio_spark.operators.dedupe import containment_pairs
+
+        rows = [(i, f"w{i} shared span of words w{i+1}") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        a = sorted(tuple(r) for r in containment_pairs(df, k=3).collect())
+        b = sorted(tuple(r) for r in
+                   containment_pairs(df.repartition(7), k=3).collect())
+        assert a == b
