@@ -5578,6 +5578,52 @@ def _containment_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _def("dedup_containment", (_containment_fn, _containment_duck_sql()))
 
 
+# -- 69. SCD2 dimension history (operators/snapshot.py scd2_history):
+#        Kimball type-2 validity intervals from the append-only event
+#        log — per user, the discretized value tier on click events,
+#        consecutive same-state observations collapsed, expiry = next
+#        CHANGE's start. Timestamps emitted as epoch micros (the as-of
+#        join representation lesson). Total per-key order via the
+#        event_id tiebreak; attribute comparisons are NULL-safe
+#        (IS DISTINCT FROM) in both engines.
+def _scd2_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators.snapshot import scd2_history
+
+    _register(spark, sf_dir, "events")
+    src = (spark.table("events").filter("event_type = 'click'")
+           .select("user_id", "ts", "event_id",
+                   F.expr("CAST(floor(value / 25.0) AS INT)").alias("state")))
+    return scd2_history(src, ["user_id"], "state", tiebreak_col="event_id")
+
+
+_SCD2_DUCK = """
+WITH src AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value / 25.0) AS INT) AS state
+  FROM events WHERE event_type = 'click'
+), flagged AS (
+  SELECT *, CASE WHEN row_number() OVER w = 1
+                      OR state IS DISTINCT FROM lag(state) OVER w
+                 THEN 1 ELSE 0 END AS chg
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), changes AS (
+  SELECT * FROM flagged WHERE chg = 1
+)
+SELECT user_id, state AS attr_value,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w2) AS valid_to_us,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+ORDER BY user_id, valid_from_us
+"""
+
+
+_def("scd2_user_state", (_scd2_fn, _SCD2_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

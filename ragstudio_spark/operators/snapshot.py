@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: diff statuses, in output order.
 STATUSES = ("added", "removed", "changed", "unchanged")
@@ -84,3 +84,49 @@ def snapshot_diff_summary(old: DataFrame, new: DataFrame,
     return (shape.join(counts, on="status", how="left")
             .select("status", F.coalesce(F.col("n"), F.lit(0))
                     .cast("bigint").alias("n")))
+
+
+def scd2_history(events: DataFrame, key_cols: Sequence[str],
+                 attr_col: str, ts_col: str = "ts",
+                 tiebreak_col: str | None = None) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an append-only event log.
+
+    The warehouse primitive the snapshot tier implies: given per-entity
+    attribute observations over time, build validity intervals — one row
+    per VALUE CHANGE with ``valid_from_us`` / ``valid_to_us`` (epoch
+    micros; NULL to = still current) and ``is_current``. Consecutive
+    observations of the same value collapse into one interval (Kimball's
+    SCD type 2, public modeling practice).
+
+    Mechanics: one per-key window pass — ``lag(attr)`` flags changes
+    (NULL-safe: IS DISTINCT FROM), the change rows take ``lead(ts)`` of
+    the NEXT change as their expiry. Timestamps are emitted as epoch
+    micros per the engine-wide rule (nullable raw timestamps degrade to
+    object dtype on the Arrow path; integers are representation-stable).
+
+    Scale: the window partitions by entity key — skew equals the hottest
+    entity's event count, which is the same bound any SCD2 MERGE carries;
+    no global window, no collect. Ordering must be total per key: pass
+    ``tiebreak_col`` when ``ts`` can tie (e.g. the event id).
+    """
+    order = [F.asc(ts_col)] + (
+        [F.asc(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(attr_col).over(w)
+    first = F.row_number().over(w) == 1
+    changed = (events
+               .withColumn("_chg", first | ~F.col(attr_col).eqNullSafe(prev))
+               .filter("_chg"))
+    # re-window over change rows only: each change's expiry is the next
+    # change's start (not the next raw event's)
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    nxt = F.lead(ts_col).over(w2)
+    return (changed
+            .select(*key_cols,
+                    F.col(attr_col).alias("attr_value"),
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    .alias("valid_from_us"),
+                    F.unix_micros(nxt.cast("timestamp"))
+                    .alias("valid_to_us"))
+            .withColumn("is_current", F.col("valid_to_us").isNull())
+            .orderBy(*key_cols, "valid_from_us"))

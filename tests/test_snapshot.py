@@ -72,3 +72,86 @@ class TestNullKeys:
                for r in snapshot.snapshot_diff(
                    old, new, ("doc_id",), ("text",)).collect()]
         assert sorted(out, key=str) == [(1, "unchanged"), (None, "changed")]
+
+
+class TestScd2History:
+    """scd2_history (snapshot.py) — hand-computed interval fixtures."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, value string, event_id bigint")
+
+    def test_intervals_and_collapse(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.snapshot import scd2_history
+
+        t = lambda s: dt.datetime(2024, 1, s)
+        rows = [
+            (1, t(1), "bronze", 10),
+            (1, t(2), "bronze", 11),   # no change -> collapses
+            (1, t(3), "silver", 12),
+            (1, t(5), "gold", 13),
+            (2, t(2), "gold", 20),
+        ]
+        got = scd2_history(self._df(spark, rows), ["user_id"], "value",
+                           tiebreak_col="event_id").collect()
+        us = lambda s: int(dt.datetime(2024, 1, s,
+                                       tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        assert [(r.user_id, r.attr_value, r.valid_from_us, r.valid_to_us,
+                 r.is_current) for r in got] == [
+            (1, "bronze", us(1), us(3), False),
+            (1, "silver", us(3), us(5), False),
+            (1, "gold", us(5), None, True),
+            (2, "gold", us(2), None, True),
+        ]
+
+    def test_null_values_are_states(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.snapshot import scd2_history
+
+        t = lambda s: dt.datetime(2024, 1, s)
+        rows = [(1, t(1), None, 1), (1, t(2), None, 2), (1, t(3), "x", 3)]
+        got = scd2_history(self._df(spark, rows), ["user_id"], "value",
+                           tiebreak_col="event_id").collect()
+        assert [(r.attr_value, r.is_current) for r in got] == [
+            (None, False), ("x", True)]
+
+    def test_exactly_one_current_per_key(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.snapshot import scd2_history
+
+        t = lambda s: dt.datetime(2024, 1, s)
+        rows = [(k, t(d), v, k * 10 + d)
+                for k in (1, 2, 3)
+                for d, v in ((1, "a"), (2, "b"), (3, "a"))]
+        out = scd2_history(self._df(spark, rows), ["user_id"], "value",
+                           tiebreak_col="event_id")
+        per_key = out.filter("is_current").groupBy("user_id").count().collect()
+        assert all(r["count"] == 1 for r in per_key) and len(per_key) == 3
+        # intervals tile: every non-current valid_to equals the next valid_from
+        rows_out = out.collect()
+        by_key = {}
+        for r in rows_out:
+            by_key.setdefault(r.user_id, []).append(r)
+        for chain in by_key.values():
+            for a, b in zip(chain, chain[1:]):
+                assert a.valid_to_us == b.valid_from_us
+
+    def test_parallelism_invariance(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.snapshot import scd2_history
+
+        t = lambda s: dt.datetime(2024, 1, s)
+        rows = [(k, t(1 + (i % 7)), f"v{i % 3}", i)
+                for k in range(5) for i in range(12)]
+        df = self._df(spark, rows)
+        a = [tuple(r) for r in scd2_history(df, ["user_id"], "value",
+                                            tiebreak_col="event_id").collect()]
+        b = [tuple(r) for r in scd2_history(df.repartition(9), ["user_id"],
+                                            "value",
+                                            tiebreak_col="event_id").collect()]
+        assert a == b
