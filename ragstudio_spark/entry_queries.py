@@ -5624,6 +5624,99 @@ ORDER BY user_id, valid_from_us
 _def("scd2_user_state", (_scd2_fn, _SCD2_DUCK))
 
 
+# -- 70. curriculum schedule (operators/sampling.py curriculum_order):
+#        round-robin interleave over ntile difficulty buckets so every
+#        training-stream prefix sees the full difficulty spectrum;
+#        within-bucket order is the key hash (deterministic shuffle).
+#        ntile remainder semantics are identical in both engines; ties
+#        are totally ordered by (difficulty, hash, doc_id).
+_CURR_FRAC = ("CAST(CAST('0x' || substr(md5(concat_ws('|', '{salt}', "
+              "CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) AS DOUBLE) "
+              f"/ {float(16 ** 8)}")
+
+
+def _curriculum_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import sampling
+
+    _register(spark, sf_dir, "documents")
+    return sampling.curriculum_order(
+        spark.table("documents").select("doc_id", "n_chars"),
+        "n_chars", n_buckets=8)
+
+
+def _curriculum_duck_sql() -> str:
+    frac = _CURR_FRAC.format(salt="curriculum")
+    return f"""
+WITH base AS (
+  SELECT doc_id, n_chars, {frac} AS tie FROM documents
+), b AS (
+  SELECT doc_id, n_chars, tie,
+         CAST(ntile(8) OVER (ORDER BY n_chars ASC, tie ASC, doc_id ASC) - 1
+              AS INT) AS bucket
+  FROM base
+)
+SELECT doc_id, n_chars, bucket,
+       CAST((row_number() OVER (PARTITION BY bucket
+                                ORDER BY tie ASC, doc_id ASC) - 1) * 8
+            + bucket AS BIGINT) AS schedule_pos
+FROM b
+ORDER BY schedule_pos
+"""
+
+
+_def("curriculum_schedule", (_curriculum_fn, _curriculum_duck_sql()))
+
+
+# -- 71. systematic weighted sampling (operators/sampling.py
+#        systematic_weighted_sample): deterministic SUS over integer
+#        weights — n equally spaced pointers on the Σw wheel in hash
+#        order; hits per row via exact bigint ceil-division (Spark DIV /
+#        DuckDB //; DuckDB's sum is HUGEINT so the products are exact
+#        there too, and the Spark side carries an in-plan overflow
+#        assert). Σ(sws_hits) = n exactly at any SF.
+_SWS_N = 50
+
+
+def _sws_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators import sampling
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id", (F.col("n_chars") + 1).cast("bigint").alias("w"))
+    return (sampling.systematic_weighted_sample(docs, _SWS_N, "w")
+            .orderBy("doc_id"))
+
+
+def _sws_duck_sql() -> str:
+    frac = _CURR_FRAC.format(salt="sws")
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS w, {frac} AS tie
+  FROM documents
+), c AS (
+  SELECT doc_id, w,
+         sum(w) OVER (ORDER BY tie ASC, doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(w) OVER () AS total
+  FROM base
+)
+SELECT doc_id, w,
+       CAST(((cum * {_SWS_N} + total - 1) // total)
+            - (((cum - w) * {_SWS_N} + total - 1) // total) AS BIGINT)
+         AS sws_hits
+FROM c
+WHERE ((cum * {_SWS_N} + total - 1) // total)
+      - (((cum - w) * {_SWS_N} + total - 1) // total) > 0
+ORDER BY doc_id
+"""
+
+
+_def("weighted_sample_sus", (_sws_fn, _sws_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -249,3 +249,106 @@ def select_to_budget(df: DataFrame, token_budget: int,
             .withColumn("cum_tokens",
                         F.sum(F.col(token_col).cast("bigint")).over(w))
             .filter(F.col("cum_tokens") <= int(token_budget)))
+
+
+def curriculum_order(df: DataFrame, difficulty_col: str,
+                     key_cols=("doc_id",), n_buckets: int = 10,
+                     salt: str = "curriculum") -> DataFrame:
+    """Deterministic interleaved curriculum schedule over difficulty buckets.
+
+    Curriculum-style training wants each shard of the training stream to
+    see the full difficulty spectrum rather than all-easy-then-all-hard
+    (the sorted order a naive ORDER BY difficulty produces). This builds
+    the classic round-robin interleave: rank rows within their difficulty
+    bucket, then emit bucket 0's first row, bucket 1's first row, …,
+    cycling — ``schedule_pos = within_rank * n_buckets + bucket``.
+
+    Buckets are ntile(n) over (difficulty, key-hash) — the hash tiebreak
+    makes the bucketing total and reproducible when difficulties tie
+    (integer difficulties tie constantly). Within-bucket order is the
+    key hash, so each bucket's stream is itself an unbiased shuffle.
+
+    Scale: two windows, both GLOBAL — this is the one operator whose
+    output is a total order, the same boundary hybrid-search's exact
+    ranking carries. Bound the input first (sample/cap operators above)
+    or apply per-shard: partition the corpus, schedule each shard, and
+    interleave shards round-robin downstream.
+    """
+    frac = hash_fraction(list(key_cols), salt)
+    base = df.withColumn("_tie", frac)
+    keys = [F.asc(c) for c in key_cols]  # total order even on hash collision
+    wb = Window.orderBy(F.asc(difficulty_col), F.asc("_tie"), *keys)
+    bucketed = base.withColumn(
+        "bucket", (F.ntile(n_buckets).over(wb) - 1).cast("int"))
+    ww = Window.partitionBy("bucket").orderBy(F.asc("_tie"), *keys)
+    return (bucketed
+            .withColumn("_r", F.row_number().over(ww) - 1)
+            .withColumn("schedule_pos",
+                        (F.col("_r") * n_buckets + F.col("bucket"))
+                        .cast("bigint"))
+            .drop("_tie", "_r")
+            .orderBy("schedule_pos"))
+
+
+def systematic_weighted_sample(df: DataFrame, n: int, weight_col: str,
+                               key_cols=("doc_id",),
+                               salt: str = "sws") -> DataFrame:
+    """Exact-integer systematic (SUS) weighted sampling without replacement.
+
+    Stochastic universal sampling over INTEGER weights: lay the rows on a
+    wheel of circumference ``total = Σw`` in a deterministic hash order,
+    drop ``n`` equally spaced pointers, keep each row once per pointer
+    landing in its arc. A row with weight w is selected with probability
+    min(1, n·w/total) — the classic SUS guarantee — and everything here
+    is exact bigint arithmetic: row r with cumulative range
+    [cum_before, cum_before + w) is hit iff
+    ``floor((cum_before + w - 1)·n / total) > floor((cum_before - 1)·n / total)``
+    (pointer k sits at ceil(k·total/n) positions — equivalently arc
+    [a, b) catches a pointer iff the multiple count changes across it).
+    No floats anywhere, so the DuckDB twin matches hash-exactly and the
+    selection is independent of partitioning.
+
+    Pointer k (k = 0..n-1) sits at integer wheel position
+    floor(k·total/n); row r with arc [cum−w, cum) is hit
+    ``ceil(cum·n/total) − ceil((cum−w)·n/total)`` times (exact bigint
+    ceil-division — no floats, so the DuckDB twin matches hash-exactly
+    and selection is partitioning-independent). Σ hits = n always; a row
+    heavier than total/n absorbs several pointers and is emitted once
+    with its multiplicity in ``sws_hits`` — Σ(sws_hits) = n, distinct
+    rows ≤ n with equality iff no weight exceeds total/n.
+
+    Scale: the cumulative sum is one global window over (hash, key) —
+    same total-order boundary as curriculum_order, same mitigation
+    (pre-bound the input, or run per-stratum where the window partitions
+    by stratum). Weights must be POSITIVE integers (cast fractional
+    weights up by a fixed scale first) with n·Σw < 2^63 — both enforced
+    with in-plan asserts (ANSI-off bigint overflow wraps silently, the
+    mixture_plan lesson).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    frac = hash_fraction(list(key_cols), salt)
+    base = (df.withColumn("_tie", frac)
+            .withColumn("_w", F.col(weight_col).cast("bigint")))
+    order = Window.orderBy(F.asc("_tie"), *[F.asc(c) for c in key_cols])
+    cum = F.sum("_w").over(order.rowsBetween(Window.unboundedPreceding, 0))
+    total = F.sum("_w").over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing))
+    max_total = (2 ** 63 - 1) // n
+    scored = (base
+              .withColumn("_cum", cum)
+              .withColumn("_total", total)
+              .withColumn("_guard", F.assert_true(
+                  (F.col("_w") > 0) & (F.col("_total") <= F.lit(max_total)),
+                  F.lit("systematic_weighted_sample: weights must be "
+                        f"positive with n*total < 2^63 (n={n})")))
+              .withColumn(
+                  "_hi", F.expr(f"(_cum * {n} + _total - 1) DIV _total"))
+              .withColumn(
+                  "_lo", F.expr(f"((_cum - _w) * {n} + _total - 1) DIV _total"))
+              .withColumn("sws_hits", F.when(F.col("_guard").isNull(),
+                                             F.col("_hi") - F.col("_lo"))
+                          .cast("bigint")))
+    return (scored.filter(F.col("sws_hits") > 0)
+            .drop("_tie", "_w", "_cum", "_total", "_guard", "_hi", "_lo"))

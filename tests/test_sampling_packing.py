@@ -400,3 +400,86 @@ class TestSelectToBudget:
             [("s", 1, 1, 1)], "source string, doc_id long, q long, tokens long")
         with pytest.raises(ValueError):
             sampling.select_to_budget(df, 0, "q", "tokens")
+
+
+class TestCurriculumOrder:
+    def test_interleave_covers_spectrum_early(self, spark):
+        df = spark.createDataFrame(
+            [(i, i // 10) for i in range(100)], "doc_id bigint, diff int")
+        out = sampling.curriculum_order(df, "diff", n_buckets=10).collect()
+        # schedule positions are the dense prefix 0..99
+        assert sorted(r.schedule_pos for r in out) == list(range(100))
+        # the first 10 scheduled rows hit all 10 buckets once
+        first = sorted(out, key=lambda r: r.schedule_pos)[:10]
+        assert sorted(r.bucket for r in first) == list(range(10))
+        # buckets respect difficulty order: max diff of bucket b <= min of b+1
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r.diff)
+        for b in range(9):
+            assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(i, i % 7) for i in range(50)], "doc_id bigint, diff int")
+        a = [(r.doc_id, r.schedule_pos) for r in
+             sampling.curriculum_order(df, "diff", n_buckets=5).collect()]
+        b = [(r.doc_id, r.schedule_pos) for r in
+             sampling.curriculum_order(df.repartition(9), "diff",
+                                       n_buckets=5).collect()]
+        assert a == b
+
+
+class TestSystematicWeightedSample:
+    def test_hit_count_sums_to_n(self, spark):
+        df = spark.createDataFrame(
+            [(i, 1 + (i % 5)) for i in range(40)], "doc_id bigint, w int")
+        out = sampling.systematic_weighted_sample(df, 12, "w").collect()
+        assert sum(r.sws_hits for r in out) == 12
+        assert all(r.sws_hits >= 1 for r in out)
+
+    def test_heavy_row_always_selected_with_multiplicity(self, spark):
+        # one row carries ~all the weight -> catches nearly every pointer
+        rows = [(0, 1000)] + [(i, 1) for i in range(1, 11)]
+        df = spark.createDataFrame(rows, "doc_id bigint, w int")
+        out = {r.doc_id: r.sws_hits
+               for r in sampling.systematic_weighted_sample(df, 10, "w").collect()}
+        assert out[0] >= 9  # 1000/1010 of the wheel
+        assert sum(out.values()) == 10
+
+    def test_uniform_weights_reduce_to_every_kth(self, spark):
+        df = spark.createDataFrame(
+            [(i, 1) for i in range(100)], "doc_id bigint, w int")
+        out = sampling.systematic_weighted_sample(df, 25, "w").collect()
+        assert len(out) == 25 and all(r.sws_hits == 1 for r in out)
+
+    def test_partition_invariance(self, spark):
+        df = spark.createDataFrame(
+            [(i, 1 + (i * 7) % 13) for i in range(60)], "doc_id bigint, w int")
+        a = sorted((r.doc_id, r.sws_hits) for r in
+                   sampling.systematic_weighted_sample(df, 9, "w").collect())
+        b = sorted((r.doc_id, r.sws_hits) for r in
+                   sampling.systematic_weighted_sample(
+                       df.repartition(11), 9, "w").collect())
+        assert a == b
+
+    def test_growth_monotonicity_is_not_claimed_but_n_is_exact(self, spark):
+        # doubling the corpus still yields exactly n total hits
+        df = spark.createDataFrame(
+            [(i, 1 + i % 3) for i in range(200)], "doc_id bigint, w int")
+        out = sampling.systematic_weighted_sample(df, 17, "w").collect()
+        assert sum(r.sws_hits for r in out) == 17
+
+    def test_nonpositive_weight_fails_loudly(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, 3)], "doc_id bigint, w int")
+        with pytest.raises(Exception) as ei:
+            sampling.systematic_weighted_sample(df, 1, "w").collect()
+        assert "positive" in str(ei.value)
+
+    def test_invalid_n_raises(self, spark):
+        df = spark.createDataFrame([(1, 1)], "doc_id bigint, w int")
+        with pytest.raises(ValueError):
+            sampling.systematic_weighted_sample(df, 0, "w")
