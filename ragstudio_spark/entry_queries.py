@@ -5717,6 +5717,56 @@ ORDER BY doc_id
 _def("weighted_sample_sus", (_sws_fn, _sws_duck_sql()))
 
 
+# -- 72. boundary stitching (operators/dedupe.py stitch_pairs): shard-
+#        reassembly candidates — A's last 3 words equal B's first 3
+#        words. The join key is one fixed-width boundary per doc side
+#        (body text never shuffles); hot boilerplate boundaries are
+#        df-capped on each side independently. 8 pairs at sf0.01, 892
+#        at sf0.1 (probed), both engines.
+_STITCH_K, _STITCH_CAP = 3, 20
+
+
+def _stitch_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    return (dedupe.stitch_pairs(spark.table("documents"), k=_STITCH_K,
+                                max_boundary_df=_STITCH_CAP)
+            .orderBy("doc_a", "doc_b", "boundary"))
+
+
+def _stitch_duck_sql() -> str:
+    words = _words_expr("text", "duckdb")
+    k, cap = _STITCH_K, _STITCH_CAP
+    return f"""
+WITH w AS (
+  SELECT doc_id, {words} AS ws FROM documents
+), keyed AS (
+  SELECT doc_id,
+         array_to_string(ws[1:{k}], ' ') AS head_key,
+         array_to_string(ws[-{k}:], ' ') AS tail_key
+  FROM w WHERE len(ws) >= 2 * {k}
+), heads AS (
+  SELECT doc_id AS doc_b, head_key AS boundary FROM keyed
+), tails AS (
+  SELECT doc_id AS doc_a, tail_key AS boundary FROM keyed
+), h2 AS (
+  SELECT * FROM heads WHERE boundary NOT IN (
+    SELECT boundary FROM heads GROUP BY boundary HAVING count(*) > {cap})
+), t2 AS (
+  SELECT * FROM tails WHERE boundary NOT IN (
+    SELECT boundary FROM tails GROUP BY boundary HAVING count(*) > {cap})
+)
+SELECT t2.doc_a, h2.doc_b, t2.boundary
+FROM t2 JOIN h2 USING (boundary)
+WHERE t2.doc_a != h2.doc_b
+ORDER BY t2.doc_a, h2.doc_b, t2.boundary
+"""
+
+
+_def("stitch_boundaries", (_stitch_fn, _stitch_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

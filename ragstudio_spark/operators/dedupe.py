@@ -947,3 +947,46 @@ def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
             .agg(F.count("*").cast("bigint").alias("n_candidate_grams"),
                  F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint")
                  .alias("n_exact_shared")))
+
+
+def stitch_pairs(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 5,
+                 max_boundary_df: int | None = None) -> DataFrame:
+    """Boundary-stitch candidates: A's last k words == B's first k words.
+
+    Web-scale corpora carry documents split mid-stream by upstream
+    processing (pagination, shard boundaries, crawler truncation); the
+    reassembly candidate generator is a join on BOUNDARY keys only — one
+    k-word key per document side, never the body. Output
+    (doc_a, doc_b, boundary): doc_a's tail continues into doc_b's head.
+
+    ``max_boundary_df`` drops boundary keys shared by more than that many
+    heads or tails (boilerplate openings like navigation headers would
+    otherwise fan out quadratically — same escape hatch as the shingle
+    caps). Self-pairs are excluded; A→B and B→A are distinct directed
+    rows (a true circular split yields both).
+
+    Scale: two projections + one equi-join on a fixed-width key; shuffle
+    volume is one row per document per side regardless of document size.
+    """
+    bound = _bound_words(df, text_col, id_col)
+    n = F.size("_w")
+    head = F.concat_ws(" ", F.slice("_w", 1, k))
+    # F.slice with negative start takes the LAST k elements
+    tail = F.concat_ws(" ", F.slice("_w", -k, k))
+    keyed = (bound.filter(n >= 2 * k)  # head and tail must not overlap
+             .select(id_col, head.alias("head_key"), tail.alias("tail_key")))
+    heads = keyed.select(F.col(id_col).alias("doc_b"),
+                         F.col("head_key").alias("boundary"))
+    tails = keyed.select(F.col(id_col).alias("doc_a"),
+                         F.col("tail_key").alias("boundary"))
+    if max_boundary_df is not None:
+        hot_h = (heads.groupBy("boundary").count()
+                 .filter(F.col("count") > max_boundary_df).select("boundary"))
+        hot_t = (tails.groupBy("boundary").count()
+                 .filter(F.col("count") > max_boundary_df).select("boundary"))
+        heads = heads.join(hot_h, "boundary", "left_anti")
+        tails = tails.join(hot_t, "boundary", "left_anti")
+    return (tails.join(heads, "boundary")
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b", "boundary"))

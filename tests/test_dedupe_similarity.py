@@ -880,3 +880,57 @@ class TestContainment:
         b = sorted(tuple(r) for r in
                    containment_pairs(df.repartition(7), k=3).collect())
         assert a == b
+
+
+class TestStitchPairs:
+    """stitch_pairs (dedupe.py) — boundary reassembly candidates."""
+
+    def test_split_document_found(self, spark):
+        from ragstudio_spark.operators.dedupe import stitch_pairs
+
+        rows = [
+            (1, "part one text flows into a shared five word boundary"),
+            (2, "a shared five word boundary then part two continues onward"),
+            (3, "totally unrelated content with nothing shared at all here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = [(r.doc_a, r.doc_b, r.boundary)
+               for r in stitch_pairs(df, k=5).collect()]
+        assert got == [(1, 2, "a shared five word boundary")]
+
+    def test_short_docs_excluded(self, spark):
+        from ragstudio_spark.operators.dedupe import stitch_pairs
+
+        # 9 words < 2k=10: head/tail would overlap -> excluded
+        rows = [(1, "a b c d e f g h i"), (2, "e f g h i j k l m")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        assert stitch_pairs(df, k=5).count() == 0
+
+    def test_circular_split_yields_both_directions(self, spark):
+        from ragstudio_spark.operators.dedupe import stitch_pairs
+
+        rows = [(1, "x y z q r a b c d e"), (2, "a b c d e x y z q r")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = sorted((r.doc_a, r.doc_b) for r in stitch_pairs(df, k=5).collect())
+        assert got == [(1, 2), (2, 1)]
+
+    def test_boundary_df_cap(self, spark):
+        from ragstudio_spark.operators.dedupe import stitch_pairs
+
+        boiler = "standard footer one two"
+        # 5 docs ending with the same 4-word boundary + 5 starting with it
+        rows = ([(i, f"body text of doc {i} ends with {boiler}")
+                 for i in range(5)]
+                + [(10 + i, f"{boiler} then body of doc {10 + i} continues on")
+                   for i in range(5)])
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        assert stitch_pairs(df, k=4).count() == 25
+        assert stitch_pairs(df, k=4, max_boundary_df=3).count() == 0
+
+    def test_self_pair_excluded(self, spark):
+        from ragstudio_spark.operators.dedupe import stitch_pairs
+
+        # doc whose head equals its own tail
+        rows = [(1, "a b c d e mid mid mid a b c d e")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        assert stitch_pairs(df, k=5).count() == 0
