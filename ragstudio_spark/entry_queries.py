@@ -5767,6 +5767,41 @@ ORDER BY t2.doc_a, h2.doc_b, t2.boundary
 _def("stitch_boundaries", (_stitch_fn, _stitch_duck_sql()))
 
 
+# -- 73. exact grouped percentiles (operators/metrics.py exact_quantiles):
+#        per-language length distribution at p50/p90/p99 — quantile_disc
+#        semantics with the rank position (n·p + 99) DIV 100 in pure
+#        bigint, so both engines pick the identical element. The twin is
+#        the same rank construction, NOT DuckDB's quantile_disc builtin —
+#        builtin interpolation conventions differ; the rank math is the
+#        portable contract.
+def _quantiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.metrics import exact_quantiles
+
+    _register(spark, sf_dir, "documents")
+    return exact_quantiles(spark.table("documents"), "n_chars",
+                           group_cols=("lang",), percents=(50, 90, 99))
+
+
+_QUANTILES_DUCK = """
+WITH ranked AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN r = (n * 50 + 99) // 100 THEN v END) AS p50,
+       max(CASE WHEN r = (n * 90 + 99) // 100 THEN v END) AS p90,
+       max(CASE WHEN r = (n * 99 + 99) // 100 THEN v END) AS p99
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+_def("length_quantiles", (_quantiles_fn, _QUANTILES_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

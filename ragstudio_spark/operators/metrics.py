@@ -16,7 +16,7 @@ All plain groupBy/agg — shuffles on low-cardinality keys only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def eval_metrics(chunks: DataFrame, text_col: str = "text") -> DataFrame:
@@ -127,3 +127,40 @@ def run_counters(metrics: DataFrame) -> DataFrame:
         "success_rate",
         F.when(F.col("total") > 0, F.col("success") / F.col("total")).otherwise(0.0),
     )
+
+
+def exact_quantiles(df: DataFrame, value_col: str,
+                    group_cols=("lang",),
+                    percents=(50, 90, 99)) -> DataFrame:
+    """Exact discrete percentiles per group, in pure integer rank math.
+
+    The distribution report a curation pipeline reads daily (how long
+    are documents per language, where is the p99 the packer must plan
+    for) — computed EXACTLY: the p-th percentile is the value at rank
+    ceil(n·p/100) of the group's sorted values (quantile_disc
+    semantics), with the rank position derived as ``(n·p + 99) DIV 100``
+    so no float touches the pipeline and the DuckDB twin matches
+    hash-exactly. Builtin approx_percentile is the 100-TB default;
+    this is the exact-grouped form whose cost is one per-group sort.
+
+    Scale: one window shuffle partitioned by the group columns — skew
+    equals the largest group (fine for per-language/per-source reports;
+    for a single global quantile over 10^12 rows use approx_percentile
+    or a two-pass histogram refinement instead).
+
+    Output: group cols, n, p{p} for each requested percent.
+    """
+    if not percents or any(not 0 < p <= 100 for p in percents):
+        raise ValueError("percents must be in (0, 100]")
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(F.asc("_v"))
+    ranked = (df
+              .select(*gcols, F.col(value_col).cast("bigint").alias("_v"))
+              .withColumn("_r", F.row_number().over(w))
+              .withColumn("_n", F.count("*").over(Window.partitionBy(*gcols))))
+    aggs = [F.max("_n").alias("n")]
+    for p in percents:
+        pos = F.expr(f"(_n * {p} + 99) DIV 100")
+        aggs.append(F.max(F.when(F.col("_r") == pos, F.col("_v")))
+                    .alias(f"p{p}"))
+    return ranked.groupBy(*gcols).agg(*aggs).orderBy(*gcols)
