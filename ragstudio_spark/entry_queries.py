@@ -5802,6 +5802,58 @@ ORDER BY lang
 _def("length_quantiles", (_quantiles_fn, _QUANTILES_DUCK))
 
 
+# -- 74. right-to-be-forgotten rewrite (pipeline/maintenance.py
+#        forget_rewrite): physically rewrite a scratch copy of events
+#        without the deletion-request users (user_id % 97 = 0), under
+#        the maintenance crash contract, then aggregate the SURVIVING
+#        table — the oracle recomputes the survivors in SQL, so a
+#        logical-only delete (or an over-delete) hash-mismatches.
+def _forget_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.pipeline.maintenance import forget_rewrite
+
+    _register(spark, sf_dir, "events")
+    path = os.path.join(tempfile.mkdtemp(prefix="rs_forget_oracle_"), "t")
+    spark.table("events").write.parquet(path)
+    forget = (spark.table("events")
+              .filter("user_id % 97 = 0").select("user_id").distinct())
+    acc = forget_rewrite(spark, path, "user_id", forget)
+    survivors = spark.read.parquet(path)
+    return (survivors.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+                 .alias("total_value"),
+                 F.lit(acc["n_removed"]).cast("bigint")
+                 .alias("n_removed_total"))
+            .orderBy("event_type"))
+
+
+_FORGET_DUCK = """
+WITH survivors AS (
+  SELECT * FROM events WHERE user_id NOT IN (
+    SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+), removed AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_removed_total
+  FROM events WHERE user_id % 97 = 0
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       r.n_removed_total
+FROM survivors CROSS JOIN removed r
+GROUP BY event_type, r.n_removed_total
+ORDER BY event_type
+"""
+
+
+_def("forget_rewrite_accounting", (_forget_fn, _FORGET_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

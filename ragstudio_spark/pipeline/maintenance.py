@@ -49,7 +49,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import ArrayType, AtomicType, StructType
 
 from ragstudio_spark.pipeline.lineage import COMMIT_MARKER
@@ -165,7 +165,7 @@ def _write_layout(spark, df, tmp, target_files, partition_by, orderable):
 
 
 def swap_in(spark: SparkSession, path: str, write_tmp,
-            read_schema: str | None = None) -> int:
+            read_schema=None) -> int:
     """Write a replacement table via ``write_tmp(tmp_dir)`` then swap it
     over ``path`` under the module's crash contract (see the module
     docstring: two renames, ``_recover`` restores the window). Shared by
@@ -186,3 +186,52 @@ def swap_in(spark: SparkSession, path: str, write_tmp,
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return rows
+
+
+def forget_rewrite(spark: SparkSession, path: str, key_col: str,
+                   forget_keys, target_files: int = 0) -> dict:
+    """Right-to-be-forgotten propagation: physically rewrite a parquet
+    table without the rows whose ``key_col`` appears in ``forget_keys``
+    (a DataFrame with that one column, or an iterable of literals).
+
+    Compliance deletes cannot be logical-only — a filter view leaves the
+    bytes on disk — so this REWRITES under the module's crash contract
+    (swap_in: tmp + _COMMITTED marker + two renames; a crash at any
+    point leaves either the old or the new committed table, never a
+    mix). Single-writer by contract like compaction; Iceberg's
+    DELETE-with-snapshot is the real multi-writer answer (module
+    docstring).
+
+    Scale: the forget list is deletion-request sized — a broadcast
+    anti-join against it is one map-side pass per file; no shuffle
+    unless ``target_files`` asks for a re-layout.
+
+    Returns accounting the audit trail wants: ``{"n_before", "n_removed",
+    "n_after"}`` — counted from the data, not inferred.
+    """
+    _recover(path)
+    sweep_stale_compactions(path)
+    df = spark.read.parquet(path)
+    if not isinstance(forget_keys, DataFrame):
+        # literal keys ship JVM-side (range(1) + explode(array(lit…))) —
+        # a createDataFrame relation on a write path pays the ~5 s
+        # pickle-RDD round trip (pipeline/cache._append lesson)
+        lits = F.array(*[F.lit(k) for k in forget_keys])
+        forget_keys = (spark.range(1)
+                       .select(F.explode(lits).alias(key_col))
+                       .select(F.col(key_col).cast(
+                           df.schema[key_col].dataType)))
+    forget = forget_keys.select(key_col).distinct()
+    n_before = df.count()
+    kept = df.join(F.broadcast(forget), key_col, "left_anti")
+
+    def write_tmp(tmp: str) -> None:
+        out = kept.coalesce(target_files) if target_files else kept
+        out.write.mode("overwrite").parquet(tmp)
+
+    # read_schema: a forget list covering every row leaves an empty
+    # replacement (zero parquet files under some layouts) — count it
+    # without schema inference failing
+    n_after = swap_in(spark, path, write_tmp, read_schema=df.schema)
+    return {"n_before": n_before, "n_removed": n_before - n_after,
+            "n_after": n_after}

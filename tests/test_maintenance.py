@@ -151,3 +151,55 @@ class TestCompaction:
             assert 1 < n <= 4, (cell, n)
         got = {r["doc_id"] for r in spark.read.parquet(path).collect()}
         assert got == set(range(400))
+
+
+class TestForgetRewrite:
+    """forget_rewrite (maintenance.py) — compliance deletes under the
+    crash contract."""
+
+    def _seed(self, spark, path, n=20):
+        (spark.range(n)
+         .selectExpr("id AS user_id", "CAST(id * 10 AS DOUBLE) AS value")
+         .coalesce(2).write.mode("overwrite").parquet(path))
+
+    def test_rows_physically_removed(self, spark, tmp_path):
+        from ragstudio_spark.pipeline.maintenance import forget_rewrite
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        acc = forget_rewrite(spark, path, "user_id", [3, 7, 99])
+        assert acc == {"n_before": 20, "n_removed": 2, "n_after": 18}
+        left = {r.user_id for r in spark.read.parquet(path).collect()}
+        assert 3 not in left and 7 not in left and len(left) == 18
+        # no leftover tmp/old siblings
+        import os
+        assert not [e for e in os.listdir(tmp_path)
+                    if "._compact_" in e or "._old_" in e]
+
+    def test_dataframe_forget_list(self, spark, tmp_path):
+        from ragstudio_spark.pipeline.maintenance import forget_rewrite
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        forget = spark.range(5).selectExpr("id AS user_id")
+        acc = forget_rewrite(spark, path, "user_id", forget)
+        assert acc["n_removed"] == 5 and acc["n_after"] == 15
+
+    def test_forget_everything_leaves_empty_committed_table(self, spark,
+                                                            tmp_path):
+        from ragstudio_spark.pipeline.maintenance import forget_rewrite
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path, n=4)
+        acc = forget_rewrite(spark, path, "user_id", [0, 1, 2, 3])
+        assert acc["n_after"] == 0
+        assert spark.read.schema("user_id bigint, value double") \
+            .parquet(path).count() == 0
+
+    def test_noop_forget_list_keeps_all(self, spark, tmp_path):
+        from ragstudio_spark.pipeline.maintenance import forget_rewrite
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        acc = forget_rewrite(spark, path, "user_id", [999])
+        assert acc == {"n_before": 20, "n_removed": 0, "n_after": 20}
