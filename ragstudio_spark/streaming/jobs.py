@@ -673,3 +673,36 @@ def read_cms_counters(spark: SparkSession, store_dir: str) -> DataFrame:
                  .agg(F.max("cnt").alias("cnt")))
     return (per_batch.groupBy("row_idx", "bucket")
             .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+
+
+def session_stats_stream(stream_df: DataFrame, gap_minutes: int = 30,
+                         watermark: str = "1 hour",
+                         user_col: str = "user_id",
+                         ts_col: str = "ts") -> DataFrame:
+    """Streaming gap-sessionization via the built-in ``session_window``
+    — the native stateful form of operators/sessions.session_stats.
+
+    Spark merges events into a session while each arrives within
+    ``gap_minutes`` of the session's current end, the exact gap rule the
+    batch operator implements with lag()+cumsum; the state store carries
+    open sessions, the watermark finalizes them (append mode emits a
+    session only once its close is final — exactly-once per session with
+    no reader-side dedup). session_window.end is last_event + gap by
+    definition, so the last-event time is recovered by subtracting the
+    gap — emitted as epoch micros (the representation rule).
+
+    Batch equality (user, start, last, n_events) is pinned in
+    tests/test_streaming_sessions.py.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+                     F.col(user_col))
+            .agg(F.count("*").alias("n_events"))
+            .select(user_col,
+                    F.unix_micros(F.col("session_window.start"))
+                    .alias("session_start_us"),
+                    (F.unix_micros(F.col("session_window.end")) - gap_us)
+                    .alias("session_last_us"),
+                    "n_events"))
