@@ -144,8 +144,25 @@ def main() -> None:
         ).otherwise(F.array().cast("array<string>"))
         return bound.select("doc_id", F.array_join(lines, "\n").alias("text"))
 
-    from ragstudio_spark.operators import convlint, rag_extras, retrieval, \
-        similarity, sketches, snapshot
+    from ragstudio_spark.operators import convlint, grounding, rag_extras, \
+        retrieval, similarity, sketches, snapshot
+    from ragstudio_spark.operators import index as index_ops
+    from ragstudio_spark.operators import metrics as metrics_ops
+
+    def halves_of(d, k=3):
+        """Split every doc into two rows overlapping by k words — one
+        TRUE stitch pair per doc, so true-pair volume scales with the
+        corpus (the copy-token corpus alone has no boundary matches:
+        every tail ends with its copy token)."""
+        bound = dedupe._bound_words(d, "text", "doc_id")
+        m = (F.size("_w") / 2).cast("int")
+        first = F.concat_ws(" ", F.slice("_w", 1, m + k))
+        second = F.concat_ws(
+            " ", F.slice("_w", m + 1, F.size("_w") - m))
+        return (bound.filter(F.size("_w") >= 4 * k)
+                .select(F.col("doc_id"), first.alias("a"), second.alias("b"))
+                .selectExpr("stack(2, doc_id * 2, a, doc_id * 2 + 1, b) "
+                            "AS (doc_id, text)"))
 
     def mmr_candidates(d):
         """One query per 25 vectors (query count scales with the corpus,
@@ -262,6 +279,37 @@ def main() -> None:
              .withColumn("rank", F.row_number().over(
                  Window.partitionBy("query_id").orderBy("doc_id"))),
             k=4, token_budget=512).count(),
+        # round-6 continuation surfaces: the phrase anchor-join (fixed
+        # terms, corpus 10×), grounding's (conv, gram) joins over 10×-
+        # longer conversations, containment + stitching under their df
+        # caps (copies share shingles/heads — the caps are load-bearing),
+        # SCD2's bounded per-key windows, and the two global-window
+        # sampling ops (the documented total-order boundary).
+        "phrase_search": lambda d: index_ops.phrase_search(
+            d, ["slow", "hash", "batch"]).count(),
+        "turn_grounding": lambda d: grounding.turn_grounding(
+            transcripts_of(d)).count(),
+        "containment_df20": lambda d: dedupe.containment_pairs(
+            d, max_shingle_df=20).count(),
+        "stitch_k3_df20": lambda d: dedupe.stitch_pairs(
+            halves_of(d), k=3, max_boundary_df=20).count(),
+        "scd2_history": lambda d: snapshot.scd2_history(
+            d.select((F.col("doc_id") % 50).alias("user_id"),
+                     F.timestamp_seconds(F.col("doc_id") % 86400).alias("ts"),
+                     F.col("doc_id").alias("event_id"),
+                     (F.col("doc_id") % 7).alias("state")),
+            ["user_id"], "state", tiebreak_col="event_id").count(),
+        "curriculum_order": lambda d: sampling.curriculum_order(
+            d.select("doc_id", F.length("text").alias("diff")),
+            "diff", n_buckets=10).count(),
+        "weighted_sus_n5000": lambda d: sampling.systematic_weighted_sample(
+            d.select("doc_id",
+                     (F.length("text") + 1).cast("bigint").alias("w")),
+            5000, "w").count(),
+        "exact_quantiles": lambda d: metrics_ops.exact_quantiles(
+            d.select((F.col("doc_id") % 10).alias("lang"),
+                     F.length("text").alias("n_chars")),
+            "n_chars").count(),
     }
     only = set(sys.argv[1:])
     if only:
