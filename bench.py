@@ -188,7 +188,12 @@ def main() -> None:
                  "rag_mmr_rerank", "distinct_hll", "corpus_diff",
                  "retrieval_eval", "budget_select", "bloom_decontaminate",
                  "cms_word_counts", "hard_negatives", "pmi_collocations",
-                 "asof_click_view"):
+                 "asof_click_view",
+                 # round-6 continuation-2 operators
+                 "phrase_search", "turn_grounding", "dedup_containment",
+                 "scd2_user_state", "curriculum_schedule",
+                 "weighted_sample_sus", "stitch_boundaries",
+                 "length_quantiles", "forget_rewrite_accounting"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # post-run serial probe: drift vs the pre-run probe means the host's
