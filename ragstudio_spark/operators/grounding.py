@@ -28,18 +28,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ragstudio_spark.operators.dedupe import _bound_words, shingles_col
+from ragstudio_spark.operators.dedupe import shingles_col, words_col
 
 
 def _turn_grams(conv: DataFrame, text_col: str, k: int) -> DataFrame:
-    """(conv_id, turn_idx, role, gram) — DISTINCT grams per turn."""
+    """(conv_id, turn_idx, role, gram) — DISTINCT grams per turn.
+
+    Only user and assistant turns are shingled: they are the only roles
+    either consumer reads, and tool-output turns are typically the
+    bulkiest text in a real transcript — shingling them would grow the
+    operator's dominant shuffle for nothing (review-found). The
+    tokenizer is the shared words_col so one place defines the token
+    contract (the index.py rationale)."""
     bound = (conv
+             .filter(F.col("role").isin("user", "assistant"))
              .select("conv_id", "turn_idx", "role",
-                     F.col(text_col).alias("_t"))
-             .withColumn("_w", F.filter(
-                 F.split(F.lower(F.coalesce(F.col("_t"), F.lit(""))),
-                         r"\s+"), lambda w: w != ""))
-             .drop("_t"))
+                     words_col(F.coalesce(F.col(text_col), F.lit("")))
+                     .alias("_w")))
     # shingles_col references its words input k times per position —
     # the array is already bound to the attribute _w (the r5 lesson).
     return (bound

@@ -321,9 +321,13 @@ def systematic_weighted_sample(df: DataFrame, n: int, weight_col: str,
     same total-order boundary as curriculum_order, same mitigation
     (pre-bound the input, or run per-stratum where the window partitions
     by stratum). Weights must be POSITIVE integers (cast fractional
-    weights up by a fixed scale first) with n·Σw < 2^63 — both enforced
-    with in-plan asserts (ANSI-off bigint overflow wraps silently, the
-    mixture_plan lesson).
+    weights up by a fixed scale first) with (n+1)·Σw ≤ 2^63 — both
+    enforced with in-plan asserts (ANSI-off bigint overflow wraps
+    silently, the mixture_plan lesson). The bound covers the WORST
+    intermediate, not just n·Σw: the ceil-division numerator
+    cum·n + total − 1 reaches total·(n+1) − 1 on the last row
+    (review-found — a total at exactly 2^63/n would pass an n·Σw
+    guard and still wrap the numerator).
     """
     if n <= 0:
         raise ValueError("n must be positive")
@@ -335,14 +339,14 @@ def systematic_weighted_sample(df: DataFrame, n: int, weight_col: str,
     total = F.sum("_w").over(
         Window.partitionBy().rowsBetween(Window.unboundedPreceding,
                                          Window.unboundedFollowing))
-    max_total = (2 ** 63 - 1) // n
+    max_total = (2 ** 63 - 1) // (n + 1)
     scored = (base
               .withColumn("_cum", cum)
               .withColumn("_total", total)
               .withColumn("_guard", F.assert_true(
                   (F.col("_w") > 0) & (F.col("_total") <= F.lit(max_total)),
                   F.lit("systematic_weighted_sample: weights must be "
-                        f"positive with n*total < 2^63 (n={n})")))
+                        f"positive with (n+1)*total <= 2^63 (n={n})")))
               .withColumn(
                   "_hi", F.expr(f"(_cum * {n} + _total - 1) DIV _total"))
               .withColumn(

@@ -76,3 +76,24 @@ class TestProperties:
             rows, "conv_id string, turn_idx int, role string, text string")
         [r] = turn_grounding(df).collect()
         assert r.n_grounded == 0
+
+
+class TestReviewRegressions:
+    def test_tool_turn_text_never_grounds(self, spark):
+        # tool output sharing the assistant's bigrams must not count as
+        # grounding (only USER turns ground), and tool turns are excluded
+        # before shingling (review finding: wasted dominant shuffle)
+        rows = [("c", 0, "tool", "secret tool payload words"),
+                ("c", 1, "assistant", "secret tool payload words")]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+        [r] = turn_grounding(df).collect()
+        assert (r.n_bigrams, r.n_grounded) == (3, 0)
+
+    def test_shared_tokenizer_contract(self, spark):
+        # multi-space + case handling must match dedupe.words_col exactly
+        rows = [("c", 0, "user", "A   B"), ("c", 1, "assistant", "a b")]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+        [r] = turn_grounding(df).collect()
+        assert (r.n_bigrams, r.n_grounded, r.grounded_ppm) == (1, 1, 1_000_000)

@@ -483,3 +483,21 @@ class TestSystematicWeightedSample:
         df = spark.createDataFrame([(1, 1)], "doc_id bigint, w int")
         with pytest.raises(ValueError):
             sampling.systematic_weighted_sample(df, 0, "w")
+
+
+class TestSusOverflowGuard:
+    def test_numerator_bound_fails_loudly(self, spark):
+        # total > (2^63-1)//(n+1) must trip the in-plan assert even when
+        # total*n alone would not overflow (review finding: the ceil
+        # numerator reaches total*(n+1)-1)
+        w = (2 ** 63 - 1) // 3 + 10  # n=2 -> max_total = (2^63-1)//3
+        df = spark.createDataFrame([(1, w)], "doc_id bigint, w bigint")
+        with pytest.raises(Exception) as ei:
+            sampling.systematic_weighted_sample(df, 2, "w").collect()
+        assert "2^63" in str(ei.value)
+
+    def test_guard_boundary_passes(self, spark):
+        w = (2 ** 63 - 1) // 3 - 10
+        df = spark.createDataFrame([(1, w)], "doc_id bigint, w bigint")
+        out = sampling.systematic_weighted_sample(df, 2, "w").collect()
+        assert [r.sws_hits for r in out] == [2]
