@@ -193,7 +193,8 @@ def main() -> None:
                  "phrase_search", "turn_grounding", "dedup_containment",
                  "scd2_user_state", "curriculum_schedule",
                  "weighted_sample_sus", "stitch_boundaries",
-                 "length_quantiles", "forget_rewrite_accounting"):
+                 "length_quantiles", "forget_rewrite_accounting",
+                 "curate_pretrain_stream"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # post-run serial probe: drift vs the pre-run probe means the host's

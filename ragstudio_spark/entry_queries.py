@@ -5854,6 +5854,79 @@ ORDER BY event_type
 _def("forget_rewrite_accounting", (_forget_fn, _FORGET_DUCK))
 
 
+# -- 75. composed pretraining-stream curation (operators/curation.py
+#        curate_pretrain_stream): exact-dedup canonical keep → token
+#        gate (>=20) → per-source quota (15 of 25/250 per source — the
+#        cap BINDS at both SFs) → curriculum interleave (8 ntile
+#        buckets) → per-lang 2048-token packing in schedule order. The
+#        twin replays all five stages in one SQL chain; every stage is
+#        individually oracle-gated elsewhere, this pins the COMPOSITION
+#        (stage order, column threading, window key handoffs).
+_PRETRAIN_CAP, _PRETRAIN_MIN, _PRETRAIN_NB, _PRETRAIN_BUDGET = 15, 20, 8, 2048
+
+
+def _pretrain_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.curation import curate_pretrain_stream
+
+    _register(spark, sf_dir, "documents")
+    return curate_pretrain_stream(
+        spark.table("documents").select("doc_id", "text", "lang", "source"),
+        min_tokens=_PRETRAIN_MIN, per_source_cap=_PRETRAIN_CAP,
+        n_buckets=_PRETRAIN_NB, budget=_PRETRAIN_BUDGET)
+
+
+def _pretrain_duck_sql() -> str:
+    from ragstudio_spark.operators.curation import CHARS_PER_TOKEN
+    frac = _CURR_FRAC.format(salt="curriculum")
+    return f"""
+WITH canon AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT doc_id, text, lang, source,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id ASC) AS rn
+    FROM documents) t WHERE rn = 1
+), toks AS (
+  SELECT doc_id, lang, source,
+         CAST(length(text) // {CHARS_PER_TOKEN} AS BIGINT) AS token_count
+  FROM canon WHERE length(text) // {CHARS_PER_TOKEN} >= {_PRETRAIN_MIN}
+), quota AS (
+  SELECT doc_id, lang, source, token_count FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(concat_ws('|', 'quota', CAST(doc_id AS VARCHAR))) ASC,
+               doc_id ASC) AS qrn
+    FROM toks) q WHERE qrn <= {_PRETRAIN_CAP}
+), tied AS (
+  SELECT *, {frac} AS tie FROM quota
+), b AS (
+  SELECT *, CAST(ntile({_PRETRAIN_NB}) OVER (
+              ORDER BY token_count ASC, tie ASC, doc_id ASC) - 1 AS INT)
+              AS bucket
+  FROM tied
+), sched AS (
+  SELECT doc_id, lang, source, token_count, bucket,
+         CAST((row_number() OVER (PARTITION BY bucket
+                                  ORDER BY tie ASC, doc_id ASC) - 1)
+              * {_PRETRAIN_NB} + bucket AS BIGINT) AS schedule_pos
+  FROM b
+), cum AS (
+  SELECT *, CAST(COALESCE(sum(token_count) OVER (
+              PARTITION BY lang ORDER BY schedule_pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM sched
+)
+SELECT doc_id, lang, source, token_count, bucket, schedule_pos,
+       CAST(cum_before // {_PRETRAIN_BUDGET} AS BIGINT) AS seq_index,
+       CAST(cum_before - (cum_before // {_PRETRAIN_BUDGET})
+            * {_PRETRAIN_BUDGET} AS BIGINT) AS seq_token_offset
+FROM cum
+"""
+
+
+_def("curate_pretrain_stream", (_pretrain_fn, _pretrain_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -173,3 +173,54 @@ def curation_report(curated: DataFrame,
     for cat, _p, _r in redact_op.REDACTIONS:
         aggs.append(F.sum(f"n_{cat}").cast("bigint").alias(f"n_{cat}"))
     return curated.groupBy(shard_col).agg(*aggs)
+
+
+def curate_pretrain_stream(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           source_col: str = "source",
+                           shard_col: str = "lang",
+                           min_tokens: int = 20,
+                           per_source_cap: int = 1000,
+                           n_buckets: int = 8,
+                           budget: int = 2048) -> DataFrame:
+    """Pretraining-stream curation — the batch analogue of curate_sft,
+    composed entirely from already-oracle-gated stages:
+
+        exact-dup canonical keep (md5 window, lowest id survives)
+          → token-length gate (token_count >= min_tokens)
+            → per-source quota (sampling.cap_per_key — no domain
+              dominates the mix)
+              → curriculum interleave (sampling.curriculum_order on
+                token_count — every stream prefix spans the difficulty
+                spectrum)
+                → fixed-budget sequence packing per shard, in schedule
+                  order (packing.pack_chunks)
+
+    Returns one row per surviving document: (id, shard, source,
+    token_count, bucket, schedule_pos, seq_index, seq_token_offset) —
+    the manifest a trainer's data loader consumes.
+
+    Scale shape: one md5-partitioned window (dedup), one filter, one
+    per-source window (quota), the two documented GLOBAL curriculum
+    windows (the operator's stated total-order boundary — run
+    per-shard slices at 10^12 docs), one per-shard packing window.
+    No Python, no collect, no join at all.
+    """
+    from ragstudio_spark.operators import sampling
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.asc(id_col))
+    canonical = (df.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+    toks = (canonical
+            .withColumn("token_count",
+                        F.expr(f"length({text_col}) div {CHARS_PER_TOKEN}")
+                        .cast("bigint"))
+            .filter(F.col("token_count") >= min_tokens))
+    quota = sampling.cap_per_key(toks, source_col, per_source_cap,
+                                 order_cols=(id_col,), salt="quota")
+    sched = sampling.curriculum_order(
+        quota.select(id_col, shard_col, source_col, "token_count"),
+        "token_count", key_cols=(id_col,), n_buckets=n_buckets)
+    return packing.pack_chunks(
+        sched, budget=budget, partition_col=shard_col,
+        order_cols=("schedule_pos",), token_col="token_count")

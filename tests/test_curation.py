@@ -64,3 +64,62 @@ class TestCurateCorpus:
         b = sorted(map(repr, curation.curate_corpus(
             df.repartition(7)).collect()))
         assert a == b
+
+
+class TestCuratePretrainStream:
+    """curate_pretrain_stream — the composed pretraining manifest."""
+
+    def _docs(self, spark):
+        # 3 langs, 2 sources; doc 50 is an exact dup of doc 0;
+        # docs 90+ are too short to pass the 20-token gate
+        rows = []
+        for i in range(90):
+            text = " ".join(f"w{(i * 7 + j) % 40}" for j in range(120))
+            rows.append((i, text, f"l{i % 3}", f"s{i % 2}"))
+        rows.append((50, rows[0][1], rows[0][2], rows[0][3]))  # dup of 0 (id 50)
+        rows = [r for r in rows if r[0] != 50 or r[1] == rows[0][1]]
+        rows += [(90 + i, "tiny text", f"l{i % 3}", "s0") for i in range(5)]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string")
+
+    def test_stage_composition(self, spark):
+        from ragstudio_spark.operators.curation import curate_pretrain_stream
+
+        docs = self._docs(spark)
+        out = curate_pretrain_stream(docs, per_source_cap=1000,
+                                     n_buckets=4, budget=256).collect()
+        ids = [r.doc_id for r in out]
+        # dup: exactly one of {0, 50} survives (the lowest id)
+        assert 0 in ids and 50 not in ids
+        # gate: short docs dropped
+        assert not any(i >= 90 for i in ids)
+        # curriculum: schedule positions are the dense prefix
+        assert sorted(r.schedule_pos for r in out) == list(range(len(out)))
+        # packing: offsets < budget is NOT guaranteed (documents exceed
+        # budget), but seq bookkeeping must be internally consistent:
+        # offset = cum_before % budget within each shard's schedule order
+        by_shard = {}
+        for r in sorted(out, key=lambda r: (r.lang, r.schedule_pos)):
+            cum = by_shard.get(r.lang, 0)
+            assert r.seq_index == cum // 256
+            assert r.seq_token_offset == cum - (cum // 256) * 256
+            by_shard[r.lang] = cum + r.token_count
+
+    def test_per_source_cap_binds(self, spark):
+        from ragstudio_spark.operators.curation import curate_pretrain_stream
+
+        docs = self._docs(spark)
+        out = curate_pretrain_stream(docs, per_source_cap=10,
+                                     n_buckets=4, budget=256)
+        per_source = {r.source: r["count"] for r in
+                      out.groupBy("source").count().collect()}
+        assert all(v <= 10 for v in per_source.values())
+
+    def test_partition_invariance(self, spark):
+        from ragstudio_spark.operators.curation import curate_pretrain_stream
+
+        docs = self._docs(spark)
+        a = sorted(tuple(r) for r in curate_pretrain_stream(docs).collect())
+        b = sorted(tuple(r) for r in
+                   curate_pretrain_stream(docs.repartition(7)).collect())
+        assert a == b
