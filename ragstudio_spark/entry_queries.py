@@ -5927,6 +5927,72 @@ FROM cum
 _def("curate_pretrain_stream", (_pretrain_fn, _pretrain_duck_sql()))
 
 
+# -- 76. skew diagnostic (operators/skew.py skew_report + heavy_keys):
+#        the measurement that decides whether with_salt is needed
+#        before a 10^12-row shuffle. Run over a deliberately skewed
+#        shaping of events (user_id DIV squared residue), emitting the
+#        hot-key list cross-joined with the one-row report. All
+#        integers; the mean is DIV-floored FIRST so no intermediate
+#        exceeds 1e6·max_count (the naive 1e6·max·n_keys wraps bigint
+#        at trillion-row scale — same family as the mixture_plan and
+#        SUS guards).
+def _skew_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ragstudio_spark.operators.skew import heavy_keys, skew_report
+
+    _register(spark, sf_dir, "events")
+    # quadratic residue shaping: key = (user_id*user_id) % 101 — a
+    # deterministic non-uniform key distribution (residues collide)
+    shaped = spark.table("events").select(
+        F.expr("pmod(user_id * user_id, 101)").cast("bigint")
+        .alias("conv_id"))
+    hot = heavy_keys(shaped, multiplier=1)
+    report = skew_report(shaped)
+    return (hot.crossJoin(F.broadcast(report))
+            .select("conv_id", "key_count", "mean_x_ppm", "n_rows",
+                    "n_keys", "max_count", "p50_count", "p99_count",
+                    "skew_factor_ppm", "recommended_salts")
+            .orderBy(F.desc("key_count"), F.asc("conv_id")))
+
+
+_SKEW_DUCK = """
+WITH shaped AS (
+  SELECT CAST((user_id * user_id) % 101 AS BIGINT) AS conv_id FROM events
+), counts AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS key_count
+  FROM shaped GROUP BY conv_id
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY key_count ASC) AS r,
+         count(*) OVER () AS nk
+  FROM counts
+), rep AS (
+  SELECT CAST(sum(key_count) AS BIGINT) AS n_rows,
+         CAST(max(nk) AS BIGINT) AS n_keys,
+         CAST(max(key_count) AS BIGINT) AS max_count,
+         CAST(max(CASE WHEN r = (nk * 50 + 99) // 100
+                       THEN key_count END) AS BIGINT) AS p50_count,
+         CAST(max(CASE WHEN r = (nk * 99 + 99) // 100
+                       THEN key_count END) AS BIGINT) AS p99_count
+  FROM ranked
+), rep2 AS (
+  SELECT *, greatest(1, n_rows // n_keys) AS mean FROM rep
+)
+SELECT c.conv_id, c.key_count,
+       CAST((1000000 * c.key_count) // r.mean AS BIGINT) AS mean_x_ppm,
+       r.n_rows, r.n_keys, r.max_count, r.p50_count, r.p99_count,
+       CAST((1000000 * r.max_count) // r.mean AS BIGINT) AS skew_factor_ppm,
+       CAST((r.max_count + r.mean - 1) // r.mean AS BIGINT)
+         AS recommended_salts
+FROM counts c CROSS JOIN rep2 r
+WHERE c.key_count > 1 * r.mean
+ORDER BY c.key_count DESC, c.conv_id ASC
+"""
+
+
+_def("skew_diagnostic", (_skew_fn, _SKEW_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

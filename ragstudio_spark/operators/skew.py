@@ -107,3 +107,70 @@ def rebalance_by_size(df: DataFrame, text_col: str = "text",
     if num_partitions:
         return df.repartitionByRange(num_partitions, bucket, spread)
     return df.repartitionByRange(bucket, spread)
+
+
+def skew_report(df: DataFrame, key_cols: tuple[str, ...] = ("conv_id",)) -> DataFrame:
+    """One-row skew diagnostic for a prospective groupBy/join key — the
+    measurement that decides whether ``with_salt`` is needed BEFORE a
+    10^12-row shuffle pins a reducer.
+
+    Columns, all exact integers: ``n_rows``, ``n_keys``, ``max_count``
+    (the hottest key), ``p50_count``/``p99_count`` (discrete percentiles
+    of the per-key counts, the metrics.exact_quantiles rank math),
+    ``skew_factor_ppm`` = (1e6·max) DIV mean and ``recommended_salts``
+    = ceil(max / mean) with mean = greatest(1, n_rows DIV n_keys) —
+    one salt per mean-sized slice of the hottest key, the
+    two-phase-agg fan-out that levels it. The mean is taken DIV-floored
+    first (identically in both engines) so no intermediate exceeds
+    1e6·max_count: the naive 1e6·max·n_keys product wraps bigint at
+    10^12-row scale.
+
+    Scale: one partial-aggregated groupBy over the key (counts), then a
+    key-count-sized aggregate — the report costs one shuffle over keys,
+    never over rows.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("_c"))
+    w = Window.orderBy(F.asc("_c"))
+    ranked = (counts
+              .withColumn("_r", F.row_number().over(w))
+              .withColumn("_n", F.count("*").over(
+                  Window.partitionBy())))
+    return (ranked.agg(
+        F.sum("_c").cast("bigint").alias("n_rows"),
+        F.max("_n").cast("bigint").alias("n_keys"),
+        F.max("_c").cast("bigint").alias("max_count"),
+        F.max(F.when(F.col("_r") == F.expr("(_n * 50 + 99) DIV 100"),
+                     F.col("_c"))).cast("bigint").alias("p50_count"),
+        F.max(F.when(F.col("_r") == F.expr("(_n * 99 + 99) DIV 100"),
+                     F.col("_c"))).cast("bigint").alias("p99_count"))
+        .withColumn("_mean", F.expr("greatest(1L, n_rows DIV n_keys)"))
+        .withColumn("skew_factor_ppm",
+                    F.expr("(1000000 * max_count) DIV _mean")
+                    .cast("bigint"))
+        .withColumn("recommended_salts",
+                    F.expr("(max_count + _mean - 1) DIV _mean")
+                    .cast("bigint"))
+        .drop("_mean"))
+
+
+def heavy_keys(df: DataFrame, key_cols: tuple[str, ...] = ("conv_id",),
+               multiplier: int = 2) -> DataFrame:
+    """Keys whose row count exceeds ``multiplier``× the mean — the
+    explicit hot-key list for targeted salting or AQE skew-join hints.
+    Exact integer predicate against the DIV-floored mean (the
+    skew_report overflow rationale), ordered by count desc with key
+    tiebreaks."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").cast("bigint")
+                                       .alias("key_count"))
+    stats = (counts.agg(F.sum("key_count").cast("bigint").alias("_total"),
+                        F.count("*").cast("bigint").alias("_nk"))
+             .withColumn("_mean", F.expr("greatest(1L, _total DIV _nk)")))
+    return (counts.crossJoin(F.broadcast(stats))
+            .filter(F.col("key_count") > F.lit(multiplier) * F.col("_mean"))
+            .withColumn("mean_x_ppm",
+                        F.expr("(1000000 * key_count) DIV _mean")
+                        .cast("bigint"))
+            .drop("_total", "_nk", "_mean")
+            .orderBy(F.desc("key_count"), *[F.asc(c) for c in key_cols]))

@@ -87,3 +87,48 @@ class TestChunkDedupStage:
             a.sort_values(key).reset_index(drop=True),
             b.sort_values(key).reset_index(drop=True),
         )
+
+
+class TestSkewReport:
+    """skew_report / heavy_keys (skew.py) — hand-computed diagnostics."""
+
+    def _df(self, spark):
+        # key 'hot': 60 rows; 'a'..'d': 10 each -> n_rows=100, n_keys=5,
+        # mean = 100 DIV 5 = 20
+        rows = [("hot",)] * 60 + [(k,) for k in "abcd" for _ in range(10)]
+        return spark.createDataFrame(rows, "conv_id string")
+
+    def test_report_hand_computed(self, spark):
+        from ragstudio_spark.operators.skew import skew_report
+
+        [r] = skew_report(self._df(spark)).collect()
+        assert (r.n_rows, r.n_keys, r.max_count) == (100, 5, 60)
+        # counts sorted: [10,10,10,10,60]; p50 rank ceil(2.5)=3 -> 10;
+        # p99 rank ceil(4.95)=5 -> 60
+        assert (r.p50_count, r.p99_count) == (10, 60)
+        assert r.skew_factor_ppm == 3_000_000  # 60 / mean 20
+        assert r.recommended_salts == 3        # ceil(60/20)
+
+    def test_uniform_keys_need_no_salt(self, spark):
+        from ragstudio_spark.operators.skew import skew_report
+
+        df = spark.createDataFrame(
+            [(f"k{i % 8}",) for i in range(80)], "conv_id string")
+        [r] = skew_report(df).collect()
+        assert r.skew_factor_ppm == 1_000_000 and r.recommended_salts == 1
+
+    def test_heavy_keys_threshold(self, spark):
+        from ragstudio_spark.operators.skew import heavy_keys
+
+        out = heavy_keys(self._df(spark), multiplier=2).collect()
+        assert [(r.conv_id, r.key_count, r.mean_x_ppm) for r in out] == [
+            ("hot", 60, 3_000_000)]
+        assert heavy_keys(self._df(spark), multiplier=3).count() == 0
+
+    def test_parallelism_invariance(self, spark):
+        from ragstudio_spark.operators.skew import skew_report
+
+        df = self._df(spark)
+        a = [tuple(r) for r in skew_report(df).collect()]
+        b = [tuple(r) for r in skew_report(df.repartition(9)).collect()]
+        assert a == b
