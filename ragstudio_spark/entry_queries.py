@@ -5993,6 +5993,92 @@ ORDER BY c.key_count DESC, c.conv_id ASC
 _def("skew_diagnostic", (_skew_fn, _SKEW_DUCK))
 
 
+# -- 77. boolean term search (operators/index.py terms_search): AND
+#        semantics over the postings index, scored by total tf — the
+#        cheap pre-screen a phrase query runs at scale. Same terms as
+#        the phrase fixture so the two tiers are directly comparable
+#        (AND matches ⊇ phrase matches).
+def _terms_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.index import terms_search
+
+    _register(spark, sf_dir, "documents")
+    return terms_search(spark.table("documents"), list(_PHRASE))
+
+
+def _terms_duck_sql() -> str:
+    words = _words_expr("text", "duckdb")
+    in_list = ", ".join(f"'{w}'" for w in sorted(set(_PHRASE)))
+    return f"""
+WITH post AS (
+  SELECT doc_id, unnest({words}) AS term FROM documents
+), hits AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_matched_terms,
+         CAST(count(*) AS BIGINT) AS total_tf
+  FROM post WHERE term IN ({in_list})
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(set(_PHRASE))}
+)
+SELECT doc_id, n_matched_terms, total_tf,
+       CAST(row_number() OVER (ORDER BY total_tf DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM hits
+ORDER BY rank
+"""
+
+
+_def("terms_search_all", (_terms_fn, _terms_duck_sql()))
+
+
+# -- 78. ordered funnel (operators/sessions.py funnel): per user, the
+#        earliest strictly-increasing view → click → purchase chain —
+#        greedy-earliest is exact for existence (taking the minimal
+#        timestamp at each step maximizes remaining options). One
+#        filtered min-aggregate per step joined back on the user key;
+#        epoch-micro outputs.
+def _funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.sessions import funnel
+
+    _register(spark, sf_dir, "events")
+    return funnel(spark.table("events"), ["view", "click", "purchase"])
+
+
+_FUNNEL_DUCK = """
+WITH base AS (
+  SELECT user_id, event_type AS t, epoch_us(ts) AS us FROM events
+), users AS (
+  SELECT DISTINCT user_id FROM base
+), s1 AS (
+  SELECT user_id, min(us) AS step1_us FROM base
+  WHERE t = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT b.user_id, min(b.us) AS step2_us
+  FROM base b JOIN s1 ON b.user_id = s1.user_id
+  WHERE b.t = 'click' AND b.us > s1.step1_us
+  GROUP BY b.user_id
+), s3 AS (
+  SELECT b.user_id, min(b.us) AS step3_us
+  FROM base b JOIN s2 ON b.user_id = s2.user_id
+  WHERE b.t = 'purchase' AND b.us > s2.step2_us
+  GROUP BY b.user_id
+)
+SELECT u.user_id, s1.step1_us, s2.step2_us, s3.step3_us,
+       CAST((CASE WHEN s1.step1_us IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN s2.step2_us IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN s3.step3_us IS NOT NULL THEN 1 ELSE 0 END)
+          AS INT) AS n_steps,
+       (s3.step3_us IS NOT NULL) AS converted
+FROM users u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+ORDER BY u.user_id
+"""
+
+
+_def("funnel_view_click_purchase", (_funnel_fn, _FUNNEL_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -116,3 +116,34 @@ def phrase_search(docs_or_postings: DataFrame, phrase: list[str],
             .select(id_col, "n_occurrences",
                     F.row_number().over(w).cast("bigint").alias("rank"))
             .orderBy("rank"))
+
+
+def terms_search(docs_or_postings: DataFrame, terms: list[str],
+                 require_all: bool = True, id_col: str = "doc_id",
+                 text_col: str = "text", postings: bool = False) -> DataFrame:
+    """Boolean bag-of-terms search over the postings index: AND
+    (``require_all``) or OR semantics, scored by total term frequency.
+
+    Output per matching doc: ``n_matched_terms`` (distinct query terms
+    present), ``total_tf`` (occurrences summed over the query terms),
+    ``rank`` by (total_tf desc, id asc). The same single filtered
+    aggregation as phrase_search minus the positional join — the
+    cheap pre-screen a phrase query runs first at scale (AND semantics
+    bound candidates by the rarest term before any adjacency work).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    uniq = sorted({t.lower() for t in terms})
+    post = (docs_or_postings if postings
+            else positional_postings(docs_or_postings, text_col, id_col))
+    hits = (post.filter(F.col("term").isin(uniq))
+            .groupBy(id_col)
+            .agg(F.countDistinct("term").alias("n_matched_terms"),
+                 F.count("*").alias("total_tf")))
+    if require_all:
+        hits = hits.filter(F.col("n_matched_terms") == len(uniq))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("total_tf"), F.asc(id_col))
+    return (hits.select(id_col, "n_matched_terms", "total_tf",
+                        F.row_number().over(w).cast("bigint").alias("rank"))
+            .orderBy("rank"))

@@ -54,3 +54,48 @@ def session_stats(df: DataFrame, gap_minutes: int = 30,
              F.min(ts_col).alias("session_start"),
              F.max(ts_col).alias("session_end"))
     )
+
+
+def funnel(df: DataFrame, steps: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel analysis: per user, the EARLIEST strictly-increasing
+    completion of the step sequence (view → click → purchase …).
+
+    Greedy-earliest is exact for existence: taking the minimal timestamp
+    at each step maximizes the remaining options, so a user converts iff
+    the greedy chain completes (the classic funnel semantics of the
+    analytics engines). Per user the output carries ``step{i}_us`` epoch
+    micros for each reached step (NULL once the chain breaks),
+    ``n_steps`` reached, and ``converted``.
+
+    Scale shape: one filtered min-aggregate per step, each joined back
+    on the user key — k co-partitioned shuffles for a k-step funnel,
+    never a per-user window over raw events and no cross join; the
+    aggregates collapse map-side so the shuffled volume is one row per
+    user per step.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    base = df.select(user_col, F.col(type_col).alias("_t"),
+                     us(ts_col).alias("_us"))
+    out = base.select(user_col).distinct()
+    prev = None
+    for i, step in enumerate(steps):
+        ev = base.filter(F.col("_t") == step)
+        if prev is not None:
+            ev = (ev.join(out.select(user_col, F.col(prev).alias("_p")),
+                          user_col)
+                  .filter(F.col("_us") > F.col("_p")))
+        col = f"step{i + 1}_us"
+        mins = ev.groupBy(user_col).agg(F.min("_us").alias(col))
+        out = out.join(mins, user_col, "left")
+        prev = col
+    reached = sum(
+        F.when(F.col(f"step{i + 1}_us").isNotNull(), 1).otherwise(0)
+        for i in range(len(steps)))
+    return (out.withColumn("n_steps", reached.cast("int"))
+            .withColumn("converted",
+                        F.col(f"step{len(steps)}_us").isNotNull())
+            .orderBy(user_col))

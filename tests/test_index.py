@@ -89,3 +89,35 @@ class TestPersistedIndex:
                    post.select("doc_id", "term", "pos"),
                    ["big", "red", "fox"], postings=True).collect()}
         assert got == {(1, 2), (2, 1)}
+
+
+class TestTermsSearch:
+    def test_and_semantics(self, docs):
+        from ragstudio_spark.operators.index import terms_search
+
+        got = {(r.doc_id, r.n_matched_terms, r.total_tf)
+               for r in terms_search(docs, ["big", "fox"]).collect()}
+        # doc1: big x2 + fox x2 = 4; doc2: 1+1; doc3: 1+1
+        assert got == {(1, 2, 4), (2, 2, 2), (3, 2, 2)}
+
+    def test_or_semantics_and_rank(self, docs):
+        from ragstudio_spark.operators.index import terms_search
+
+        rows = terms_search(docs, ["sleeps", "trap"],
+                            require_all=False).collect()
+        assert [(r.rank, r.doc_id) for r in rows] == [(1, 2), (2, 3)]
+
+    def test_duplicate_query_terms_collapse(self, docs):
+        from ragstudio_spark.operators.index import terms_search
+
+        a = [tuple(r) for r in terms_search(docs, ["big", "big"]).collect()]
+        b = [tuple(r) for r in terms_search(docs, ["big"]).collect()]
+        assert a == b
+
+    def test_empty_terms_raise(self, docs):
+        import pytest as _pytest
+
+        from ragstudio_spark.operators.index import terms_search
+
+        with _pytest.raises(ValueError):
+            terms_search(docs, [])

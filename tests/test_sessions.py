@@ -44,3 +44,82 @@ class TestSessionize:
         b = sorted((r["event_id"], r["session_id"])
                    for r in sessions.sessionize(many).collect())
         assert a == b
+
+
+class TestFunnel:
+    """funnel (sessions.py) — greedy-earliest ordered completion."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_type string")
+
+    def test_hand_computed(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import funnel
+
+        t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+        us = lambda m: int(t(m).replace(
+            tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        rows = [
+            # user 1 converts: view@1, click@3, purchase@5
+            (1, t(1), "view"), (1, t(3), "click"), (1, t(5), "purchase"),
+            # user 2: purchase BEFORE click -> chain breaks at step 3
+            (2, t(1), "view"), (2, t(4), "click"), (2, t(2), "purchase"),
+            # user 3: only views
+            (3, t(1), "view"), (3, t(2), "view"),
+        ]
+        got = {r.user_id: r for r in funnel(
+            self._df(spark, rows), ["view", "click", "purchase"]).collect()}
+        assert (got[1].step1_us, got[1].step2_us, got[1].step3_us) == (
+            us(1), us(3), us(5))
+        assert (got[1].n_steps, got[1].converted) == (3, True)
+        assert got[2].step3_us is None and got[2].n_steps == 2
+        assert (got[3].n_steps, got[3].converted) == (1, False)
+
+    def test_greedy_earliest_finds_valid_chain(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import funnel
+
+        t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+        # click@2 precedes the SECOND view@3; greedy takes view@1 ->
+        # click@2 -> purchase@4 (a naive last-view approach would fail)
+        rows = [(1, t(1), "view"), (1, t(2), "click"),
+                (1, t(3), "view"), (1, t(4), "purchase")]
+        [r] = funnel(self._df(spark, rows),
+                     ["view", "click", "purchase"]).collect()
+        assert r.converted
+
+    def test_equal_timestamps_do_not_chain(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import funnel
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, t0, "view"), (1, t0, "click")]
+        [r] = funnel(self._df(spark, rows), ["view", "click"]).collect()
+        assert r.n_steps == 1 and not r.converted
+
+    def test_users_without_step1_still_reported(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import funnel
+
+        rows = [(7, dt.datetime(2024, 1, 1), "purchase")]
+        [r] = funnel(self._df(spark, rows), ["view", "purchase"]).collect()
+        assert (r.user_id, r.n_steps, r.converted) == (7, 0, False)
+
+    def test_parallelism_invariance(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import funnel
+
+        rows = [(u, dt.datetime(2024, 1, 1, 12, (u * 7 + i) % 60),
+                 ["view", "click", "purchase"][i % 3])
+                for u in range(20) for i in range(9)]
+        df = self._df(spark, rows)
+        a = [tuple(r) for r in funnel(df, ["view", "click", "purchase"]).collect()]
+        b = [tuple(r) for r in funnel(df.repartition(9),
+                                      ["view", "click", "purchase"]).collect()]
+        assert a == b
