@@ -146,8 +146,11 @@ def main() -> None:
 
     from ragstudio_spark.operators import convlint, grounding, rag_extras, \
         retrieval, similarity, sketches, snapshot
+    from ragstudio_spark.operators import curation as curation_ops
     from ragstudio_spark.operators import index as index_ops
     from ragstudio_spark.operators import metrics as metrics_ops
+    from ragstudio_spark.operators import sessions as sessions_ops
+    from ragstudio_spark.operators import skew as skew_ops
 
     def halves_of(d, k=3):
         """Split every doc into two rows overlapping by k words — one
@@ -310,6 +313,24 @@ def main() -> None:
             d.select((F.col("doc_id") % 10).alias("lang"),
                      F.length("text").alias("n_chars")),
             "n_chars").count(),
+        "terms_search": lambda d: index_ops.terms_search(
+            d, ["slow", "hash", "batch"]).count(),
+        "funnel_3step": lambda d: sessions_ops.funnel(
+            d.select((F.col("doc_id") % 50).alias("user_id"),
+                     F.timestamp_seconds(F.col("doc_id") % 86400).alias("ts"),
+                     F.element_at(
+                         F.array(F.lit("view"), F.lit("click"),
+                                 F.lit("purchase"), F.lit("error")),
+                         (F.col("doc_id") % 4 + 1).cast("int"))
+                     .alias("event_type")),
+            ["view", "click", "purchase"]).count(),
+        "curate_pretrain": lambda d: curation_ops.curate_pretrain_stream(
+            d.withColumn("lang", (F.col("doc_id") % 10).cast("string"))
+             .withColumn("source", (F.col("doc_id") % 50).cast("string")),
+            per_source_cap=10_000_000).count(),
+        "skew_report": lambda d: skew_ops.skew_report(
+            d.select(F.expr("pmod(doc_id * doc_id, 101)").alias("conv_id"))
+        ).count(),
     }
     only = set(sys.argv[1:])
     if only:
