@@ -6079,6 +6079,83 @@ ORDER BY u.user_id
 _def("funnel_view_click_purchase", (_funnel_fn, _FUNNEL_DUCK))
 
 
+# -- 79. cohort retention (operators/sessions.py cohort_retention):
+#        weekly cohorts by pure integer epoch arithmetic (epoch_us DIV
+#        7·86400·1e6) — never calendar date_trunc, whose week-start and
+#        timezone conventions differ across engines. Offset 0 is the
+#        cohort definition (always 1e6 ppm).
+def _cohort_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.sessions import cohort_retention
+
+    _register(spark, sf_dir, "events")
+    return cohort_retention(spark.table("events"), period_days=7)
+
+
+_COHORT_DUCK = """
+WITH activity AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 604800000000 AS p
+  FROM events
+), firsts AS (
+  SELECT u, min(p) AS cohort FROM activity GROUP BY u
+), sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM firsts GROUP BY cohort
+), active AS (
+  SELECT f.cohort, a.p - f.cohort AS off,
+         CAST(count(DISTINCT a.u) AS BIGINT) AS n_active
+  FROM activity a JOIN firsts f ON a.u = f.u
+  GROUP BY f.cohort, a.p - f.cohort
+)
+SELECT CAST(a.cohort AS BIGINT) AS cohort_period,
+       CAST(a.off AS BIGINT) AS period_offset,
+       a.n_active, s.n_cohort,
+       CAST((1000000 * a.n_active) // s.n_cohort AS BIGINT)
+         AS retention_ppm
+FROM active a JOIN sizes s ON a.cohort = s.cohort
+ORDER BY cohort_period, period_offset
+"""
+
+
+_def("cohort_retention_weekly", (_cohort_fn, _COHORT_DUCK))
+
+
+# -- 80. event transition matrix (operators/sessions.py
+#        transition_matrix): first-order Markov counts between
+#        consecutive same-user events, row-normalized in exact integer
+#        ppm; |types|² output regardless of corpus size.
+def _trans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.sessions import transition_matrix
+
+    _register(spark, sf_dir, "events")
+    return transition_matrix(spark.table("events"))
+
+
+_TRANS_DUCK = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+), totals AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+  FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n, t.row_total,
+       CAST((1000000 * c.n) // t.row_total AS BIGINT) AS p_ppm
+FROM counts c JOIN totals t ON c.from_type = t.from_type
+ORDER BY c.from_type, c.to_type
+"""
+
+
+_def("event_transition_matrix", (_trans_fn, _TRANS_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

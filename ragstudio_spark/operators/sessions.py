@@ -99,3 +99,71 @@ def funnel(df: DataFrame, steps: list[str],
             .withColumn("converted",
                         F.col(f"step{len(steps)}_us").isNotNull())
             .orderBy(user_col))
+
+
+def cohort_retention(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     period_days: int = 7) -> DataFrame:
+    """Cohort retention table: of the users first seen in period P, how
+    many were active again in P+k.
+
+    Periods are pure integer epoch arithmetic — ``epoch_us DIV
+    (days·86400·10^6)`` — never calendar date_trunc (week-start and
+    timezone conventions differ across engines; epoch buckets cannot).
+    Output per (cohort_period, period_offset): ``n_active``,
+    ``n_cohort``, ``retention_ppm`` (offset 0 is the cohort definition,
+    always 1e6).
+
+    Scale: distinct (user, period) activity + a per-user min — two
+    map-side-collapsing aggregates and one join on the user key; the
+    output is cohorts × offsets, tiny at any corpus size.
+    """
+    period_us = period_days * 86_400 * 1_000_000
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {period_us}")
+        .cast("bigint").alias("_p"))
+    activity = base.distinct()
+    firsts = activity.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    joined = (activity.join(firsts, "_u")
+              .select("_u", "_cohort", (F.col("_p") - F.col("_cohort"))
+                      .alias("_off")))
+    cohort_sizes = firsts.groupBy("_cohort").agg(
+        F.count("*").cast("bigint").alias("n_cohort"))
+    active = (joined.groupBy("_cohort", "_off")
+              .agg(F.countDistinct("_u").cast("bigint").alias("n_active")))
+    return (active.join(cohort_sizes, "_cohort")
+            .select(F.col("_cohort").alias("cohort_period"),
+                    F.col("_off").cast("bigint").alias("period_offset"),
+                    "n_active", "n_cohort",
+                    F.expr("(1000000 * n_active) DIV n_cohort")
+                    .cast("bigint").alias("retention_ppm"))
+            .orderBy("cohort_period", "period_offset"))
+
+
+def transition_matrix(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      tiebreak_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    of the same user: (from_type, to_type, n, row_total, p_ppm).
+
+    One per-user lag window (total order via the tiebreak) and one
+    grouped count; ``p_ppm`` = (1e6·n) DIV row_total — exact integer
+    division, the float-free row-normalization. The matrix is
+    |types|² rows regardless of corpus size.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col),
+                                             F.asc(tiebreak_col))
+    pairs = (df.select(user_col, ts_col, tiebreak_col,
+                       F.col(type_col).alias("to_type"))
+             .withColumn("from_type", F.lag("to_type").over(w))
+             .filter(F.col("from_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count("*").cast("bigint").alias("n")))
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("row_total"))
+    return (counts.join(totals, "from_type")
+            .select("from_type", "to_type", "n", "row_total",
+                    F.expr("(1000000 * n) DIV row_total").cast("bigint")
+                    .alias("p_ppm"))
+            .orderBy("from_type", "to_type"))

@@ -123,3 +123,93 @@ class TestFunnel:
         b = [tuple(r) for r in funnel(df.repartition(9),
                                       ["view", "click", "purchase"]).collect()]
         assert a == b
+
+
+class TestCohortRetention:
+    def test_hand_computed(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import cohort_retention
+
+        d = lambda n: dt.datetime(1970, 1, 1 + n)  # epoch day n
+        rows = [
+            # u1 first in period 0, active again period 1
+            (1, d(0)), (1, d(8)),
+            # u2 first in period 0 only
+            (2, d(1)),
+            # u3 first in period 1, active periods 1 and 2
+            (3, d(7)), (3, d(14)),
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        got = {(r.cohort_period, r.period_offset):
+               (r.n_active, r.n_cohort, r.retention_ppm)
+               for r in cohort_retention(df).collect()}
+        assert got[(0, 0)] == (2, 2, 1_000_000)
+        assert got[(0, 1)] == (1, 2, 500_000)
+        assert got[(1, 0)] == (1, 1, 1_000_000)
+        assert got[(1, 1)] == (1, 1, 1_000_000)
+        assert len(got) == 4
+
+    def test_offset_zero_always_full(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import cohort_retention
+
+        rows = [(u, dt.datetime(1970, 1, 1 + (u * 3) % 20))
+                for u in range(30)]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        for r in cohort_retention(df).collect():
+            if r.period_offset == 0:
+                assert r.retention_ppm == 1_000_000
+            assert 0 < r.n_active <= r.n_cohort
+
+
+class TestTransitionMatrix:
+    def test_hand_computed(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import transition_matrix
+
+        t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+        rows = [(1, t(0), "a", 1), (1, t(1), "b", 2), (1, t(2), "a", 3),
+                (2, t(0), "a", 4), (2, t(1), "b", 5)]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_type string, "
+                  "event_id bigint")
+        got = {(r.from_type, r.to_type): (r.n, r.row_total, r.p_ppm)
+               for r in transition_matrix(df).collect()}
+        # from a: a->b twice (u1 and u2); from b: b->a once
+        assert got[("a", "b")] == (2, 2, 1_000_000)
+        assert got[("b", "a")] == (1, 1, 1_000_000)
+        assert len(got) == 2
+
+    def test_no_cross_user_transitions(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import transition_matrix
+
+        rows = [(1, dt.datetime(2024, 1, 1), "a", 1),
+                (2, dt.datetime(2024, 1, 2), "b", 2)]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_type string, "
+                  "event_id bigint")
+        assert transition_matrix(df).count() == 0
+
+    def test_row_normalization_sums(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import transition_matrix
+
+        rows = [(u, dt.datetime(2024, 1, 1, 12, i),
+                 "abc"[(u + i) % 3], u * 100 + i)
+                for u in range(10) for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_type string, "
+                  "event_id bigint")
+        out = transition_matrix(df).collect()
+        from collections import defaultdict
+        by_from = defaultdict(int)
+        for r in out:
+            by_from[r.from_type] += r.n
+        for r in out:
+            assert r.row_total == by_from[r.from_type]
