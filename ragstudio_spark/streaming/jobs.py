@@ -706,3 +706,58 @@ def session_stats_stream(stream_df: DataFrame, gap_minutes: int = 30,
                     (F.unix_micros(F.col("session_window.end")) - gap_us)
                     .alias("session_last_us"),
                     "n_events"))
+
+
+#: streamed key-count monitoring input: rows carrying a prospective key
+SKEW_INGEST_SCHEMA = "conv_id string"
+
+
+def skew_monitor_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "conv_id",
+    trigger_available_now: bool = True,
+):
+    """Streaming skew observability: each micro-batch appends its
+    per-key COUNTS tagged with the batch id; the reader sums across
+    batches and diagnoses the CUMULATIVE distribution with the batch
+    operators (skew.skew_report / heavy_keys on the merged counts).
+
+    Per-key counts merge by SUM, so this is the CMS-log shape, not the
+    HLL one: the batch-id tag makes at-least-once crash retries
+    collapse before the cross-batch sum (Spark's exactly-once-by-
+    batch-id recipe). The log is per-KEY-per-batch sized — the raw rows
+    never land in the store.
+    """
+    stream = (
+        spark.readStream.schema(SKEW_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        counts = batch_df.groupBy(key_col).agg(
+            F.count("*").cast("bigint").alias("key_count"))
+        (counts.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+         .write.mode("append").parquet(store_dir))
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_key_counts(spark: SparkSession, store_dir: str,
+                    key_col: str = "conv_id") -> DataFrame:
+    """Cumulative per-key counts over a streamed monitor log: per-batch
+    dedup (retried appends are byte-identical within a batch_id) then
+    cross-batch sum. Feed to skew.heavy_keys-style diagnostics or
+    explode into a weights table."""
+    raw = spark.read.parquet(store_dir)
+    per_batch = (raw.groupBy("batch_id", key_col)
+                 .agg(F.max("key_count").alias("key_count")))
+    return (per_batch.groupBy(key_col)
+            .agg(F.sum("key_count").cast("bigint").alias("key_count")))
