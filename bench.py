@@ -196,7 +196,8 @@ def main() -> None:
                  "length_quantiles", "forget_rewrite_accounting",
                  "curate_pretrain_stream", "skew_diagnostic",
                  "terms_search_all", "funnel_view_click_purchase",
-                 "cohort_retention_weekly", "event_transition_matrix"):
+                 "cohort_retention_weekly", "event_transition_matrix",
+                 "ndcg_at_k"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # post-run serial probe: drift vs the pre-run probe means the host's

@@ -6156,6 +6156,97 @@ ORDER BY c.from_type, c.to_type
 _def("event_transition_matrix", (_trans_fn, _TRANS_DUCK))
 
 
+# -- 81. nDCG@k (operators/retrieval.py ndcg_eval): the graded rank
+#        metric whose log2 discounts are irreducibly float — so the
+#        discounts and ideal prefix sums are PYTHON-COMPUTED LITERALS
+#        embedded in both plans (identical bit patterns, repr round-
+#        trip), DCG is an order-fixed fold over rank-sorted hits, and
+#        the one division lands in floor-ppm. Same md5-ordered fixture
+#        as retrieval_eval.
+_NDCG_K = 10
+
+
+def _ndcg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ragstudio_spark.operators import retrieval
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id")
+    qs = spark.range(8).select(F.col("id").alias("query_id"))
+    w = Window.partitionBy("query_id").orderBy("_m", "doc_id")
+    results = (qs.crossJoin(docs.filter("doc_id < 120"))
+               .withColumn("_m", F.expr(
+                   "md5(concat(CAST(query_id AS STRING), ':', "
+                   "CAST(doc_id AS STRING)))"))
+               .withColumn("rank", F.row_number().over(w))
+               .filter("rank <= 15")
+               .select("query_id", "doc_id", "rank"))
+    qrels = (qs.crossJoin(docs.filter("doc_id < 150"))
+             .filter("(doc_id * 3 + query_id) % 11 = 0")
+             .select("query_id", "doc_id"))
+    return retrieval.ndcg_eval(results, qrels, k=_NDCG_K)
+
+
+def _ndcg_duck_sql() -> str:
+    import math
+
+    discounts = [1.0 / math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+    prefix = []
+    acc = 0.0
+    for d in discounts:
+        acc += d
+        prefix.append(acc)
+    disc = "[" + ", ".join(repr(d) for d in discounts) + "]"
+    ideal = "[" + ", ".join(repr(p) for p in prefix) + "]"
+    return f"""
+WITH qs AS (
+  SELECT CAST(i AS BIGINT) AS query_id FROM range(0, 8) t(i)
+), results AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT q.query_id, d.doc_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY md5(CAST(q.query_id AS VARCHAR) || ':'
+                          || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+             AS rank
+    FROM qs q, documents d WHERE d.doc_id < 120)
+  WHERE rank <= 15
+), qrels AS (
+  SELECT q.query_id, d.doc_id
+  FROM qs q, documents d
+  WHERE d.doc_id < 150 AND (d.doc_id * 3 + q.query_id) % 11 = 0
+), hits AS (
+  SELECT r.query_id,
+         CAST(count(*) AS BIGINT) AS n_rel_ret,
+         list_sort(list(r.rank)) AS ranks
+  FROM results r JOIN qrels j
+    ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+  WHERE r.rank <= {_NDCG_K}
+  GROUP BY r.query_id
+), uni AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+  FROM qrels GROUP BY query_id
+), scored AS (
+  SELECT u.query_id, u.n_rel,
+         COALESCE(h.n_rel_ret, 0) AS n_rel_ret,
+         COALESCE(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(h.ranks, r -> {disc}[r])),
+           (a, v) -> a + v), 0.0) AS dcg,
+         {ideal}[least(u.n_rel, {_NDCG_K})] AS idcg
+  FROM uni u LEFT JOIN hits h ON u.query_id = h.query_id
+)
+SELECT query_id, n_rel, CAST(n_rel_ret AS BIGINT) AS n_rel_ret,
+       CAST(floor(1000000 * dcg / idcg) AS BIGINT) AS ndcg_ppm
+FROM scored
+ORDER BY query_id
+"""
+
+
+_def("ndcg_at_k", (_ndcg_fn, _ndcg_duck_sql()))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -255,3 +255,64 @@ def ranked_eval(results: DataFrame, qrels: DataFrame, k: int = 10,
                "(1000000 * coalesce(n_rel_ret, CAST(0 AS BIGINT))) "
                "div n_rel, CAST(NULL AS BIGINT))")
         .alias("recall_ppm"))
+
+
+def ndcg_eval(results: DataFrame, qrels: DataFrame, k: int = 10,
+              query_col: str = "query_id", doc_col: str = "doc_id",
+              rank_col: str = "rank") -> DataFrame:
+    """nDCG@k with binary relevance — the graded rank-aware metric
+    ranked_eval's integer family cannot express (log2 discounts are
+    irreducibly float).
+
+    Float discipline: the per-rank discounts 1/log2(i+1) and the ideal
+    prefix sums are computed ONCE driver-side in Python and embedded as
+    LITERAL arrays — both engines evaluate the identical bit patterns,
+    no runtime log. DCG is an order-fixed fold over the query's hits
+    sorted by rank (sum order pinned, so the double is bit-identical
+    across engines and partitionings); nDCG = DCG/IDCG is one final
+    correctly-rounded division, emitted as floor-ppm.
+
+    Per query: n_rel, n_rel_ret, ndcg_ppm (NULL when the query has no
+    judgments). Scale shape is ranked_eval's: top-k filter, one join,
+    one grouped fold — no window over the corpus.
+    """
+    import math
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    discounts = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    prefix = []
+    acc = 0.0
+    for d in discounts:  # ideal DCG for m relevant docs = prefix[m-1]
+        acc += d
+        prefix.append(acc)
+    disc_arr = F.array(*[F.lit(d) for d in discounts])
+    ideal_arr = F.array(*[F.lit(p) for p in prefix])
+    hits = (results
+            .filter(F.col(rank_col) <= k)
+            .select(query_col, doc_col,
+                    F.col(rank_col).cast("int").alias("_r"))
+            .join(qrels.select(query_col, doc_col).distinct(),
+                  on=[query_col, doc_col], how="inner"))
+    per_q = (hits
+             .groupBy(query_col)
+             .agg(F.count("*").cast("bigint").alias("n_rel_ret"),
+                  F.sort_array(F.collect_list("_r")).alias("_ranks")))
+    dcg = F.aggregate(
+        F.transform(F.col("_ranks"),
+                    lambda r: F.element_at(disc_arr, r)),
+        F.lit(0.0), lambda a, v: a + v)
+    universe = (qrels.select(query_col, doc_col).distinct()
+                .groupBy(query_col)
+                .agg(F.count("*").cast("bigint").alias("n_rel")))
+    joined = (universe.join(per_q, query_col, "left")
+              .withColumn("_dcg", F.coalesce(dcg, F.lit(0.0)))
+              .withColumn("_m", F.least(F.col("n_rel"), F.lit(k))
+                          .cast("int"))
+              .withColumn("_idcg", F.element_at(ideal_arr, F.col("_m"))))
+    return (joined.select(
+        query_col, "n_rel",
+        F.coalesce("n_rel_ret", F.lit(0)).cast("bigint").alias("n_rel_ret"),
+        F.floor(F.lit(1_000_000) * F.col("_dcg") / F.col("_idcg"))
+        .cast("bigint").alias("ndcg_ppm"))
+        .orderBy(query_col))

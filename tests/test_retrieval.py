@@ -159,3 +159,57 @@ class TestRankedEval:
                                    "query_id int, doc_id int, rank int")
         with pytest.raises(ValueError):
             ranked_eval(df, df.select("query_id", "doc_id"), k=0)
+
+
+class TestNdcgEval:
+    """ndcg_eval — literal-discount nDCG@k, hand-computed vs math.log2."""
+
+    def _tables(self, spark):
+        results = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+             (1, 20, 1), (1, 21, 2),
+             (2, 30, 1)],
+            "query_id int, doc_id int, rank int")
+        qrels = spark.createDataFrame(
+            [(0, 11), (0, 12), (0, 99),   # q0: hits at ranks 2,3 of 3 rel
+             (1, 20),                     # q1: perfect single
+             (3, 77)],                    # q3: judged, never retrieved
+            "query_id int, doc_id int")
+        return results, qrels
+
+    def test_hand_computed(self, spark):
+        import math
+
+        from ragstudio_spark.operators.retrieval import ndcg_eval
+
+        results, qrels = self._tables(spark)
+        got = {r.query_id: (r.n_rel, r.n_rel_ret, r.ndcg_ppm)
+               for r in ndcg_eval(results, qrels, k=10).collect()}
+        d = lambda i: 1.0 / math.log2(i + 1)
+        ideal3 = d(1) + d(2) + d(3)
+        exp0 = math.floor(1_000_000 * (d(2) + d(3)) / ideal3)
+        assert got[0] == (3, 2, exp0)
+        assert got[1] == (1, 1, 1_000_000)   # perfect ranking
+        assert got[3] == (1, 0, 0)           # judged, nothing retrieved
+        assert 2 not in got                  # unjudged query absent
+
+    def test_rank_order_matters(self, spark):
+        from ragstudio_spark.operators.retrieval import ndcg_eval
+
+        qrels = spark.createDataFrame([(0, 1)], "query_id int, doc_id int")
+        top = spark.createDataFrame([(0, 1, 1), (0, 2, 2)],
+                                    "query_id int, doc_id int, rank int")
+        bottom = spark.createDataFrame([(0, 2, 1), (0, 1, 2)],
+                                       "query_id int, doc_id int, rank int")
+        [a] = ndcg_eval(top, qrels, k=5).collect()
+        [b] = ndcg_eval(bottom, qrels, k=5).collect()
+        assert a.ndcg_ppm == 1_000_000 and b.ndcg_ppm < a.ndcg_ppm
+
+    def test_partition_invariance(self, spark):
+        from ragstudio_spark.operators.retrieval import ndcg_eval
+
+        results, qrels = self._tables(spark)
+        a = [tuple(r) for r in ndcg_eval(results, qrels).collect()]
+        b = [tuple(r) for r in
+             ndcg_eval(results.repartition(7), qrels.repartition(5)).collect()]
+        assert a == b
