@@ -6225,8 +6225,12 @@ WITH qs AS (
   WHERE r.rank <= {_NDCG_K}
   GROUP BY r.query_id
 ), uni AS (
-  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
-  FROM qrels GROUP BY query_id
+  SELECT u.query_id, CAST(COALESCE(j.n_rel, 0) AS BIGINT) AS n_rel
+  FROM (SELECT DISTINCT query_id FROM results
+        UNION SELECT DISTINCT query_id FROM qrels) u
+  LEFT JOIN (SELECT query_id, count(*) AS n_rel
+             FROM qrels GROUP BY query_id) j
+    ON u.query_id = j.query_id
 ), scored AS (
   SELECT u.query_id, u.n_rel,
          COALESCE(h.n_rel_ret, 0) AS n_rel_ret,
@@ -6234,7 +6238,8 @@ WITH qs AS (
            list_prepend(CAST(0.0 AS DOUBLE),
                         list_transform(h.ranks, r -> {disc}[r])),
            (a, v) -> a + v), 0.0) AS dcg,
-         {ideal}[least(u.n_rel, {_NDCG_K})] AS idcg
+         CASE WHEN u.n_rel > 0
+              THEN {ideal}[least(u.n_rel, {_NDCG_K})] END AS idcg
   FROM uni u LEFT JOIN hits h ON u.query_id = h.query_id
 )
 SELECT query_id, n_rel, CAST(n_rel_ret AS BIGINT) AS n_rel_ret,

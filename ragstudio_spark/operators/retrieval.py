@@ -302,14 +302,23 @@ def ndcg_eval(results: DataFrame, qrels: DataFrame, k: int = 10,
         F.transform(F.col("_ranks"),
                     lambda r: F.element_at(disc_arr, r)),
         F.lit(0.0), lambda a, v: a + v)
-    universe = (qrels.select(query_col, doc_col).distinct()
-                .groupBy(query_col)
-                .agg(F.count("*").cast("bigint").alias("n_rel")))
+    judged = (qrels.select(query_col, doc_col).distinct()
+              .groupBy(query_col)
+              .agg(F.count("*").cast("bigint").alias("n_rel")))
+    # the universe is BOTH sides, the ranked_eval full-outer contract:
+    # a results-only query must surface with n_rel = 0 and NULL ndcg
+    # (review-found — a qrels-only universe silently dropped it)
+    universe = (results.select(query_col).distinct()
+                .join(judged, query_col, "full_outer")
+                .withColumn("n_rel", F.coalesce("n_rel", F.lit(0))
+                            .cast("bigint")))
     joined = (universe.join(per_q, query_col, "left")
               .withColumn("_dcg", F.coalesce(dcg, F.lit(0.0)))
               .withColumn("_m", F.least(F.col("n_rel"), F.lit(k))
                           .cast("int"))
-              .withColumn("_idcg", F.element_at(ideal_arr, F.col("_m"))))
+              .withColumn("_idcg", F.when(
+                  F.col("n_rel") > 0,
+                  F.element_at(ideal_arr, F.col("_m")))))
     return (joined.select(
         query_col, "n_rel",
         F.coalesce("n_rel_ret", F.lit(0)).cast("bigint").alias("n_rel_ret"),

@@ -90,7 +90,12 @@ def funnel(df: DataFrame, steps: list[str],
                   .filter(F.col("_us") > F.col("_p")))
         col = f"step{i + 1}_us"
         mins = ev.groupBy(user_col).agg(F.min("_us").alias(col))
-        out = out.join(mins, user_col, "left")
+        # each out feeds TWO consumers (the next step's ev join and the
+        # next out) — without a checkpoint the plan subtree doubles per
+        # step (~2^k growth) and a replan rescans raw events per branch
+        # (the CLAUDE.md multi-consumer rule; review-found). The
+        # checkpointed frame is one row per user.
+        out = out.join(mins, user_col, "left").localCheckpoint()
         prev = col
     reached = sum(
         F.when(F.col(f"step{i + 1}_us").isNotNull(), 1).otherwise(0)
@@ -130,8 +135,11 @@ def cohort_retention(df: DataFrame, user_col: str = "user_id",
                       .alias("_off")))
     cohort_sizes = firsts.groupBy("_cohort").agg(
         F.count("*").cast("bigint").alias("n_cohort"))
+    # activity is already distinct on (_u, _p), so each (_u, _cohort,
+    # _off) row is unique — a plain count equals countDistinct without
+    # the two-phase distinct-aggregate expansion (review-found)
     active = (joined.groupBy("_cohort", "_off")
-              .agg(F.countDistinct("_u").cast("bigint").alias("n_active")))
+              .agg(F.count("*").cast("bigint").alias("n_active")))
     return (active.join(cohort_sizes, "_cohort")
             .select(F.col("_cohort").alias("cohort_period"),
                     F.col("_off").cast("bigint").alias("period_offset"),

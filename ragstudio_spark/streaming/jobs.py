@@ -709,6 +709,9 @@ def session_stats_stream(stream_df: DataFrame, gap_minutes: int = 30,
 
 
 #: streamed key-count monitoring input: rows carrying a prospective key
+#: (the default key_col; the stream schema is derived from key_col, so a
+#: caller monitoring user_id reads "user_id string" — review-found: a
+#: hardcoded schema made every non-default key_col unresolvable)
 SKEW_INGEST_SCHEMA = "conv_id string"
 
 
@@ -732,7 +735,7 @@ def skew_monitor_stream(
     never land in the store.
     """
     stream = (
-        spark.readStream.schema(SKEW_INGEST_SCHEMA)
+        spark.readStream.schema(f"{key_col} string")
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )

@@ -191,7 +191,9 @@ class TestNdcgEval:
         assert got[0] == (3, 2, exp0)
         assert got[1] == (1, 1, 1_000_000)   # perfect ranking
         assert got[3] == (1, 0, 0)           # judged, nothing retrieved
-        assert 2 not in got                  # unjudged query absent
+        # results-only query surfaces with n_rel=0 and NULL ndcg (the
+        # ranked_eval full-outer contract; review-found)
+        assert got[2] == (0, 0, None)
 
     def test_rank_order_matters(self, spark):
         from ragstudio_spark.operators.retrieval import ndcg_eval
