@@ -197,7 +197,8 @@ def main() -> None:
                  "curate_pretrain_stream", "skew_diagnostic",
                  "terms_search_all", "funnel_view_click_purchase",
                  "cohort_retention_weekly", "event_transition_matrix",
-                 "ndcg_at_k"):
+                 "ndcg_at_k", "distribution_drift_langs",
+                 "join_cardinality_topkeys"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # post-run serial probe: drift vs the pre-run probe means the host's

@@ -6252,6 +6252,95 @@ ORDER BY query_id
 _def("ndcg_at_k", (_ndcg_fn, _ndcg_duck_sql()))
 
 
+# -- 82. distribution drift (operators/snapshot.py distribution_drift):
+#        language-mix shift between a half-corpus "old" snapshot and the
+#        full refresh — total variation in exact ppm (PSI needs runtime
+#        ln; TV is the integer-exact drift alarm). Vanished/appeared
+#        buckets survive the full outer join with share 0.
+def _drift_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.snapshot import distribution_drift
+
+    _register(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return distribution_drift(docs.filter("doc_id % 2 = 0"), docs, "lang")
+
+
+_DRIFT_DUCK = """
+WITH old_c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_old
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+), old_t AS (SELECT sum(n_old) AS t FROM old_c),
+new_c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_new
+  FROM documents GROUP BY lang
+), new_t AS (SELECT sum(n_new) AS t FROM new_c),
+old_s AS (
+  SELECT lang, n_old,
+         CAST((1000000 * n_old) // (SELECT t FROM old_t) AS BIGINT)
+           AS share_old_ppm
+  FROM old_c
+), new_s AS (
+  SELECT lang, n_new,
+         CAST((1000000 * n_new) // (SELECT t FROM new_t) AS BIGINT)
+           AS share_new_ppm
+  FROM new_c
+), merged AS (
+  SELECT COALESCE(o.lang, n.lang) AS lang,
+         COALESCE(o.n_old, 0) AS n_old, COALESCE(n.n_new, 0) AS n_new,
+         COALESCE(o.share_old_ppm, 0) AS share_old_ppm,
+         COALESCE(n.share_new_ppm, 0) AS share_new_ppm,
+         CAST(abs(COALESCE(n.share_new_ppm, 0)
+                  - COALESCE(o.share_old_ppm, 0)) AS BIGINT)
+           AS abs_delta_ppm
+  FROM old_s o FULL OUTER JOIN new_s n ON o.lang = n.lang
+)
+SELECT lang, n_old, n_new, share_old_ppm, share_new_ppm, abs_delta_ppm,
+       CAST((SELECT sum(abs_delta_ppm) FROM merged) // 2 AS BIGINT) AS tv_ppm
+FROM merged
+ORDER BY lang
+"""
+
+
+_def("distribution_drift_langs", (_drift_fn, _DRIFT_DUCK))
+
+
+# -- 83. join-cardinality prediction (operators/snapshot.py
+#        join_cardinality): exact |A ⋈ B| = Σ cA(k)·cB(k) from per-key
+#        counts BEFORE any row shuffles — the skew-planning number —
+#        with the top contributing keys. clicks ⋈ views on user_id.
+def _joincard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.snapshot import join_cardinality
+
+    _register(spark, sf_dir, "events")
+    ev = spark.table("events")
+    return join_cardinality(ev.filter("event_type = 'click'"),
+                            ev.filter("event_type = 'view'"),
+                            "user_id", top_n=10)
+
+
+_JOINCARD_DUCK = """
+WITH ca AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c_left
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), cb AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c_right
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), per_key AS (
+  SELECT ca.user_id, ca.c_left, cb.c_right,
+         CAST(ca.c_left * cb.c_right AS BIGINT) AS pairs
+  FROM ca JOIN cb ON ca.user_id = cb.user_id
+), tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs FROM per_key)
+SELECT p.user_id, p.c_left, p.c_right, p.pairs, t.total_pairs,
+       CAST((1000000 * p.pairs) // t.total_pairs AS BIGINT) AS share_ppm
+FROM per_key p CROSS JOIN tot t
+ORDER BY p.pairs DESC, p.user_id ASC
+LIMIT 10
+"""
+
+
+_def("join_cardinality_topkeys", (_joincard_fn, _JOINCARD_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -130,3 +130,72 @@ def scd2_history(events: DataFrame, key_cols: Sequence[str],
                     .alias("valid_to_us"))
             .withColumn("is_current", F.col("valid_to_us").isNull())
             .orderBy(*key_cols, "valid_from_us"))
+
+
+def distribution_drift(old: DataFrame, new: DataFrame,
+                       bucket_col: str) -> DataFrame:
+    """Per-bucket distribution drift between two corpus snapshots, plus
+    the total-variation distance — the ingest-monitoring alarm ("did
+    this refresh shift the language/source/length mix").
+
+    PSI's ln(p/q) needs runtime floats; total variation
+    TV = ½·Σ|p_i − q_i| is the integer-exact alternative: shares are
+    ppm by integer division, the distance is exact bigint arithmetic,
+    and TV's [0, 1e6] range reads like a probability. Buckets absent
+    from one side count with share 0 (the full outer join keeps them —
+    a vanished bucket IS drift). One row per bucket: old/new counts and
+    ppm shares, |Δppm|; every row carries ``tv_ppm`` = (Σ|Δ|) DIV 2 so
+    the table is self-contained.
+
+    Scale: two per-bucket counts (map-side combining) + one tiny outer
+    join on bucket values — never a row-level comparison.
+    """
+    def shares(df, side):
+        counts = df.groupBy(bucket_col).agg(
+            F.count("*").cast("bigint").alias(f"n_{side}"))
+        total = counts.agg(F.sum(f"n_{side}").alias("_t"))
+        return (counts.crossJoin(F.broadcast(total))
+                .withColumn(f"share_{side}_ppm",
+                            F.expr(f"(1000000 * n_{side}) DIV _t")
+                            .cast("bigint"))
+                .drop("_t"))
+
+    both = (shares(old, "old").join(shares(new, "new"), bucket_col,
+                                    "full_outer")
+            .na.fill(0, [f"n_old", f"n_new",
+                         "share_old_ppm", "share_new_ppm"])
+            .withColumn("abs_delta_ppm",
+                        F.abs(F.col("share_new_ppm")
+                              - F.col("share_old_ppm")).cast("bigint")))
+    tv = both.agg(F.expr("sum(abs_delta_ppm) DIV 2").alias("_tv"))
+    return (both.crossJoin(F.broadcast(tv))
+            .withColumn("tv_ppm", F.col("_tv").cast("bigint")).drop("_tv")
+            .select(bucket_col, "n_old", "n_new", "share_old_ppm",
+                    "share_new_ppm", "abs_delta_ppm", "tv_ppm")
+            .orderBy(bucket_col))
+
+
+def join_cardinality(left: DataFrame, right: DataFrame, on: str,
+                     top_n: int = 10) -> DataFrame:
+    """Exact inner-join output-size prediction from per-key counts —
+    the number a planner wants BEFORE shuffling 10^12 rows: |A ⋈ B| =
+    Σ_k cA(k)·cB(k), with the top contributing keys (the skew culprits
+    a salting/AQE decision targets).
+
+    Output: the ``top_n`` keys by pair contribution, each row carrying
+    the global ``total_pairs`` and the key's ``share_ppm``. Cost is two
+    per-key counts and a key-count-sized join — the prediction never
+    touches row payloads.
+    """
+    ca = left.groupBy(on).agg(F.count("*").cast("bigint").alias("c_left"))
+    cb = right.groupBy(on).agg(F.count("*").cast("bigint").alias("c_right"))
+    per_key = (ca.join(cb, on)
+               .withColumn("pairs", (F.col("c_left") * F.col("c_right"))
+                           .cast("bigint")))
+    total = per_key.agg(F.sum("pairs").cast("bigint").alias("total_pairs"))
+    return (per_key.crossJoin(F.broadcast(total))
+            .withColumn("share_ppm",
+                        F.expr("(1000000 * pairs) DIV total_pairs")
+                        .cast("bigint"))
+            .orderBy(F.desc("pairs"), F.asc(on))
+            .limit(top_n))

@@ -155,3 +155,66 @@ class TestScd2History:
                                             "value",
                                             tiebreak_col="event_id").collect()]
         assert a == b
+
+
+class TestDistributionDrift:
+    def test_hand_computed(self, spark):
+        from ragstudio_spark.operators.snapshot import distribution_drift
+
+        old = spark.createDataFrame(
+            [("en",)] * 6 + [("fr",)] * 4, "lang string")
+        new = spark.createDataFrame(
+            [("en",)] * 3 + [("fr",)] * 6 + [("de",)] * 1, "lang string")
+        got = {r.lang: (r.n_old, r.n_new, r.share_old_ppm,
+                        r.share_new_ppm, r.abs_delta_ppm, r.tv_ppm)
+               for r in distribution_drift(old, new, "lang").collect()}
+        # old shares: en 600000, fr 400000; new: en 300000, fr 600000, de 100000
+        assert got["en"] == (6, 3, 600_000, 300_000, 300_000, 300_000)
+        assert got["fr"] == (4, 6, 400_000, 600_000, 200_000, 300_000)
+        assert got["de"] == (0, 1, 0, 100_000, 100_000, 300_000)
+        # TV = (300000+200000+100000)/2 = 300000
+
+    def test_identical_snapshots_zero_drift(self, spark):
+        from ragstudio_spark.operators.snapshot import distribution_drift
+
+        df = spark.createDataFrame([("a",), ("b",), ("a",)], "lang string")
+        rows = distribution_drift(df, df, "lang").collect()
+        assert all(r.abs_delta_ppm == 0 and r.tv_ppm == 0 for r in rows)
+
+    def test_vanished_bucket_is_drift(self, spark):
+        from ragstudio_spark.operators.snapshot import distribution_drift
+
+        old = spark.createDataFrame([("a",), ("b",)], "lang string")
+        new = spark.createDataFrame([("a",), ("a",)], "lang string")
+        got = {r.lang: r for r in
+               distribution_drift(old, new, "lang").collect()}
+        assert got["b"].n_new == 0 and got["b"].share_new_ppm == 0
+        assert got["b"].abs_delta_ppm == 500_000
+
+
+class TestJoinCardinality:
+    def test_exact_prediction(self, spark):
+        from ragstudio_spark.operators.snapshot import join_cardinality
+
+        left = spark.createDataFrame(
+            [(k,) for k in ["a"] * 5 + ["b"] * 2 + ["c"]], "k string")
+        right = spark.createDataFrame(
+            [(k,) for k in ["a"] * 3 + ["b"] * 4 + ["d"]], "k string")
+        rows = join_cardinality(left, right, "k").collect()
+        got = {r.k: (r.pairs, r.total_pairs, r.share_ppm) for r in rows}
+        # a: 15, b: 8, total 23; c/d never join
+        assert got["a"] == (15, 23, (1_000_000 * 15) // 23)
+        assert got["b"] == (8, 23, (1_000_000 * 8) // 23)
+        assert set(got) == {"a", "b"}
+        # exactness vs the actual join
+        assert left.join(right, "k").count() == 23
+
+    def test_top_n_keeps_heaviest(self, spark):
+        from ragstudio_spark.operators.snapshot import join_cardinality
+
+        left = spark.createDataFrame(
+            [(f"k{i}",) for i in range(20) for _ in range(i + 1)],
+            "k string")
+        rows = join_cardinality(left, left, "k", top_n=3).collect()
+        assert [r.k for r in rows] == ["k19", "k18", "k17"]
+        assert rows[0].pairs == 400
