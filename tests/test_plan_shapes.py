@@ -223,3 +223,62 @@ class TestPlanShapes:
             F.lit(100).cast("bigint").alias("ttl"),
             F.lit("set").alias("op")))
         assert "Exchange" not in put_plan
+
+
+class TestContinuation2PlanShapes:
+    """Plan contracts for the continuation-2 tier."""
+
+    def test_phrase_search_broadcasts_the_phrase_side(self, spark):
+        from ragstudio_spark.operators.index import phrase_search
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} slow hash batch tail{i}") for i in range(50)],
+            "doc_id bigint, text string")
+        plan = _plan(phrase_search(docs, ["slow", "hash", "batch"]))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_funnel_no_cartesian_no_python(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import funnel
+
+        rows = [(u, dt.datetime(2024, 1, 1, 12, (u + i) % 60),
+                 ["view", "click"][i % 2])
+                for u in range(10) for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_type string")
+        plan = _plan(funnel(df, ["view", "click"]))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_grounding_user_grams_partial_aggregate_before_join(self, spark):
+        from ragstudio_spark.operators.grounding import turn_grounding
+
+        rows = [("c", i, ["user", "assistant"][i % 2], f"a b c w{i}")
+                for i in range(8)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+        plan = _plan(turn_grounding(df))
+        # the user-side min(turn_idx) must partial-aggregate map-side
+        # (two HashAggregates around its exchange), and nothing in the
+        # operator is Python
+        assert "partial_min" in plan or "partial min" in plan.lower()
+        assert "BatchEvalPython" not in plan
+
+    def test_forget_rewrite_kept_side_broadcasts_forget_list(self, spark,
+                                                             tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        spark.range(100).selectExpr("id AS user_id").write.parquet(path)
+        df = spark.read.parquet(path)
+        lits = F.array(*[F.lit(k) for k in (1, 2, 3)])
+        forget = (spark.range(1).select(F.explode(lits).alias("user_id"))
+                  .select(F.col("user_id").cast("bigint")))
+        kept = df.join(F.broadcast(forget.distinct()), "user_id",
+                       "left_anti")
+        plan = _plan(kept)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
