@@ -6341,6 +6341,38 @@ LIMIT 10
 _def("join_cardinality_topkeys", (_joincard_fn, _JOINCARD_DUCK))
 
 
+# -- 84. edit-distance near-dup (operators/dedupe.py
+#        edit_distance_pairs): Levenshtein ≤ 20 over prefix-12 +
+#        length-band candidates — the OCR-noise/typo variant the
+#        shingle family under-detects (one flip per word destroys every
+#        3-shingle at edit cost 1 each). Both engines ship the integer
+#        DP builtin; 25 close pairs at sf0.01, 256 at sf0.1 (probed).
+def _editdist_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators import dedupe
+
+    _register(spark, sf_dir, "documents")
+    return (dedupe.edit_distance_pairs(spark.table("documents"))
+            .orderBy("doc_a", "doc_b"))
+
+
+_EDITDIST_DUCK = """
+WITH d AS (
+  SELECT doc_id, text, substr(lower(text), 1, 12) AS pfx,
+         length(text) AS L
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS distance
+FROM d a JOIN d b
+  ON a.pfx = b.pfx AND abs(a.L - b.L) <= 20 AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 20
+ORDER BY doc_a, doc_b
+"""
+
+
+_def("dedup_edit_distance", (_editdist_fn, _EDITDIST_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -990,3 +990,48 @@ def stitch_pairs(df: DataFrame, text_col: str = "text",
     return (tails.join(heads, "boundary")
             .filter(F.col("doc_a") != F.col("doc_b"))
             .select("doc_a", "doc_b", "boundary"))
+
+
+def edit_distance_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", max_distance: int = 20,
+                        prefix_len: int = 12, length_band: int = 20,
+                        max_prefix_df: int | None = None) -> DataFrame:
+    """Character-level near-duplicates: Levenshtein ≤ ``max_distance``
+    over prefix-bucketed candidates — the OCR-noise/typo variant the
+    token-shingle family under-detects (one character flip per word
+    destroys every 3-shingle but costs edit distance 1 each).
+
+    Candidates share their first ``prefix_len`` lowered chars AND sit
+    within ``length_band`` characters of each other: both are NECESSARY
+    conditions at distance d ≤ min(prefix errors, length delta) only for
+    the length part — the prefix rule is a recall heuristic (a doc pair
+    differing inside the prefix is missed; the shingle family covers
+    those), which is what makes the join bounded. ``max_prefix_df`` caps
+    boilerplate prefixes exactly like the shingle caps. The distance
+    itself is the builtin integer DP — identical in Spark and DuckDB.
+
+    Scale: one fixed-width-key equi-join; the O(len²) DP runs only on
+    surviving candidates. Output (doc_a, doc_b, distance), doc_a < doc_b.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.substring(F.lower(F.col(text_col)), 1, prefix_len).alias("_pfx"),
+        F.length(text_col).alias("_len"))
+    if max_prefix_df is not None:
+        hot = (keyed.groupBy("_pfx").count()
+               .filter(F.col("count") > max_prefix_df).select("_pfx"))
+        keyed = keyed.join(hot, "_pfx", "left_anti")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._pfx") == F.col("b._pfx"))
+        & (F.abs(F.col("a._len") - F.col("b._len")) <= length_band)
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    return (cand
+            .withColumn("distance",
+                        F.levenshtein(F.col("a._t"), F.col("b._t"))
+                        .cast("bigint"))
+            .filter(F.col("distance") <= max_distance)
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"), "distance"))

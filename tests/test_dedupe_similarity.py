@@ -934,3 +934,46 @@ class TestStitchPairs:
         rows = [(1, "a b c d e mid mid mid a b c d e")]
         df = spark.createDataFrame(rows, "doc_id bigint, text string")
         assert stitch_pairs(df, k=5).count() == 0
+
+
+class TestEditDistancePairs:
+    def test_hand_computed(self, spark):
+        from ragstudio_spark.operators.dedupe import edit_distance_pairs
+
+        base = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [(1, base),
+                (2, base.replace("jumps", "jumped")),   # distance 2
+                (3, base.replace("tonight", "at dawn")),  # suffix change
+                (4, "completely different text that shares no prefix")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {(r.doc_a, r.doc_b): r.distance
+               for r in edit_distance_pairs(df, max_distance=10).collect()}
+        assert got[(1, 2)] == 2
+        assert (1, 4) not in got and (2, 4) not in got
+        assert got[(1, 3)] == 7  # 'tonight' -> 'at dawn' by eye
+
+    def test_shingle_blindspot_is_covered(self, spark):
+        from ragstudio_spark.operators.dedupe import (edit_distance_pairs,
+                                                      jaccard_pairs)
+
+        # one char flipped in EVERY word: shingle Jaccard ~0, edit
+        # distance = n_words
+        a = "alpha beta gamma delta epsilon zeta eta theta"
+        b = "alphx betx gammx deltx epsilox zetx etx thetx"
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id bigint, text string")
+        jac = jaccard_pairs(df, k=3).collect()
+        assert not jac or all(r.jaccard == 0.0 for r in jac)
+        # prefix bucket still matches on the first 4 chars
+        got = edit_distance_pairs(df, max_distance=10, prefix_len=4).collect()
+        assert [(r.doc_a, r.doc_b, r.distance) for r in got] == [(1, 2, 8)]
+
+    def test_prefix_df_cap(self, spark):
+        from ragstudio_spark.operators.dedupe import edit_distance_pairs
+
+        rows = [(i, f"same prefix here unique{i}") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        uncapped = edit_distance_pairs(df, max_distance=50).count()
+        capped = edit_distance_pairs(df, max_distance=50,
+                                     max_prefix_df=3).count()
+        assert uncapped == 15 and capped == 0
