@@ -331,6 +331,18 @@ def main() -> None:
         "skew_report": lambda d: skew_ops.skew_report(
             d.select(F.expr("pmod(doc_id * doc_id, 101)").alias("conv_id"))
         ).count(),
+        "edit_distance_pfx12": lambda d: dedupe.edit_distance_pairs(
+            d, max_prefix_df=40).count(),
+        "distribution_drift": lambda d: snapshot.distribution_drift(
+            d.filter("doc_id % 2 = 0").select(
+                (F.col("doc_id") % 10).alias("lang")),
+            d.select((F.col("doc_id") % 10).alias("lang")),
+            "lang").count(),
+        "join_cardinality": lambda d: snapshot.join_cardinality(
+            d.select((F.col("doc_id") % 200).alias("k")),
+            d.filter("doc_id % 3 = 0").select(
+                (F.col("doc_id") % 200).alias("k")),
+            "k").count(),
     }
     only = set(sys.argv[1:])
     if only:
