@@ -6276,12 +6276,14 @@ new_c AS (
 ), new_t AS (SELECT sum(n_new) AS t FROM new_c),
 old_s AS (
   SELECT lang, n_old,
-         CAST((1000000 * n_old) // (SELECT t FROM old_t) AS BIGINT)
+         CAST(floor(1000000.0 * CAST(n_old AS DOUBLE)
+                    / CAST((SELECT t FROM old_t) AS DOUBLE)) AS BIGINT)
            AS share_old_ppm
   FROM old_c
 ), new_s AS (
   SELECT lang, n_new,
-         CAST((1000000 * n_new) // (SELECT t FROM new_t) AS BIGINT)
+         CAST(floor(1000000.0 * CAST(n_new AS DOUBLE)
+                    / CAST((SELECT t FROM new_t) AS DOUBLE)) AS BIGINT)
            AS share_new_ppm
   FROM new_c
 ), merged AS (
@@ -6292,7 +6294,8 @@ old_s AS (
          CAST(abs(COALESCE(n.share_new_ppm, 0)
                   - COALESCE(o.share_old_ppm, 0)) AS BIGINT)
            AS abs_delta_ppm
-  FROM old_s o FULL OUTER JOIN new_s n ON o.lang = n.lang
+  FROM old_s o FULL OUTER JOIN new_s n
+    ON o.lang IS NOT DISTINCT FROM n.lang
 )
 SELECT lang, n_old, n_new, share_old_ppm, share_new_ppm, abs_delta_ppm,
        CAST((SELECT sum(abs_delta_ppm) FROM merged) // 2 AS BIGINT) AS tv_ppm
@@ -6331,7 +6334,8 @@ WITH ca AS (
   FROM ca JOIN cb ON ca.user_id = cb.user_id
 ), tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs FROM per_key)
 SELECT p.user_id, p.c_left, p.c_right, p.pairs, t.total_pairs,
-       CAST((1000000 * p.pairs) // t.total_pairs AS BIGINT) AS share_ppm
+       CAST(floor(1000000.0 * CAST(p.pairs AS DOUBLE)
+                  / CAST(t.total_pairs AS DOUBLE)) AS BIGINT) AS share_ppm
 FROM per_key p CROSS JOIN tot t
 ORDER BY p.pairs DESC, p.user_id ASC
 LIMIT 10
@@ -6345,13 +6349,20 @@ _def("join_cardinality_topkeys", (_joincard_fn, _JOINCARD_DUCK))
 #        edit_distance_pairs): Levenshtein ≤ 20 over prefix-12 +
 #        length-band candidates — the OCR-noise/typo variant the
 #        shingle family under-detects (one flip per word destroys every
-#        3-shingle at edit cost 1 each). Both engines ship the integer
-#        DP builtin; 25 close pairs at sf0.01, 256 at sf0.1 (probed).
+#        3-shingle at edit cost 1 each). UNIT TRAP (review-found,
+#        measured): Spark's DP counts CODEPOINTS, DuckDB's counts BYTES
+#        ('é'→'e' = 1 vs 2) — so BOTH sides gate to ASCII docs
+#        (length = octet_length, the regex-free check), where the DPs
+#        agree exactly; a non-ASCII corpus refresh therefore narrows
+#        the gate instead of hash-breaking it. 25 close pairs at
+#        sf0.01, 256 at sf0.1 (probed; the fixture is all-ASCII today).
 def _editdist_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragstudio_spark.operators import dedupe
 
     _register(spark, sf_dir, "documents")
-    return (dedupe.edit_distance_pairs(spark.table("documents"))
+    ascii_docs = spark.table("documents").filter(
+        "length(text) = octet_length(text)")
+    return (dedupe.edit_distance_pairs(ascii_docs)
             .orderBy("doc_a", "doc_b"))
 
 
@@ -6360,6 +6371,7 @@ WITH d AS (
   SELECT doc_id, text, substr(lower(text), 1, 12) AS pfx,
          length(text) AS L
   FROM documents
+  WHERE length(text) = strlen(text)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS distance

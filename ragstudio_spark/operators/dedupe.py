@@ -1007,8 +1007,14 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
     the length part — the prefix rule is a recall heuristic (a doc pair
     differing inside the prefix is missed; the shingle family covers
     those), which is what makes the join bounded. ``max_prefix_df`` caps
-    boilerplate prefixes exactly like the shingle caps. The distance
-    itself is the builtin integer DP — identical in Spark and DuckDB.
+    boilerplate prefixes exactly like the shingle caps.
+
+    Distance units (review-found, measured): Spark's levenshtein counts
+    CODEPOINTS ('é'→'e' = 1) while DuckDB's counts BYTES ('é'→'e' = 2).
+    Codepoints are the correct text semantics and are what this operator
+    computes; the DuckDB twin therefore gates the contract on the ASCII
+    subset, where the two DPs agree exactly — non-ASCII pairs are scored
+    (correctly) by Spark but are NOT oracle-comparable.
 
     Scale: one fixed-width-key equi-join; the O(len²) DP runs only on
     surviving candidates. Output (doc_a, doc_b, distance), doc_a < doc_b.

@@ -148,27 +148,49 @@ def distribution_drift(old: DataFrame, new: DataFrame,
     the table is self-contained.
 
     Scale: two per-bucket counts (map-side combining) + one tiny outer
-    join on bucket values — never a row-level comparison.
+    join on bucket values — never a row-level comparison. Shares follow
+    the PMI float discipline (counts → DOUBLE before the 1e6 product,
+    one floor): the bigint product 1e6·n wraps past ~9.2e12 rows per
+    bucket in ANSI-off Spark while DuckDB raises (review-found). A NULL
+    bucket is a real bucket: the join is null-SAFE (the snapshot_diff
+    convention), so NULL-keyed mass cannot double-count as both
+    vanished and appeared. The bucket-sized merged table is
+    localCheckpointed — it feeds the TV aggregate AND the output (the
+    multi-consumer rule; without it both corpora scan twice).
     """
     def shares(df, side):
         counts = df.groupBy(bucket_col).agg(
             F.count("*").cast("bigint").alias(f"n_{side}"))
         total = counts.agg(F.sum(f"n_{side}").alias("_t"))
+        share = F.floor(F.lit(1_000_000.0)
+                        * F.col(f"n_{side}").cast("double")
+                        / F.col("_t").cast("double"))
         return (counts.crossJoin(F.broadcast(total))
-                .withColumn(f"share_{side}_ppm",
-                            F.expr(f"(1000000 * n_{side}) DIV _t")
-                            .cast("bigint"))
+                .withColumn(f"share_{side}_ppm", share.cast("bigint"))
                 .drop("_t"))
 
-    both = (shares(old, "old").join(shares(new, "new"), bucket_col,
-                                    "full_outer")
-            .na.fill(0, [f"n_old", f"n_new",
-                         "share_old_ppm", "share_new_ppm"])
-            .withColumn("abs_delta_ppm",
-                        F.abs(F.col("share_new_ppm")
-                              - F.col("share_old_ppm")).cast("bigint")))
-    tv = both.agg(F.expr("sum(abs_delta_ppm) DIV 2").alias("_tv"))
-    return (both.crossJoin(F.broadcast(tv))
+    o = shares(old, "old").alias("_dr_o")
+    n = shares(new, "new").alias("_dr_n")
+    merged = (o.join(n, F.col(f"_dr_o.{bucket_col}")
+                     .eqNullSafe(F.col(f"_dr_n.{bucket_col}")),
+                     "full_outer")
+              .select(F.coalesce(F.col(f"_dr_o.{bucket_col}"),
+                                 F.col(f"_dr_n.{bucket_col}"))
+                      .alias(bucket_col),
+                      F.coalesce("n_old", F.lit(0)).cast("bigint")
+                      .alias("n_old"),
+                      F.coalesce("n_new", F.lit(0)).cast("bigint")
+                      .alias("n_new"),
+                      F.coalesce("share_old_ppm", F.lit(0)).cast("bigint")
+                      .alias("share_old_ppm"),
+                      F.coalesce("share_new_ppm", F.lit(0)).cast("bigint")
+                      .alias("share_new_ppm"))
+              .withColumn("abs_delta_ppm",
+                          F.abs(F.col("share_new_ppm")
+                                - F.col("share_old_ppm")).cast("bigint"))
+              .localCheckpoint())
+    tv = merged.agg(F.expr("sum(abs_delta_ppm) DIV 2").alias("_tv"))
+    return (merged.crossJoin(F.broadcast(tv))
             .withColumn("tv_ppm", F.col("_tv").cast("bigint")).drop("_tv")
             .select(bucket_col, "n_old", "n_new", "share_old_ppm",
                     "share_new_ppm", "abs_delta_ppm", "tv_ppm")
@@ -185,17 +207,26 @@ def join_cardinality(left: DataFrame, right: DataFrame, on: str,
     Output: the ``top_n`` keys by pair contribution, each row carrying
     the global ``total_pairs`` and the key's ``share_ppm``. Cost is two
     per-key counts and a key-count-sized join — the prediction never
-    touches row payloads.
+    touches row payloads. ``share_ppm`` follows the PMI float
+    discipline (pairs → DOUBLE before the 1e6 product, one floor):
+    pairs is ALREADY a product of two counts, so the bigint 1e6·pairs
+    wraps at a 4M×4M hot key in ANSI-off Spark while DuckDB raises
+    (review-found — the exact class skew_report's DIV-floored mean
+    dodges). The key-sized per_key table is localCheckpointed: it
+    feeds the total aggregate AND the output.
     """
     ca = left.groupBy(on).agg(F.count("*").cast("bigint").alias("c_left"))
     cb = right.groupBy(on).agg(F.count("*").cast("bigint").alias("c_right"))
     per_key = (ca.join(cb, on)
                .withColumn("pairs", (F.col("c_left") * F.col("c_right"))
-                           .cast("bigint")))
+                           .cast("bigint"))
+               .localCheckpoint())
     total = per_key.agg(F.sum("pairs").cast("bigint").alias("total_pairs"))
     return (per_key.crossJoin(F.broadcast(total))
             .withColumn("share_ppm",
-                        F.expr("(1000000 * pairs) DIV total_pairs")
+                        F.floor(F.lit(1_000_000.0)
+                                * F.col("pairs").cast("double")
+                                / F.col("total_pairs").cast("double"))
                         .cast("bigint"))
             .orderBy(F.desc("pairs"), F.asc(on))
             .limit(top_n))

@@ -188,6 +188,25 @@ def swap_in(spark: SparkSession, path: str, write_tmp,
     return rows
 
 
+def forget_kept_frame(spark: SparkSession, df: DataFrame, key_col: str,
+                      forget_keys) -> DataFrame:
+    """The survivor frame forget_rewrite writes: ``df`` anti-joined
+    against the deletion-request keys, forget side broadcast. Factored
+    out so the plan contract test asserts on the OPERATOR's join, not a
+    hand-rebuilt copy (review-found). Literal keys ship JVM-side
+    (range(1) + explode(array(lit…))) — a createDataFrame relation on a
+    write path pays the ~5 s pickle-RDD round trip
+    (pipeline/cache._append lesson)."""
+    if not isinstance(forget_keys, DataFrame):
+        lits = F.array(*[F.lit(k) for k in forget_keys])
+        forget_keys = (spark.range(1)
+                       .select(F.explode(lits).alias(key_col))
+                       .select(F.col(key_col).cast(
+                           df.schema[key_col].dataType)))
+    forget = forget_keys.select(key_col).distinct()
+    return df.join(F.broadcast(forget), key_col, "left_anti")
+
+
 def forget_rewrite(spark: SparkSession, path: str, key_col: str,
                    forget_keys, target_files: int = 0) -> dict:
     """Right-to-be-forgotten propagation: physically rewrite a parquet
@@ -212,18 +231,8 @@ def forget_rewrite(spark: SparkSession, path: str, key_col: str,
     _recover(path)
     sweep_stale_compactions(path)
     df = spark.read.parquet(path)
-    if not isinstance(forget_keys, DataFrame):
-        # literal keys ship JVM-side (range(1) + explode(array(lit…))) —
-        # a createDataFrame relation on a write path pays the ~5 s
-        # pickle-RDD round trip (pipeline/cache._append lesson)
-        lits = F.array(*[F.lit(k) for k in forget_keys])
-        forget_keys = (spark.range(1)
-                       .select(F.explode(lits).alias(key_col))
-                       .select(F.col(key_col).cast(
-                           df.schema[key_col].dataType)))
-    forget = forget_keys.select(key_col).distinct()
+    kept = forget_kept_frame(spark, df, key_col, forget_keys)
     n_before = df.count()
-    kept = df.join(F.broadcast(forget), key_col, "left_anti")
 
     def write_tmp(tmp: str) -> None:
         out = kept.coalesce(target_files) if target_files else kept

@@ -269,16 +269,14 @@ class TestContinuation2PlanShapes:
 
     def test_forget_rewrite_kept_side_broadcasts_forget_list(self, spark,
                                                              tmp_path):
-        from pyspark.sql import functions as F
+        # asserts on the OPERATOR's own survivor frame (forget_kept_frame
+        # is what forget_rewrite writes), not a hand-rebuilt copy
+        from ragstudio_spark.pipeline.maintenance import forget_kept_frame
 
         path = str(tmp_path / "t")
         spark.range(100).selectExpr("id AS user_id").write.parquet(path)
         df = spark.read.parquet(path)
-        lits = F.array(*[F.lit(k) for k in (1, 2, 3)])
-        forget = (spark.range(1).select(F.explode(lits).alias("user_id"))
-                  .select(F.col("user_id").cast("bigint")))
-        kept = df.join(F.broadcast(forget.distinct()), "user_id",
-                       "left_anti")
+        kept = forget_kept_frame(spark, df, "user_id", [1, 2, 3])
         plan = _plan(kept)
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
         assert "SortMergeJoin" not in plan

@@ -218,3 +218,48 @@ class TestJoinCardinality:
         rows = join_cardinality(left, left, "k", top_n=3).collect()
         assert [r.k for r in rows] == ["k19", "k18", "k17"]
         assert rows[0].pairs == 400
+
+
+class TestReviewRegressions:
+    def test_drift_null_bucket_is_one_row(self, spark):
+        # NULL is a real bucket: the null-safe join must not split it
+        # into vanished+appeared (review finding)
+        from ragstudio_spark.operators.snapshot import distribution_drift
+
+        old = spark.createDataFrame([(None,), ("a",)], "lang string")
+        new = spark.createDataFrame([(None,), ("a",)], "lang string")
+        rows = distribution_drift(old, new, "lang").collect()
+        assert len(rows) == 2
+        null_row = [r for r in rows if r.lang is None][0]
+        assert (null_row.n_old, null_row.n_new,
+                null_row.abs_delta_ppm) == (1, 1, 0)
+        assert all(r.tv_ppm == 0 for r in rows)
+
+    def test_join_cardinality_share_survives_huge_pairs(self, spark):
+        # share_ppm goes through doubles: a pairs value whose 1e6
+        # product exceeds 2^63 must not wrap (review finding)
+        from ragstudio_spark.operators.snapshot import join_cardinality
+
+        left = spark.createDataFrame(
+            [(1, "k")], "row_id bigint, k string")
+        # counts can't realistically reach 4M rows in a unit test;
+        # assert the formula path directly on the operator output shape
+        right = spark.createDataFrame(
+            [(i, "k") for i in range(10)], "row_id bigint, k string")
+        [r] = join_cardinality(left.select("k"), right.select("k"),
+                               "k").collect()
+        assert (r.pairs, r.total_pairs, r.share_ppm) == (10, 10, 1_000_000)
+
+
+class TestEditDistanceUnits:
+    def test_spark_codepoint_semantics_documented(self, spark):
+        # the unit divergence the oracle gates around: Spark counts
+        # codepoints ('é'->'e' = 1); DuckDB counts bytes (= 2)
+        import duckdb
+        from pyspark.sql import functions as F
+
+        [r] = (spark.range(1)
+               .select(F.levenshtein(F.lit("é"), F.lit("e")).alias("d"))
+               .collect())
+        assert r.d == 1
+        assert duckdb.sql("SELECT levenshtein('é', 'e')").fetchone()[0] == 2
