@@ -265,3 +265,63 @@ class TestScd2Replica:
                 exp.append((u, v, base + t * 1_000_000,
                             None if nxt is None else base + nxt * 1_000_000))
         assert sorted(got, key=lambda x: (x[0], x[2])) == exp
+
+
+class TestContainmentReplica:
+    def _replica(self, docs, k=3):
+        def shingles(text):
+            ws = [w for w in text.lower().split() if w]
+            return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+        sh = {d: shingles(t) for d, t in docs}
+        out = {}
+        for a, sa in sh.items():
+            for b, sb in sh.items():
+                if a < b and sa & sb:
+                    inter = len(sa & sb)
+                    out[(a, b)] = (inter, len(sa), len(sb),
+                                   (1_000_000 * inter) // len(sa),
+                                   (1_000_000 * inter) // len(sb))
+        return out
+
+    @pytest.mark.parametrize("seed", [19, 47])
+    def test_matches_replica(self, spark, seed):
+        from ragstudio_spark.operators.dedupe import containment_pairs
+
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(12)]
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(3, 25))))
+                for i in range(25)]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {(r.doc_a, r.doc_b): (r.inter, r.na, r.nb,
+                                    r.contain_a_in_b_ppm,
+                                    r.contain_b_in_a_ppm)
+               for r in containment_pairs(df, k=3).collect()}
+        assert got == self._replica(docs)
+
+
+class TestStitchReplica:
+    def _replica(self, docs, k=3):
+        keyed = {}
+        for d, t in docs:
+            ws = [w for w in t.lower().split() if w]
+            if len(ws) >= 2 * k:
+                keyed[d] = (" ".join(ws[:k]), " ".join(ws[-k:]))
+        return sorted(
+            (a, b, keyed[a][1])
+            for a in keyed for b in keyed
+            if a != b and keyed[a][1] == keyed[b][0])
+
+    @pytest.mark.parametrize("seed", [53, 89])
+    def test_matches_replica(self, spark, seed):
+        from ragstudio_spark.operators.dedupe import stitch_pairs
+
+        rng = random.Random(seed)
+        vocab = ["x", "y", "z"]  # tiny vocab -> boundary collisions occur
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(4, 12))))
+                for i in range(30)]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = sorted((r.doc_a, r.doc_b, r.boundary)
+                     for r in stitch_pairs(df, k=3).collect())
+        assert got == self._replica(docs)
