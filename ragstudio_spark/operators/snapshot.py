@@ -230,3 +230,57 @@ def join_cardinality(left: DataFrame, right: DataFrame, on: str,
                         .cast("bigint"))
             .orderBy(F.desc("pairs"), F.asc(on))
             .limit(top_n))
+
+
+def distribution_drift_from_counts(old_counts: DataFrame,
+                                   new_counts: DataFrame,
+                                   bucket_col: str,
+                                   count_col: str = "key_count") -> DataFrame:
+    """distribution_drift over PRE-COUNTED bucket tables — the streaming
+    composition point: feed it two ``read_key_counts`` outputs (baseline
+    log vs live log) and the TV alarm runs over key-sized tables without
+    ever re-scanning rows. Same output schema and the same float/null
+    disciplines as :func:`distribution_drift`.
+    """
+    def expand(df, side):
+        return df.select(F.col(bucket_col),
+                         F.col(count_col).cast("bigint").alias(f"n_{side}"))
+
+    # reuse the row-level implementation's share/merge logic by
+    # reconstructing its shape: counts are already aggregated, so the
+    # "count" step is a rename and everything downstream is identical
+    def shares(df, side):
+        total = df.agg(F.sum(f"n_{side}").alias("_t"))
+        share = F.floor(F.lit(1_000_000.0)
+                        * F.col(f"n_{side}").cast("double")
+                        / F.col("_t").cast("double"))
+        return (df.crossJoin(F.broadcast(total))
+                .withColumn(f"share_{side}_ppm", share.cast("bigint"))
+                .drop("_t"))
+
+    o = shares(expand(old_counts, "old"), "old").alias("_dc_o")
+    n = shares(expand(new_counts, "new"), "new").alias("_dc_n")
+    merged = (o.join(n, F.col(f"_dc_o.{bucket_col}")
+                     .eqNullSafe(F.col(f"_dc_n.{bucket_col}")),
+                     "full_outer")
+              .select(F.coalesce(F.col(f"_dc_o.{bucket_col}"),
+                                 F.col(f"_dc_n.{bucket_col}"))
+                      .alias(bucket_col),
+                      F.coalesce("n_old", F.lit(0)).cast("bigint")
+                      .alias("n_old"),
+                      F.coalesce("n_new", F.lit(0)).cast("bigint")
+                      .alias("n_new"),
+                      F.coalesce("share_old_ppm", F.lit(0)).cast("bigint")
+                      .alias("share_old_ppm"),
+                      F.coalesce("share_new_ppm", F.lit(0)).cast("bigint")
+                      .alias("share_new_ppm"))
+              .withColumn("abs_delta_ppm",
+                          F.abs(F.col("share_new_ppm")
+                                - F.col("share_old_ppm")).cast("bigint"))
+              .localCheckpoint())
+    tv = merged.agg(F.expr("sum(abs_delta_ppm) DIV 2").alias("_tv"))
+    return (merged.crossJoin(F.broadcast(tv))
+            .withColumn("tv_ppm", F.col("_tv").cast("bigint")).drop("_tv")
+            .select(bucket_col, "n_old", "n_new", "share_old_ppm",
+                    "share_new_ppm", "abs_delta_ppm", "tv_ppm")
+            .orderBy(bucket_col))

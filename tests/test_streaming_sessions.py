@@ -158,3 +158,37 @@ class TestSkewMonitorStream:
         got = {r.conv_id: r.key_count
                for r in sj.read_key_counts(spark, store).collect()}
         assert got == {"x": 7, "y": 1}
+
+
+class TestStreamingDriftComposition:
+    """read_key_counts → distribution_drift_from_counts: the streaming
+    observability log feeds the TV drift alarm without re-scanning rows,
+    and the result equals the batch row-level drift."""
+
+    def test_streamed_counts_drift_equals_batch_drift(self, spark, tmp_path):
+        from ragstudio_spark.operators.snapshot import (
+            distribution_drift, distribution_drift_from_counts)
+        from ragstudio_spark.streaming import jobs as sj
+
+        old_keys = ["en"] * 6 + ["fr"] * 4
+        new_keys = ["en"] * 3 + ["fr"] * 6 + ["de"]
+
+        def stream_counts(tag, keys):
+            inp = str(tmp_path / f"in_{tag}")
+            store = str(tmp_path / f"st_{tag}")
+            ck = str(tmp_path / f"ck_{tag}")
+            spark.createDataFrame([(k,) for k in keys], "lang string") \
+                .coalesce(2).write.parquet(inp)
+            sj.skew_monitor_stream(spark, inp, store, ck,
+                                   key_col="lang").awaitTermination(120)
+            return sj.read_key_counts(spark, store, key_col="lang")
+
+        streamed = distribution_drift_from_counts(
+            stream_counts("old", old_keys), stream_counts("new", new_keys),
+            "lang")
+        batch = distribution_drift(
+            spark.createDataFrame([(k,) for k in old_keys], "lang string"),
+            spark.createDataFrame([(k,) for k in new_keys], "lang string"),
+            "lang")
+        assert [tuple(r) for r in streamed.collect()] == \
+               [tuple(r) for r in batch.collect()]
