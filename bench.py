@@ -198,7 +198,8 @@ def main() -> None:
                  "terms_search_all", "funnel_view_click_purchase",
                  "cohort_retention_weekly", "event_transition_matrix",
                  "ndcg_at_k", "distribution_drift_langs",
-                 "join_cardinality_topkeys", "dedup_edit_distance"):
+                 "join_cardinality_topkeys", "dedup_edit_distance",
+                 "expectations_events"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # post-run serial probe: drift vs the pre-run probe means the host's

@@ -6385,6 +6385,68 @@ ORDER BY doc_a, doc_b
 _def("dedup_edit_distance", (_editdist_fn, _EDITDIST_DUCK))
 
 
+# -- 85. data-quality expectations (operators/expectations.py): the
+#        dbt-test/Great-Expectations contract gate as ONE aggregation
+#        pass — every row-local rule is a conditional count in a single
+#        aggregate (plan-asserted single scan), uniqueness adds one
+#        grouped agg. The ruleset below makes each rule outcome
+#        non-vacuous on events (the range rule binds; event_id is
+#        actually unique so that rule proves the zero path).
+_EXPECT_RULES = [
+    {"type": "not_null", "col": "user_id"},
+    {"type": "unique", "cols": ["event_id"]},
+    {"type": "accepted_values", "col": "event_type",
+     "values": ["click", "view", "purchase", "signup", "error"]},
+    {"type": "range", "col": "value", "lo": 0.0, "hi": 50.0},
+    {"type": "regex", "col": "event_type", "pattern": "^[a-z]+$"},
+]
+
+
+def _expect_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.expectations import expectations_report
+
+    _register(spark, sf_dir, "events")
+    return expectations_report(spark.table("events"), _EXPECT_RULES)
+
+
+_EXPECT_DUCK = """
+WITH rl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v0,
+         CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+                       ('click', 'view', 'purchase', 'signup', 'error')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(sum(CASE WHEN value IS NULL OR value < 0.0 OR value > 50.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         CAST(sum(CASE WHEN event_type IS NOT NULL
+                       AND NOT regexp_matches(event_type, '^[a-z]+$')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v4
+  FROM events
+), uq AS (
+  SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) AS v1,
+         CAST(COALESCE(sum(c), 0) AS BIGINT) AS n1
+  FROM (SELECT count(*) AS c FROM events GROUP BY event_id) g
+)
+SELECT * FROM (
+  SELECT CAST(0 AS INT) AS rule_id, 'not_null' AS rule_type,
+         'user_id' AS target, v0 AS n_violations, n AS n_rows,
+         v0 = 0 AS passed FROM rl
+  UNION ALL
+  SELECT 1, 'unique', 'event_id', v1, n1, v1 = 0 FROM uq
+  UNION ALL
+  SELECT 2, 'accepted_values', 'event_type', v2, n, v2 = 0 FROM rl
+  UNION ALL
+  SELECT 3, 'range', 'value', v3, n, v3 = 0 FROM rl
+  UNION ALL
+  SELECT 4, 'regex', 'event_type', v4, n, v4 = 0 FROM rl)
+ORDER BY rule_id
+"""
+
+
+_def("expectations_events", (_expect_fn, _EXPECT_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------
