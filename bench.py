@@ -199,7 +199,7 @@ def main() -> None:
                  "cohort_retention_weekly", "event_transition_matrix",
                  "ndcg_at_k", "distribution_drift_langs",
                  "join_cardinality_topkeys", "dedup_edit_distance",
-                 "expectations_events"):
+                 "expectations_events", "rolling_active_users"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     # post-run serial probe: drift vs the pre-run probe means the host's

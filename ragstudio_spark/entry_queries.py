@@ -6447,6 +6447,49 @@ ORDER BY rule_id
 _def("expectations_events", (_expect_fn, _EXPECT_DUCK))
 
 
+# -- 86. rolling active users (operators/sessions.py rolling_active):
+#        exact DAU + trailing-7-day actives — COUNT(DISTINCT) over a
+#        RANGE window is inexpressible, so each distinct (user, day)
+#        votes for the 7 report days it covers (bounded W× expansion of
+#        the already-collapsed day table, never the event stream).
+#        Epoch-integer days, the cohort convention.
+def _rolling_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ragstudio_spark.operators.sessions import rolling_active
+
+    _register(spark, sf_dir, "events")
+    return rolling_active(spark.table("events"), window_days=7)
+
+
+_ROLLING_DUCK = """
+WITH daily AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events
+), dau AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_active_1d
+  FROM daily GROUP BY d
+), votes AS (
+  SELECT DISTINCT u, d + off AS rd
+  FROM daily, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(off)
+), bounds AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), wau AS (
+  SELECT v.rd, CAST(count(*) AS BIGINT) AS n_active_wd
+  FROM votes v, bounds b
+  WHERE v.rd BETWEEN b.lo AND b.hi
+  GROUP BY v.rd
+)
+SELECT CAST(COALESCE(dau.d, wau.rd) AS BIGINT) AS day,
+       COALESCE(dau.n_active_1d, 0) AS n_active_1d,
+       COALESCE(wau.n_active_wd, 0) AS n_active_wd
+FROM dau FULL OUTER JOIN wau ON dau.d = wau.rd
+ORDER BY day
+"""
+
+
+_def("rolling_active_users", (_rolling_fn, _ROLLING_DUCK))
+
+
 # --------------------------------------------------------------------------
 # public API consumed by __spark_entry__
 # --------------------------------------------------------------------------

@@ -175,3 +175,52 @@ def transition_matrix(df: DataFrame, user_col: str = "user_id",
                     F.expr("(1000000 * n) DIV row_total").cast("bigint")
                     .alias("p_ppm"))
             .orderBy("from_type", "to_type"))
+
+
+def rolling_active(df: DataFrame, window_days: int = 7,
+                   user_col: str = "user_id",
+                   ts_col: str = "ts") -> DataFrame:
+    """Daily + trailing-window active users (DAU/WAU-style), exactly.
+
+    COUNT(DISTINCT) over a RANGE window is inexpressible in Spark; the
+    scale-safe exact form is bounded expansion: each DISTINCT
+    (user, day) observation votes for the ``window_days`` report days
+    it keeps the user active in, then one distinct count per report
+    day. Cost is W× the (user, day) table — already collapsed from raw
+    events by a map-side distinct — never W× the event stream, and no
+    per-day self-join chain.
+
+    Days are pure epoch integers (epoch_us DIV 86400·10^6, the
+    cohort_retention convention — calendar functions differ across
+    engines). Output one row per OBSERVED-range day:
+    (day, n_active_1d, n_active_wd) — the window column name is FIXED
+    (``n_active_wd``) so window_days=1 cannot collide with the DAU
+    column and downstream schemas are parameter-independent.
+    """
+    if window_days <= 0:
+        raise ValueError("window_days must be positive")
+    day_us = 86_400 * 1_000_000
+    daily = (df.select(
+        F.col(user_col).alias("_u"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {day_us}")
+        .cast("bigint").alias("_d"))
+        .distinct())
+    dau = daily.groupBy("_d").agg(
+        F.count("*").cast("bigint").alias("n_active_1d"))
+    votes = (daily.select(
+        "_u", F.explode(F.sequence(
+            F.col("_d"), F.col("_d") + (window_days - 1))).alias("_rd"))
+        .distinct())
+    bounds = daily.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    wau = (votes.join(F.broadcast(bounds),
+                      (F.col("_rd") >= F.col("_lo"))
+                      & (F.col("_rd") <= F.col("_hi")))
+           .groupBy("_rd")
+           .agg(F.count("*").cast("bigint").alias("n_active_wd")))
+    return (dau.join(wau, dau["_d"] == wau["_rd"], "full_outer")
+            .select(F.coalesce(dau["_d"], wau["_rd"]).alias("day"),
+                    F.coalesce("n_active_1d", F.lit(0)).cast("bigint")
+                    .alias("n_active_1d"),
+                    F.coalesce("n_active_wd", F.lit(0))
+                    .cast("bigint").alias("n_active_wd"))
+            .orderBy("day"))

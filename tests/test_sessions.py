@@ -213,3 +213,59 @@ class TestTransitionMatrix:
             by_from[r.from_type] += r.n
         for r in out:
             assert r.row_total == by_from[r.from_type]
+
+
+class TestRollingActive:
+    def test_hand_computed(self, spark):
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import rolling_active
+
+        d = lambda n: dt.datetime(1970, 1, 1 + n)  # epoch day n
+        rows = [
+            (1, d(0)), (1, d(0)),   # same user twice in one day
+            (2, d(0)),
+            (1, d(2)),
+            (3, d(3)),
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        got = {r.day: (r.n_active_1d, r.n_active_wd)
+               for r in rolling_active(df, window_days=3).collect()}
+        # day 0: dau {1,2}; 3d window [days -2..0] -> {1,2}
+        assert got[0] == (2, 2)
+        # day 1: dau 0; 3d [-1..1] -> {1,2}
+        assert got[1] == (0, 2)
+        # day 2: dau {1}; 3d [0..2] -> {1,2}
+        assert got[2] == (1, 2)
+        # day 3: dau {3}; 3d [1..3] -> {1,3}
+        assert got[3] == (1, 2)
+        # clipped to observed range [0, 3]
+        assert set(got) == {0, 1, 2, 3}
+
+    def test_window_1_equals_dau(self, spark):
+        # the fixed n_active_wd name keeps window_days=1 collision-free
+        # (a parameterized column name would duplicate n_active_1d)
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import rolling_active
+
+        rows = [(u, dt.datetime(1970, 1, 1 + (u % 4)))
+                for u in range(20)]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        got = rolling_active(df, window_days=1).collect()
+        assert got and all(r.n_active_wd == r.n_active_1d for r in got)
+
+    def test_monotone_bound_and_validation(self, spark):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from ragstudio_spark.operators.sessions import rolling_active
+
+        rng_rows = [(u, dt.datetime(1970, 1, 1 + ((u * 3) % 9)))
+                    for u in range(30)]
+        df = spark.createDataFrame(rng_rows, "user_id bigint, ts timestamp")
+        for r in rolling_active(df, window_days=7).collect():
+            assert r.n_active_wd >= r.n_active_1d
+        with _pytest.raises(ValueError):
+            rolling_active(df, window_days=0)
