@@ -147,6 +147,7 @@ def main() -> None:
     from ragstudio_spark.operators import convlint, grounding, rag_extras, \
         retrieval, similarity, sketches, snapshot
     from ragstudio_spark.operators import curation as curation_ops
+    from ragstudio_spark.operators import expectations as expectations_ops
     from ragstudio_spark.operators import index as index_ops
     from ragstudio_spark.operators import metrics as metrics_ops
     from ragstudio_spark.operators import sessions as sessions_ops
@@ -343,6 +344,21 @@ def main() -> None:
             d.filter("doc_id % 3 = 0").select(
                 (F.col("doc_id") % 200).alias("k")),
             "k").count(),
+        "expectations_5rules": lambda d: expectations_ops.expectations_report(
+            d.select("doc_id", F.length("text").alias("L"),
+                     (F.col("doc_id") % 7).cast("string").alias("cat")),
+            [{"type": "not_null", "col": "cat"},
+             {"type": "unique", "cols": ["doc_id"]},
+             {"type": "accepted_values", "col": "cat",
+              "values": [str(i) for i in range(7)]},
+             {"type": "range", "col": "L", "lo": 0, "hi": 10_000},
+             {"type": "regex", "col": "cat", "pattern": "^[0-9]+$"}]
+        ).count(),
+        "rolling_active_7d": lambda d: sessions_ops.rolling_active(
+            d.select((F.col("doc_id") % 300).alias("user_id"),
+                     F.timestamp_seconds(
+                         (F.col("doc_id") % 30) * 86400 + 60).alias("ts")),
+            window_days=7).count(),
     }
     only = set(sys.argv[1:])
     if only:
