@@ -6424,9 +6424,11 @@ WITH rl AS (
                   THEN 1 ELSE 0 END) AS BIGINT) AS v4
   FROM events
 ), uq AS (
+  -- dbt semantics: NULL keys are exempt from uniqueness
   SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) AS v1,
          CAST(COALESCE(sum(c), 0) AS BIGINT) AS n1
-  FROM (SELECT count(*) AS c FROM events GROUP BY event_id) g
+  FROM (SELECT count(*) AS c FROM events
+        WHERE event_id IS NOT NULL GROUP BY event_id) g
 )
 SELECT * FROM (
   SELECT CAST(0 AS INT) AS rule_id, 'not_null' AS rule_type,
@@ -6478,11 +6480,15 @@ WITH daily AS (
   FROM votes v, bounds b
   WHERE v.rd BETWEEN b.lo AND b.hi
   GROUP BY v.rd
+), spine AS (
+  SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM bounds b
 )
-SELECT CAST(COALESCE(dau.d, wau.rd) AS BIGINT) AS day,
+SELECT CAST(s.day AS BIGINT) AS day,
        COALESCE(dau.n_active_1d, 0) AS n_active_1d,
        COALESCE(wau.n_active_wd, 0) AS n_active_wd
-FROM dau FULL OUTER JOIN wau ON dau.d = wau.rd
+FROM spine s
+LEFT JOIN dau ON s.day = dau.d
+LEFT JOIN wau ON s.day = wau.rd
 ORDER BY day
 """
 

@@ -11,13 +11,19 @@ per rule.
 Rules (each a dict, validated eagerly):
 * ``{"type": "not_null", "col": c}``                 — NULLs violate
 * ``{"type": "unique", "cols": [c, ...]}``           — duplicate keys
-  violate (counted as rows beyond the first per key)
+  violate (counted as rows beyond the first per key); rows with a NULL
+  anywhere in the key are EXCLUDED from the check — dbt's unique test
+  and Great Expectations both skip nulls (pair with not_null to forbid
+  them), and ``n_rows`` for a unique rule counts only the checked rows
 * ``{"type": "accepted_values", "col": c, "values": [...]}`` — rows
   outside the set violate (NULL is a violation: it is not a value)
 * ``{"type": "range", "col": c, "lo": x, "hi": y}``  — rows outside
   [lo, hi] violate (NULL violates: unknown is not in range)
 * ``{"type": "regex", "col": c, "pattern": p}``      — non-matching
-  non-NULL rows violate (pair with not_null to forbid NULL too)
+  non-NULL rows violate (pair with not_null to forbid NULL too);
+  patterns are compiled eagerly with JAVA regex semantics (the engine
+  that executes rlike — Python's re accepts/rejects a different
+  dialect)
 
 Output: one row per rule — (rule_id, rule_type, target, n_violations,
 n_rows, pass) — exact integers. ``unique`` needs its own grouped
@@ -27,14 +33,12 @@ agg per DISTINCT unique-rule key set, unioned JVM-side.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, functions as F
 
 _TYPES = ("not_null", "unique", "accepted_values", "range", "regex")
 
 
-def _validate(rules: list[dict]) -> None:
+def _validate(rules: list[dict], spark) -> None:
     if not rules:
         raise ValueError("rules must be non-empty")
     for i, r in enumerate(rules):
@@ -51,7 +55,18 @@ def _validate(rules: list[dict]) -> None:
         if t == "range" and ("lo" not in r or "hi" not in r):
             raise ValueError(f"rule {i}: range needs lo and hi")
         if t == "regex":
-            re.compile(r.get("pattern", ""))  # fail fast on bad patterns
+            if "pattern" not in r:
+                raise ValueError(f"rule {i}: regex needs pattern")
+            # compile with the JAVA engine that will execute rlike —
+            # Python's re accepts a different dialect in both directions
+            # ((?P<name>…) vs \\p{Lower}; review-found), so a re.compile
+            # check rejects valid rules and passes invalid ones
+            try:
+                spark._jvm.java.util.regex.Pattern.compile(r["pattern"])
+            except Exception as exc:
+                raise ValueError(
+                    f"rule {i}: invalid Java regex {r['pattern']!r}: "
+                    f"{exc}") from None
 
 
 def _violation_col(r: dict):
@@ -79,7 +94,7 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
     rule is a conditional count in a single aggregate) plus one grouped
     aggregate per distinct unique-rule key set. Returns one row per
     rule in input order."""
-    _validate(rules)
+    _validate(rules, df.sparkSession)
     row_local = [(i, r) for i, r in enumerate(rules) if r["type"] != "unique"]
     uniques = [(i, r) for i, r in enumerate(rules) if r["type"] == "unique"]
     spark = df.sparkSession
@@ -102,7 +117,13 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
                              "_s.n_violations", F.col("_n").alias("n_rows")))
     for i, r in uniques:
         keys = list(r["cols"])
-        per_key = df.groupBy(*keys).agg(F.count("*").alias("_c"))
+        # dbt/GE semantics: NULL-keyed rows are exempt from uniqueness
+        # (a collapsed all-NULL group would otherwise report spurious
+        # violations; review-found) — forbid NULLs with not_null
+        non_null = df
+        for k in keys:
+            non_null = non_null.filter(F.col(k).isNotNull())
+        per_key = non_null.groupBy(*keys).agg(F.count("*").alias("_c"))
         agg = per_key.agg(
             F.coalesce(F.sum(F.expr("_c - 1")), F.lit(0)).cast("bigint")
             .alias("n_violations"),

@@ -200,11 +200,15 @@ def rolling_active(df: DataFrame, window_days: int = 7,
     if window_days <= 0:
         raise ValueError("window_days must be positive")
     day_us = 86_400 * 1_000_000
+    # daily feeds THREE consumers (dau, votes, the day spine) — the
+    # multi-consumer localCheckpoint rule; it is the post-shuffle
+    # distinct, day-count × user-count sized (review-found)
     daily = (df.select(
         F.col(user_col).alias("_u"),
         F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {day_us}")
         .cast("bigint").alias("_d"))
-        .distinct())
+        .distinct()
+        .localCheckpoint())
     dau = daily.groupBy("_d").agg(
         F.count("*").cast("bigint").alias("n_active_1d"))
     votes = (daily.select(
@@ -217,8 +221,16 @@ def rolling_active(df: DataFrame, window_days: int = 7,
                       & (F.col("_rd") <= F.col("_hi")))
            .groupBy("_rd")
            .agg(F.count("*").cast("bigint").alias("n_active_wd")))
-    return (dau.join(wau, dau["_d"] == wau["_rd"], "full_outer")
-            .select(F.coalesce(dau["_d"], wau["_rd"]).alias("day"),
+    # dense day spine over the observed range: a dead stretch inside
+    # [lo, hi] must surface as (day, 0, 0) rows, not vanish — the
+    # zero-activity alarm is the point of the report (review-found; the
+    # join-only form silently omitted gap days longer than the window)
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day"))
+    return (spine
+            .join(dau, spine["day"] == dau["_d"], "left")
+            .join(wau, spine["day"] == wau["_rd"], "left")
+            .select(spine["day"],
                     F.coalesce("n_active_1d", F.lit(0)).cast("bigint")
                     .alias("n_active_1d"),
                     F.coalesce("n_active_wd", F.lit(0))

@@ -158,43 +158,15 @@ def distribution_drift(old: DataFrame, new: DataFrame,
     localCheckpointed — it feeds the TV aggregate AND the output (the
     multi-consumer rule; without it both corpora scan twice).
     """
-    def shares(df, side):
-        counts = df.groupBy(bucket_col).agg(
-            F.count("*").cast("bigint").alias(f"n_{side}"))
-        total = counts.agg(F.sum(f"n_{side}").alias("_t"))
-        share = F.floor(F.lit(1_000_000.0)
-                        * F.col(f"n_{side}").cast("double")
-                        / F.col("_t").cast("double"))
-        return (counts.crossJoin(F.broadcast(total))
-                .withColumn(f"share_{side}_ppm", share.cast("bigint"))
-                .drop("_t"))
+    # one implementation: the row-level form is count-then-delegate
+    # (review-found: the first cut duplicated the shares/merge/TV logic,
+    # leaving the float/null/checkpoint disciplines to drift apart)
+    def counts_of(df):
+        return df.groupBy(bucket_col).agg(
+            F.count("*").cast("bigint").alias("key_count"))
 
-    o = shares(old, "old").alias("_dr_o")
-    n = shares(new, "new").alias("_dr_n")
-    merged = (o.join(n, F.col(f"_dr_o.{bucket_col}")
-                     .eqNullSafe(F.col(f"_dr_n.{bucket_col}")),
-                     "full_outer")
-              .select(F.coalesce(F.col(f"_dr_o.{bucket_col}"),
-                                 F.col(f"_dr_n.{bucket_col}"))
-                      .alias(bucket_col),
-                      F.coalesce("n_old", F.lit(0)).cast("bigint")
-                      .alias("n_old"),
-                      F.coalesce("n_new", F.lit(0)).cast("bigint")
-                      .alias("n_new"),
-                      F.coalesce("share_old_ppm", F.lit(0)).cast("bigint")
-                      .alias("share_old_ppm"),
-                      F.coalesce("share_new_ppm", F.lit(0)).cast("bigint")
-                      .alias("share_new_ppm"))
-              .withColumn("abs_delta_ppm",
-                          F.abs(F.col("share_new_ppm")
-                                - F.col("share_old_ppm")).cast("bigint"))
-              .localCheckpoint())
-    tv = merged.agg(F.expr("sum(abs_delta_ppm) DIV 2").alias("_tv"))
-    return (merged.crossJoin(F.broadcast(tv))
-            .withColumn("tv_ppm", F.col("_tv").cast("bigint")).drop("_tv")
-            .select(bucket_col, "n_old", "n_new", "share_old_ppm",
-                    "share_new_ppm", "abs_delta_ppm", "tv_ppm")
-            .orderBy(bucket_col))
+    return distribution_drift_from_counts(counts_of(old), counts_of(new),
+                                          bucket_col)
 
 
 def join_cardinality(left: DataFrame, right: DataFrame, on: str,
@@ -239,16 +211,20 @@ def distribution_drift_from_counts(old_counts: DataFrame,
     """distribution_drift over PRE-COUNTED bucket tables — the streaming
     composition point: feed it two ``read_key_counts`` outputs (baseline
     log vs live log) and the TV alarm runs over key-sized tables without
-    ever re-scanning rows. Same output schema and the same float/null
-    disciplines as :func:`distribution_drift`.
+    ever re-scanning rows. This is THE implementation — the row-level
+    :func:`distribution_drift` counts then delegates here, so the
+    float/null/checkpoint disciplines live in one place.
+
+    Inputs are re-aggregated per bucket defensively (review-found): a
+    caller passing the raw batch-tagged monitor store (one row per key
+    PER BATCH) would otherwise fan the null-safe outer join out
+    many-to-many and double-count TV with no error.
     """
     def expand(df, side):
-        return df.select(F.col(bucket_col),
-                         F.col(count_col).cast("bigint").alias(f"n_{side}"))
+        return (df.groupBy(bucket_col)
+                .agg(F.sum(F.col(count_col).cast("bigint"))
+                     .cast("bigint").alias(f"n_{side}")))
 
-    # reuse the row-level implementation's share/merge logic by
-    # reconstructing its shape: counts are already aggregated, so the
-    # "count" step is a rename and everything downstream is identical
     def shares(df, side):
         total = df.agg(F.sum(f"n_{side}").alias("_t"))
         share = F.floor(F.lit(1_000_000.0)

@@ -74,3 +74,31 @@ class TestExpectations:
                     {"type": "unique", "cols": ["id"]}]).collect()
         assert all(r.n_violations == 0 and r.n_rows == 0 and r.passed
                    for r in got)
+
+
+class TestReviewRegressions:
+    def test_unique_exempts_null_keys(self, spark):
+        # dbt/GE semantics: NULL keys never violate uniqueness
+        rows = [(None, "a"), (None, "b"), (1, "c"), (1, "d"), (2, "e")]
+        df = spark.createDataFrame(rows, "id bigint, x string")
+        [r] = expectations_report(
+            df, [{"type": "unique", "cols": ["id"]}]).collect()
+        # only id=1 duplicates among non-NULL keys; n_rows counts the
+        # 3 checked rows
+        assert (r.n_violations, r.n_rows, r.passed) == (1, 3, False)
+
+    def test_regex_validated_with_java_semantics(self, df):
+        # \p{Lower} is valid Java regex but invalid Python re — it must
+        # be ACCEPTED; Python-only named groups are invalid in Java and
+        # must be rejected eagerly, as must a missing pattern key
+        [r] = expectations_report(
+            df, [{"type": "regex", "col": "lang",
+                  "pattern": r"\p{Lower}+"}]).collect()
+        # lang values en/en/NULL/xx/fr: every non-NULL value contains a
+        # lowercase run (rlike is a contains-match), NULL is skipped
+        assert r.n_violations == 0
+        with pytest.raises(ValueError):
+            expectations_report(df, [{"type": "regex", "col": "lang",
+                                      "pattern": "(?P<u>[a-z]+)"}])
+        with pytest.raises(ValueError):
+            expectations_report(df, [{"type": "regex", "col": "lang"}])

@@ -269,3 +269,23 @@ class TestRollingActive:
             assert r.n_active_wd >= r.n_active_1d
         with _pytest.raises(ValueError):
             rolling_active(df, window_days=0)
+
+
+class TestRollingActiveGap:
+    def test_dead_stretch_surfaces_as_zero_rows(self, spark):
+        # a gap longer than the window must emit (day, 0, 0) rows, not
+        # vanish from the report (review finding)
+        import datetime as dt
+
+        from ragstudio_spark.operators.sessions import rolling_active
+
+        rows = [(1, dt.datetime(1970, 1, 1)), (2, dt.datetime(1970, 1, 21))]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        got = {r.day: (r.n_active_1d, r.n_active_wd)
+               for r in rolling_active(df, window_days=7).collect()}
+        assert set(got) == set(range(0, 21))  # dense [0, 20]
+        assert got[0] == (1, 1) and got[20] == (1, 1)
+        for d in range(7, 20):
+            assert got[d] == (0, 0)
+        for d in range(1, 7):
+            assert got[d] == (0, 1)  # user 1 keeps the window warm
