@@ -5421,7 +5421,11 @@ def _phrase_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragstudio_spark.operators.index import phrase_search
 
     _register(spark, sf_dir, "documents")
-    return phrase_search(spark.table("documents"), list(_PHRASE))
+    # explicit top_n ≥ any SF's hit count (fixture hits are single-digit
+    # per 5k docs; the bound engages the partial-top-k plan shape without
+    # changing a row — r6 VERDICT task 1)
+    return phrase_search(spark.table("documents"), list(_PHRASE),
+                         top_n=1_000_000)
 
 
 def _phrase_duck_sql() -> str:
@@ -6002,7 +6006,9 @@ def _terms_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ragstudio_spark.operators.index import terms_search
 
     _register(spark, sf_dir, "documents")
-    return terms_search(spark.table("documents"), list(_PHRASE))
+    # explicit top_n ≥ any SF's hit count (same rationale as _phrase_fn)
+    return terms_search(spark.table("documents"), list(_PHRASE),
+                        top_n=1_000_000)
 
 
 def _terms_duck_sql() -> str:

@@ -342,31 +342,51 @@ def exact_new_only(new: DataFrame, seen: DataFrame,
     )
 
 
-def simhash16(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash over distinct tokens (md5-nibble bit votes)."""
-    w = (
+def _nibble_votes(df: DataFrame, text_col: str, id_col: str,
+                  n_bits: int) -> DataFrame:
+    """Per-doc ±1 vote sums for md5-nibble SimHash bits, as ``n_bits``
+    COLUMNS ``v0..v{n_bits-1}`` — one row per doc.
+
+    The retired shape exploded every (doc, word) row into ``n_bits`` bit
+    rows and ran TWO keyed aggregations ((id, b) then id): at sf1.0 that
+    is a 64× row blow-up (74M rows through two shuffles for 1.16M
+    distinct-word rows). Column-wise vote sums are partially aggregable
+    map-side, so ONE exchange moves one ``n_bits``-int row per doc per
+    map task (guide §2.3 "aggregate before you shuffle"; measured
+    dedup_simhash64 7.2 → ~1 s at sf1.0). Nibble values are bound to
+    column attributes first — the instr() fold would otherwise re-run
+    per bit reference (the bind-once rule)."""
+    n_nibbles = n_bits // 4
+    words = (
         df.select(F.col(id_col),
                   F.explode(F.array_distinct(words_col(F.col(text_col)))).alias("word"))
         .select(id_col, F.md5("word").alias("h"))
-        .select(id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
-        .withColumn(
-            "nib",
-            F.instr(F.lit("0123456789abcdef"),
-                    F.substring(F.col("h"), (F.floor(F.col("b") / 4) + 1).cast("int"), 1)) - 1,
-        )
     )
-    # python F.shiftright requires a literal shift amount — use the SQL form
-    bit = F.expr("shiftright(nib, CAST(b % 4 AS INT)) & 1")
-    votes = (
-        w.select(id_col, "b", F.when(bit == 1, 1).otherwise(-1).alias("v"))
-        .groupBy(id_col, "b")
-        .agg(F.when(F.sum("v") > 0, 1).otherwise(0).alias("vote"))
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(F.col("vote").cast("bigint") * F.pow(2, F.col("b")).cast("bigint"))
-        .cast("bigint").alias("simhash16")
-    )
+    nibs = words.select(id_col, *[
+        (F.instr(F.lit("0123456789abcdef"),
+                 F.substring(F.col("h"), i + 1, 1)) - 1).alias(f"n{i}")
+        for i in range(n_nibbles)
+    ])
+    vote = [
+        F.when(F.shiftright(F.col(f"n{b // 4}"), b % 4)
+               .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        for b in range(n_bits)
+    ]
+    return nibs.groupBy(id_col).agg(*[
+        F.sum(vote[b]).alias(f"v{b}") for b in range(n_bits)
+    ])
+
+
+def simhash16(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over distinct tokens (md5-nibble bit votes)."""
+    votes = _nibble_votes(df, text_col, id_col, 16)
+    val = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0,
+                      F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        val = term if val is None else val + term
+    return votes.select(F.col(id_col), val.cast("bigint").alias("simhash16"))
 
 
 SIMHASH_BITS = 64
@@ -384,32 +404,19 @@ def simhash64(df: DataFrame, text_col: str = "text",
     keys anyway, and banding with 65,536 buckets per band is what makes the
     self-join scale (the retired 16-bit/4-bit scheme had ≤16 buckets/band —
     an all-pairs join in 16 shards at corpus size). Bits come from the first
-    16 nibbles of each token's md5, ±1 votes per distinct token."""
-    w = (
-        df.select(F.col(id_col),
-                  F.explode(F.array_distinct(words_col(F.col(text_col)))).alias("word"))
-        .select(id_col, F.md5("word").alias("h"))
-        .select(id_col, "h",
-                F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"))
-        .withColumn(
-            "nib",
-            F.instr(F.lit("0123456789abcdef"),
-                    F.substring(F.col("h"), (F.floor(F.col("b") / 4) + 1).cast("int"), 1)) - 1,
-        )
-    )
-    bit = F.expr("shiftright(nib, CAST(b % 4 AS INT)) & 1")
-    votes = (
-        w.select(id_col, "b", F.when(bit == 1, 1).otherwise(-1).alias("v"))
-        .groupBy(id_col, "b")
-        .agg(F.when(F.sum("v") > 0, 1).otherwise(0).alias("vote"))
-    )
-    band_val = F.expr(
-        f"shiftleft(CAST(vote AS BIGINT), CAST(b % {SIMHASH_BAND_BITS} AS INT))")
-    return votes.groupBy(id_col).agg(*[
-        F.sum(F.when(F.floor(F.col("b") / SIMHASH_BAND_BITS) == i, band_val)
-              .otherwise(F.lit(0))).cast("bigint").alias(f"s{i}")
-        for i in range(SIMHASH_BANDS)
-    ])
+    16 nibbles of each token's md5, ±1 votes per distinct token
+    (column-wise vote sums — see ``_nibble_votes``)."""
+    votes = _nibble_votes(df, text_col, id_col, SIMHASH_BITS)
+    bands = []
+    for i in range(SIMHASH_BANDS):
+        val = None
+        for j in range(SIMHASH_BAND_BITS):
+            b = i * SIMHASH_BAND_BITS + j
+            term = F.when(F.col(f"v{b}") > 0,
+                          F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            val = term if val is None else val + term
+        bands.append(val.cast("bigint").alias(f"s{i}"))
+    return votes.select(F.col(id_col), *bands)
 
 
 def simhash64_near_pairs(df: DataFrame, text_col: str = "text",
@@ -427,8 +434,23 @@ def simhash64_near_pairs(df: DataFrame, text_col: str = "text",
     bucket: at corpus scale a 16-bit band can still collect a hot bucket
     of trivially-sketched docs (near-empty texts), and docs whose lengths
     differ >2× are not near-dups of interest anyway — the composite key
-    shards such buckets for free. Off by default (pure-sketch recall)."""
-    sh = simhash64(df, text_col, id_col)
+    shards such buckets for free. Off by default (pure-sketch recall).
+
+    The sketch is computed ONCE and localCheckpointed at the session's
+    shuffle-partition count before the band fan-out (r7, measured at
+    sf1.0): (a) the self-join's two sides are the same sketch — without
+    the checkpoint each side re-runs the whole sketch pipeline (no
+    ReusedExchange across a broadcast side); (b) the per-doc sketch is a
+    few MB per million docs, so AQE coalesces its exchange to a handful
+    of partitions and the candidate probe downstream (247M candidate
+    pairs at sf1.0) runs on those few cores — the multi-consumer-
+    intermediate + repartition-after-aggregation rules from CLAUDE.md,
+    both in one. This makes the operator EAGER at call time (like
+    duplicate_clusters). 6.9 → ~4.5 s at sf1.0."""
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = (simhash64(df, text_col, id_col)
+          .repartition(n_parts, F.col(id_col))
+          .localCheckpoint())
     s_cols = [f"s{i}" for i in range(SIMHASH_BANDS)]
     carry = list(s_cols)
     if length_band:
@@ -488,13 +510,27 @@ def embedding_near_pairs(vectors: DataFrame, planes: DataFrame,
     LSH band: for higher recall run several independent plane sets and
     union + distinct the outputs. Output carries no float column (the
     oracle twin compares ids only; the threshold compare itself is
-    bit-identical across engines because both fold sequentially)."""
-    from ragstudio_spark.operators.similarity import cosine, hyperplane_buckets
+    bit-identical across engines because both fold sequentially).
+
+    Per-pair cost (guide §1.2 "per-task work", r7): the vector NORMS are
+    precomputed once per vector BELOW the self-join (a projection cannot
+    be inlined across a join boundary), so each candidate pair pays ONE
+    sequential dot-product fold instead of three —
+    dot(a,b)/(norm_a·norm_b) is the same double operations in the same
+    order as dot(a,b)/(√dot(a,a)·√dot(b,b)), just with the two
+    sqrt-folds evaluated n times instead of n²/buckets times
+    (bit-identical; measured embedding_near_dup 10.3 → ~3.5 s at
+    sf1.0's 900k candidate pairs)."""
+    from ragstudio_spark.operators.similarity import dot, hyperplane_buckets
 
     buckets = hyperplane_buckets(vectors, planes, id_col, vec_col)
-    keyed = buckets.join(vectors.select(F.col(id_col), F.col(vec_col)), on=id_col)
+    vec = F.col(vec_col)
+    normed = vectors.select(F.col(id_col), vec,
+                            F.sqrt(dot(vec, vec)).alias("_nrm"))
+    keyed = buckets.join(normed, on=id_col)
     a, b = keyed.alias("a"), keyed.alias("b")
-    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    cos = (dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+           / (F.col("a._nrm") * F.col("b._nrm")))
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -667,24 +703,33 @@ def keep_canonical(df: DataFrame, pairs: DataFrame,
     return df.join(drops, on=id_col, how="left_anti")
 
 
-def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  k: int = 3, min_jaccard: float = 0.0,
-                  max_shingle_df: int | None = None) -> DataFrame:
-    """Exact shingle-set Jaccard for pairs sharing ≥1 shingle.
+def _shingle_pair_counts(df: DataFrame, text_col: str, id_col: str, k: int,
+                         max_shingle_df: int | None) -> DataFrame:
+    """(doc_a, doc_b, inter, na, nb) for every doc pair sharing ≥1 distinct
+    k-shingle — the shared candidate core of ``jaccard_pairs`` and
+    ``containment_pairs``.
 
-    ``max_shingle_df`` caps the shared-shingle join's fan-out: shingles
-    appearing in more than that many documents are excluded from candidate
-    generation (their pairs are found through rarer shared shingles, or
-    dropped). Without the cap the join is O(Σ df²) — one stop-shingle in
-    10⁶ docs yields 10¹² join rows — so corpus-wide runs MUST set it; the
-    default (None, exact) is the oracle/ground-truth mode. Set sizes
-    ``na``/``nb`` stay exact either way — only candidate generation and the
-    intersection count are approximated by the cap."""
+    Shape (guide §2.3/§2.4, r7): AGGREGATE-FIRST pair generation instead
+    of the exploded-shingle self-join. One groupBy collects the sorted doc
+    list per shingle (one exchange of the 2.6M-row gram table instead of
+    two + a sort-merge join), pairs are generated map-side in codegen from
+    each list, and the dominant exchange — Σ df(df−1)/2 candidate rows,
+    114M at sf1.0 — carries ONLY (doc_a, doc_b) [16 bytes] instead of the
+    join shape's (doc_a, doc_b, na, nb, partial-min state) [~40 bytes].
+    Exact set sizes re-attach afterwards via two joins against the
+    doc-count-sized ``sizes`` table (broadcast-hinted: |docs| rows versus
+    a 114M-row shuffle; at extreme corpus size swap the hint for a shuffle
+    join, or rather set ``max_shingle_df`` which bounds everything here).
+    Per-shingle doc lists are bounded by ``max_shingle_df`` when set — the
+    same cap that bounds the retired join's O(Σ df²) fan-out.
+
+    Semantics are unchanged: inter counts shared DISTINCT shingles; na/nb
+    are full distinct-set sizes computed BEFORE the hot-shingle cap."""
     distinct_sh = (
         _bound_words(df, text_col, id_col)
         .select(F.col(id_col),
                 F.array_distinct(shingles_col(F.col("_w"), k)).alias("sh"))
-        .select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+        .select(id_col, F.explode("sh").alias("shingle"))
     )
     if max_shingle_df is not None:
         hot = (
@@ -694,14 +739,60 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
         # the hot set is tiny (only stop-shingles) — AQE broadcasts it
         distinct_sh = distinct_sh.join(hot, on="shingle", how="left_anti")
-    a, b = distinct_sh.alias("a"), distinct_sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("inter"),
-             F.min("a.n_sh").alias("na"), F.min("b.n_sh").alias("nb"))
-    )
+    ids = (distinct_sh.groupBy("shingle")
+           .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+           .filter(F.size("ids") >= 2))
+    pair_arr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    # the pair-count aggregate holds one hash entry per DISTINCT pair —
+    # at sf1.0 that is 114M keys, and at the session's shuffle-partition
+    # count (cores) the per-task maps blow past cache into spill
+    # (measured 1.2 µs/row in the final aggregate). Fan the pair stream
+    # out to 4× shuffle partitions (REPARTITION_BY_NUM — AQE-exempt,
+    # conf-scaled, not a local[32] constant; measured flat 4×–32× and
+    # ~1.9× worse at 1×): the hash partitioning satisfies the groupBy's
+    # distribution so no second exchange is added, and per-task maps
+    # stay memory-resident (19 → 10 s for the pair aggregation at
+    # sf1.0).
+    n_pair_parts = 4 * int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    inter = (ids.select(F.explode(pair_arr).alias("p"))
+             .select(F.col("p.doc_a").alias("doc_a"),
+                     F.col("p.doc_b").alias("doc_b"))
+             .repartition(n_pair_parts, "doc_a", "doc_b")
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sizes = (
+        _bound_words(df, text_col, id_col)
+        .select(F.col(id_col),
+                F.size(F.array_distinct(shingles_col(F.col("_w"), k)))
+                .alias("n_sh")))
+    return (inter
+            .join(F.broadcast(sizes.select(F.col(id_col).alias("doc_a"),
+                                           F.col("n_sh").alias("na"))),
+                  on="doc_a")
+            .join(F.broadcast(sizes.select(F.col(id_col).alias("doc_b"),
+                                           F.col("n_sh").alias("nb"))),
+                  on="doc_b"))
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3, min_jaccard: float = 0.0,
+                  max_shingle_df: int | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs sharing ≥1 shingle.
+
+    ``max_shingle_df`` caps the per-shingle candidate fan-out: shingles
+    appearing in more than that many documents are excluded from candidate
+    generation (their pairs are found through rarer shared shingles, or
+    dropped). Without the cap candidate generation is O(Σ df²) — one
+    stop-shingle in 10⁶ docs yields 10¹² pair rows — so corpus-wide runs
+    MUST set it; the default (None, exact) is the oracle/ground-truth
+    mode. Set sizes ``na``/``nb`` stay exact either way — only candidate
+    generation and the intersection count are approximated by the cap."""
+    inter = _shingle_pair_counts(df, text_col, id_col, k, max_shingle_df)
     out = inter.withColumn(
         "jaccard", F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     ).select("doc_a", "doc_b", "jaccard")
@@ -727,33 +818,13 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     ``contain_b_in_a_ppm`` = floor(1e6·inter/nb); rows where the LARGER
     direction clears ``min_containment_ppm`` survive.
 
-    Scale shape is jaccard_pairs' exactly: candidate generation through
-    the shared-shingle join, O(Σ df²) without ``max_shingle_df`` — corpus
-    runs MUST cap it (pairs for capped stop-shingles surface through
-    rarer shared shingles); set sizes stay exact either way.
+    Scale shape is jaccard_pairs' exactly (the shared
+    ``_shingle_pair_counts`` aggregate-first core): candidate generation
+    is O(Σ df²) without ``max_shingle_df`` — corpus runs MUST cap it
+    (pairs for capped stop-shingles surface through rarer shared
+    shingles); set sizes stay exact either way.
     """
-    distinct_sh = (
-        _bound_words(df, text_col, id_col)
-        .select(F.col(id_col),
-                F.array_distinct(shingles_col(F.col("_w"), k)).alias("sh"))
-        .select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
-    )
-    if max_shingle_df is not None:
-        hot = (
-            distinct_sh.groupBy("shingle").agg(F.count("*").alias("shingle_df"))
-            .filter(F.col("shingle_df") > max_shingle_df)
-            .select("shingle")
-        )
-        distinct_sh = distinct_sh.join(hot, on="shingle", how="left_anti")
-    a, b = distinct_sh.alias("a"), distinct_sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
-                 F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("inter"),
-             F.min("a.n_sh").alias("na"), F.min("b.n_sh").alias("nb"))
-    )
+    inter = _shingle_pair_counts(df, text_col, id_col, k, max_shingle_df)
     out = inter.select(
         "doc_a", "doc_b", "inter", "na", "nb",
         F.floor(F.lit(1_000_000) * F.col("inter") / F.col("na"))
@@ -1016,8 +1087,13 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
     subset, where the two DPs agree exactly — non-ASCII pairs are scored
     (correctly) by Spark but are NOT oracle-comparable.
 
-    Scale: one fixed-width-key equi-join; the O(len²) DP runs only on
-    surviving candidates. Output (doc_a, doc_b, distance), doc_a < doc_b.
+    Scale: one fixed-width-key equi-join; the DP runs only on surviving
+    candidates, and it is the THRESHOLD form ``levenshtein(a, b, d)``
+    (Spark 3.5+): a banded O(len·d) DP with early abandon that returns -1
+    beyond ``max_distance`` — identical distances for every surviving
+    pair, ~(len/2d)× fewer DP cells than the full O(len²) matrix
+    (measured 29.8 → ~2 s at sf1.0 where candidates average ~300 chars
+    at d=20). Output (doc_a, doc_b, distance), doc_a < doc_b.
     """
     keyed = df.select(
         F.col(id_col),
@@ -1036,8 +1112,10 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
     return (cand
             .withColumn("distance",
-                        F.levenshtein(F.col("a._t"), F.col("b._t"))
+                        F.levenshtein(F.col("a._t"), F.col("b._t"),
+                                      max_distance)
                         .cast("bigint"))
-            .filter(F.col("distance") <= max_distance)
+            .filter((F.col("distance") >= 0)
+                    & (F.col("distance") <= max_distance))
             .select(F.col(f"a.{id_col}").alias("doc_a"),
                     F.col(f"b.{id_col}").alias("doc_b"), "distance"))
