@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 from functools import lru_cache
+from itertools import accumulate
 
 # GPT-2-style pre-tokenization (public pattern, simplified to stdlib `re`:
 # contractions, space-prefixed words, space-prefixed punctuation runs,
@@ -54,6 +55,11 @@ class BPETokenizer:
         self.ranks: dict[tuple[str, str], int] = {
             tuple(p): i for i, p in enumerate(merges)}
         self._cache: dict[str, tuple[str, ...]] = {}
+        # piece → tuple of token LENGTHS (what token_boundaries actually
+        # consumes — caching the derived form removes the per-token
+        # _bpe/len work from the hot path; the pipeline profile put 57%
+        # of chunk_turn in this function, r7)
+        self._lengths: dict[str, tuple[int, ...]] = {}
 
     def _bpe(self, piece: str) -> tuple[str, ...]:
         cached = self._cache.get(piece)
@@ -88,12 +94,42 @@ class BPETokenizer:
         return out
 
     def token_boundaries(self, text: str) -> list[int]:
-        """Character offsets of every token boundary: [0, b1, ..., len]."""
+        """Character offsets of every token boundary: [0, b1, ..., len].
+
+        The hot path is two C loops: the piece stream comes from
+        ``findall`` (no match objects — the pre-token alternatives cover
+        every character class, so pieces tile the text; the one-pass
+        length check guards the theoretical gap case and falls back to
+        the positional loop), per-piece token-length tuples come from the
+        ``_lengths`` cache and concatenate via ``list.extend``, and the
+        cumulative sum runs once through ``itertools.accumulate``.
+        Byte-identical to the naive loop — bounds = [0, Σd₁, Σd₂, …] is
+        exactly the per-token position walk."""
+        pieces = _PRETOKEN_RE.findall(text)
+        if sum(map(len, pieces)) != len(text):
+            return self._token_boundaries_positional(text)
+        deltas: list[int] = []
+        extend = deltas.extend
+        lengths = self._lengths
+        for piece in pieces:
+            d = lengths.get(piece)
+            if d is None:
+                d = tuple(len(tok) for tok in self._bpe(piece))
+                if len(lengths) < 65536:
+                    lengths[piece] = d
+            extend(d)
+        bounds = [0]
+        bounds.extend(accumulate(deltas))
+        return bounds
+
+    def _token_boundaries_positional(self, text: str) -> list[int]:
+        """The defensive positional form, used only when the pre-token
+        pieces do not tile the text (a pattern gap becomes 1 raw token)."""
         bounds = [0]
         pos = 0
         covered = 0
         for m in _PRETOKEN_RE.finditer(text):
-            if m.start() > covered:  # defensive: pattern gap → 1 raw token
+            if m.start() > covered:
                 pos += m.start() - covered
                 bounds.append(pos)
             for tok in self._bpe(m.group()):

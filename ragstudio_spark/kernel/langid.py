@@ -158,9 +158,20 @@ _UK_RE = re.compile(r"[іїєґ]")
 _RU_RE = re.compile(r"[ыэъё]")
 _FA_RE = re.compile(r"[پچژگ]")
 
+# every _SCRIPT_RES class starts at U+0370 (Greek) or above; a snippet
+# with no codepoint ≥ U+0370 therefore has every script count at 0 and
+# _script_language provably returns None (max(0, 0) <= latin for any
+# latin ≥ 0). One C-speed search replaces ten findall scans — the
+# accented-Latin corpus majority (non-ASCII but Latin-script) pays only
+# this probe (r7: the ten scans were 40% of the default pipeline
+# kernel's regex time).
+_NONLATIN_PROBE = re.compile("[Ͱ-\U0010FFFF]")
+
 
 def _script_language(snippet: str) -> str | None:
     """Non-Latin routing, or None when Latin letters dominate."""
+    if _NONLATIN_PROBE.search(snippet) is None:
+        return None
     latin = len(_LATIN_RE.findall(snippet))
     counts = {s: len(p.findall(snippet)) for s, p in _SCRIPT_RES.items()}
     # Japanese mixes Han and kana in one text: they vote as one class,

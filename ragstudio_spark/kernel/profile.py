@@ -150,6 +150,23 @@ def analyze_text(text: str, source_name: str = "", language: str | None = None) 
     return profile
 
 
+def select_strategy_for_text(text: str, source_name: str = "",
+                             language: str | None = None) -> dict:
+    """``select_chunking_strategy(analyze_text(...))`` with the profile
+    computed lazily: the decision tree's FIRST branch keys on
+    ``length_tokens`` (= len//4) alone, so documents under 4000 chars —
+    the overwhelming majority of transcript turns — never pay the
+    heading/table/hierarchy/sentence regex passes whose outputs the
+    selection would ignore (r7; the fused adaptive hop's selection cost
+    drops ~1s/8k turns). Longer documents fall through to the full
+    profile — decisions are identical by construction."""
+    if len(text) // 4 < 1000:
+        return {"strategy": "recursive", "max_tokens": 300, "overlap": 30,
+                "reason": "short_document"}
+    return select_chunking_strategy(
+        analyze_text(text, source_name, language))
+
+
 def select_chunking_strategy(profile: dict) -> dict:
     """Ordered decision tree → {strategy, max_tokens, overlap, reason}."""
     if profile["length_tokens"] < 1000:

@@ -276,17 +276,16 @@ def fix_extraction_errors(text: str) -> tuple[str, int]:
         return text, 0
     fixes = 0
     for pattern, replacement in _SPACE_FIXES:
-        matches = pattern.findall(text)
-        if matches:
-            fixes += len(matches)
-        text = pattern.sub(replacement, text)
+        # subn = sub + count in ONE scan (counts non-overlapping matches,
+        # exactly what findall counted — r7)
+        text, n = pattern.subn(replacement, text)
+        fixes += n
     return text, fixes
 
 
 def remove_page_numbers(text: str) -> tuple[str, int]:
     """Strip isolated 1-3 digit page numbers between paragraphs."""
-    removed = len(_PAGE_NUM_RE.findall(text))
-    text = _PAGE_NUM_RE.sub("\n", text)
+    text, removed = _PAGE_NUM_RE.subn("\n", text)
     return text, removed
 
 

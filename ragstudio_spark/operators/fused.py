@@ -161,10 +161,11 @@ def process_turns(
         if adaptive:
             # profile-driven strategy selection (same formulas as the JVM
             # column-expression operators — kernel.profile is the tested
-            # ground truth for both)
+            # ground truth for both; the lazy entry skips the profile
+            # passes the short-document branch ignores)
             t0 = perf_counter() if with_trace else 0.0
-            prof = kprofile.analyze_text(extracted, language=language)
-            sel = kprofile.select_chunking_strategy(prof)
+            sel = kprofile.select_strategy_for_text(
+                extracted, language=language)
             turn_strategy = sel["strategy"]
             turn_max_tokens = sel["max_tokens"]
             turn_overlap = sel["overlap"]

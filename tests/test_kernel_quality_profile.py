@@ -148,6 +148,26 @@ class TestStrategySelector:
         cfg = profile.select_chunking_strategy(self._profile())
         assert cfg["reason"] == "default_fallback"
 
+    def test_lazy_selection_matches_full_profile(self):
+        """select_strategy_for_text (the fused hot path's lazy entry, r7)
+        must decide identically to select_chunking_strategy∘analyze_text
+        on both sides of the short-document threshold and across every
+        branch trigger."""
+        texts = [
+            "short note",
+            "## H\n### H2\n" + ("word " * 1200),       # structured, long
+            "| a | b |\n|---|---|\n" + ("word " * 1100),  # tables, long
+            ("word " * 1100),                           # long unstructured
+            ("word " * 6000),                           # very long
+            "",                                          # empty
+            "x" * 3999,                                  # just under threshold
+            "x" * 4000,                                  # at threshold
+        ]
+        for t in texts:
+            full = profile.select_chunking_strategy(profile.analyze_text(t))
+            lazy = profile.select_strategy_for_text(t)
+            assert full == lazy, t[:40]
+
     def test_validate_config(self):
         assert profile.validate_strategy_config(
             {"strategy": "recursive", "max_tokens": 400, "overlap": 50, "reason": "x"})
