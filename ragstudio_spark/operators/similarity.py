@@ -74,11 +74,18 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     c = centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("c_vec"))
     scored = v.crossJoin(F.broadcast(c)).withColumn(
         "sim", cosine(F.col(vec_col), F.col("c_vec")))
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(centroid_id_col))
+    # argmax as ONE max(struct) aggregate instead of a row_number window:
+    # partial-aggregates map-side (the window exchanged + sorted the full
+    # |V|×k score table every call — r7, guide §2.3). max(struct(sim,
+    # -cid)) reproduces the window's (sim DESC, cid ASC) order exactly,
+    # including NaN sims ranking first (NaN is greatest in both Spark's
+    # sort and min/max orderings); cid is the trainer's 0-based integer
+    # rank, so its negation is exact.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, centroid_id_col)
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("sim"),
+                            (-F.col(centroid_id_col)).alias("nc"))).alias("b"))
+        .select(id_col, (-F.col("b.nc")).cast("int").alias(centroid_id_col))
     )
 
 
@@ -142,10 +149,15 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 2,
     for _ in range(iters):
         scored = v.crossJoin(F.broadcast(cents)).withColumn(
             "d", _l2sq(F.col(vec_col), F.col("c_vec")))
-        w = Window.partitionBy(id_col).orderBy(F.asc("d"), F.asc("cid"))
+        # argmin via min(struct) — no per-iteration window exchange+sort
+        # of the |V|×k score table (r7; see ivf_assign). (d, cid) is
+        # unique per vector so the trailing vec field never decides;
+        # NaN d ranks last in both the window ASC and min orderings.
         assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select(id_col, vec_col, "cid")
+            scored.groupBy(id_col)
+            .agg(F.min(F.struct(F.col("d"), F.col("cid"),
+                                F.col(vec_col).alias("v"))).alias("b"))
+            .select(id_col, F.col("b.v").alias(vec_col), F.col("b.cid").alias("cid"))
         )
         if exact:
             grouped = assign.groupBy("cid").agg(
@@ -256,9 +268,11 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame, m: int = 4,
     ).select(id_col, "s.subspace", "s.sv")
     scored = subs.join(F.broadcast(codebooks), on="subspace").withColumn(
         "d2", _l2sq(F.col("sv"), F.col("sub_vec")))
-    w = Window.partitionBy(id_col, "subspace").orderBy(F.asc("d2"), F.asc("cid"))
-    best = (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select(id_col, "subspace", "cid"))
+    # argmin via min(struct) — the window exchanged + sorted |V|·m·k
+    # scored rows per encode (r7; see ivf_assign for the equivalence)
+    best = (scored.groupBy(id_col, "subspace")
+            .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("b"))
+            .select(id_col, "subspace", F.col("b.cid").alias("cid")))
     return (
         best.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("subspace", "cid"))).alias("sc"))
