@@ -79,13 +79,14 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     # |V|×k score table every call — r7, guide §2.3). max(struct(sim,
     # -cid)) reproduces the window's (sim DESC, cid ASC) order exactly,
     # including NaN sims ranking first (NaN is greatest in both Spark's
-    # sort and min/max orderings); cid is the trainer's 0-based integer
-    # rank, so its negation is exact.
+    # sort and min/max orderings); cid is integral by contract (a trained
+    # 0-based rank or a caller-supplied id), so the double negation is
+    # exact and type-preserving.
     return (
         scored.groupBy(id_col)
         .agg(F.max(F.struct(F.col("sim"),
                             (-F.col(centroid_id_col)).alias("nc"))).alias("b"))
-        .select(id_col, (-F.col("b.nc")).cast("int").alias(centroid_id_col))
+        .select(id_col, (-F.col("b.nc")).alias(centroid_id_col))
     )
 
 
@@ -149,15 +150,10 @@ def kmeans_centroids(vectors: DataFrame, k: int = 16, iters: int = 2,
     for _ in range(iters):
         scored = v.crossJoin(F.broadcast(cents)).withColumn(
             "d", _l2sq(F.col(vec_col), F.col("c_vec")))
-        # argmin via min(struct) — no per-iteration window exchange+sort
-        # of the |V|×k score table (r7; see ivf_assign). (d, cid) is
-        # unique per vector so the trailing vec field never decides;
-        # NaN d ranks last in both the window ASC and min orderings.
+        w = Window.partitionBy(id_col).orderBy(F.asc("d"), F.asc("cid"))
         assign = (
-            scored.groupBy(id_col)
-            .agg(F.min(F.struct(F.col("d"), F.col("cid"),
-                                F.col(vec_col).alias("v"))).alias("b"))
-            .select(id_col, F.col("b.v").alias(vec_col), F.col("b.cid").alias("cid"))
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select(id_col, vec_col, "cid")
         )
         if exact:
             grouped = assign.groupBy("cid").agg(
