@@ -71,16 +71,15 @@ def _tf_col(text: Column, term: str) -> Column:
         F.lower(text), F.lit(_term_pattern(term)), F.lit(0)))
 
 
-def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
-                id_col: str = "doc_id", k1: float = 1.5,
-                b: float = 0.75) -> DataFrame:
-    """Per-document BM25 score for a bag of query terms.
-
-    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (the +1 keeps it positive)
-    tf-part = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
-    """
-    if not terms:
-        raise ValueError("bm25_scores: terms must be a non-empty list")
+def bm25_term_table(docs: DataFrame, terms: list[str],
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """(per_doc, stats) for a term universe — the shareable front half of
+    BM25: per_doc carries (id, dl, tf_0..tf_{T-1}), stats the corpus
+    aggregates (n_docs, avgdl, df_0..df_{T-1}). Multi-expansion callers
+    (multi_query / expansion search) compute this ONCE for the union of
+    their expansions' terms and score each leg from it — one corpus scan
+    instead of one per expansion (r6 VERDICT task 3)."""
     per_doc = docs.select(
         F.col(id_col),
         _dl_col(F.col(text_col)).alias("dl"),
@@ -93,15 +92,41 @@ def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
         *[F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
           for i in range(len(terms))],
     )
+    return per_doc, stats
+
+
+def bm25_scores_from(per_doc: DataFrame, stats: DataFrame,
+                     term_idx: list[int], id_col: str = "doc_id",
+                     k1: float = 1.5, b: float = 0.75) -> DataFrame:
+    """BM25 scores over a prebuilt ``bm25_term_table``: the query's terms
+    are given as INDICES into the table's term universe, summed in the
+    given order — float-identical to a dedicated ``bm25_scores`` call for
+    those terms (same tf/df/dl/avgdl values, same per-term part, same
+    addition order)."""
     scored = per_doc.crossJoin(F.broadcast(stats))
     score = None
-    for i in range(len(terms)):
+    for i in term_idx:
         idf = F.log((F.col("n_docs") - F.col(f"df_{i}") + 0.5)
                     / (F.col(f"df_{i}") + 0.5) + 1)
         tf = F.col(f"tf_{i}")
         part = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
         score = part if score is None else score + part
     return scored.select(F.col(id_col), score.alias("bm25_score"))
+
+
+def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.5,
+                b: float = 0.75) -> DataFrame:
+    """Per-document BM25 score for a bag of query terms.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (the +1 keeps it positive)
+    tf-part = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    """
+    if not terms:
+        raise ValueError("bm25_scores: terms must be a non-empty list")
+    per_doc, stats = bm25_term_table(docs, terms, text_col, id_col)
+    return bm25_scores_from(per_doc, stats, list(range(len(terms))),
+                            id_col, k1, b)
 
 
 def _ranked(scored: DataFrame, id_col: str, score_col: str, rank_name: str,
