@@ -26,7 +26,7 @@ Rules (each a dict, validated eagerly):
   dialect)
 
 Output: one row per rule — (rule_id, rule_type, target, n_violations,
-n_rows, pass) — exact integers. ``unique`` needs its own grouped
+n_rows, passed) — exact integers. ``unique`` needs its own grouped
 aggregate (a per-key count), so the report is one scan + one grouped
 agg per DISTINCT unique-rule key set, unioned JVM-side.
 """

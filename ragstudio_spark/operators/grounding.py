@@ -5,7 +5,7 @@ of its content is *grounded* in what the user already said (echo rate /
 copy rate): high grounding flags parroting turns a training-data filter
 should down-weight, zero grounding on long answers flags hallucination-
 shaped turns for review. The reference scores documents in isolation
-(quality_check, /root/reference/src/workflows/ingest/quality.py); this is
+(quality_check, /root/reference/src/core/cli/utils/quality_check.py); this is
 the conversational analogue its transcript payload calls for, expressed as
 two co-partitioned aggregations.
 

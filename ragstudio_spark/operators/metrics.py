@@ -134,6 +134,10 @@ def exact_quantiles(df: DataFrame, value_col: str,
                     percents=(50, 90, 99)) -> DataFrame:
     """Exact discrete percentiles per group, in pure integer rank math.
 
+    Contract: ``value_col`` must be integer-valued — it is cast to bigint
+    before ranking, so fractional values would be silently truncated
+    (r6 ADVICE; every in-repo caller ranks lengths/counts).
+
     The distribution report a curation pipeline reads daily (how long
     are documents per language, where is the p99 the packer must plan
     for) — computed EXACTLY: the p-th percentile is the value at rank

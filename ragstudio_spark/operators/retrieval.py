@@ -286,7 +286,15 @@ def ndcg_eval(results: DataFrame, qrels: DataFrame, k: int = 10,
               query_col: str = "query_id", doc_col: str = "doc_id",
               rank_col: str = "rank") -> DataFrame:
     """nDCG@k with binary relevance — the graded rank-aware metric
-    ranked_eval's integer family cannot express (log2 discounts are
+    ranked_eval's integer family cannot express.
+
+    Precondition (r6 ADVICE): ``results`` must carry unique 1-based ranks
+    per query with at most one row per (query, doc) inside top-k — the
+    contract every in-repo ranker satisfies. Duplicate (query, doc) rows
+    double-count DCG and the retrieved-relevant tally (ndcg_ppm can then
+    exceed 1e6), and a rank ≤ 0 would index the literal discount array
+    out of range. Callers feeding external rankings should dedupe to
+    min-rank and filter to 1 ≤ rank ≤ k first (log2 discounts are
     irreducibly float).
 
     Float discipline: the per-rank discounts 1/log2(i+1) and the ideal

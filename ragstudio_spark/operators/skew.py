@@ -162,8 +162,13 @@ def heavy_keys(df: DataFrame, key_cols: tuple[str, ...] = ("conv_id",),
     Exact integer predicate against the DIV-floored mean (the
     skew_report overflow rationale), ordered by count desc with key
     tiebreaks."""
-    counts = df.groupBy(*key_cols).agg(F.count("*").cast("bigint")
-                                       .alias("key_count"))
+    # key-sized counts feed TWO consumers (the stats aggregate and the
+    # output join) — localCheckpoint per the multi-consumer-intermediate
+    # rule, matching join_cardinality; without it the groupBy over the
+    # full input can execute twice (r6 ADVICE).
+    counts = (df.groupBy(*key_cols).agg(F.count("*").cast("bigint")
+                                        .alias("key_count"))
+              .localCheckpoint())
     stats = (counts.agg(F.sum("key_count").cast("bigint").alias("_total"),
                         F.count("*").cast("bigint").alias("_nk"))
              .withColumn("_mean", F.expr("greatest(1L, _total DIV _nk)")))
