@@ -119,9 +119,15 @@ def curate_sft(transcripts: DataFrame, benchmark: DataFrame,
         benchmark.select(F.col(bench_id_col).alias("doc_id"),
                          F.col(bench_text_col).alias("text")),
         n=ngram_n, min_shared=min_shared)
-    clean = ex.join(
+    # same repartition-before-checkpoint rationale as ``ex``: the
+    # anti-join's output partitioning is AQE-coalesced (measured 6
+    # partitions at sf1.0), and the repetition filter explodes ~100
+    # gram rows per example from whatever layout `clean` froze (r7)
+    clean = (ex.join(
         flagged.select(F.col("corpus_id").alias("example_id")).distinct(),
-        on="example_id", how="left_anti").localCheckpoint()
+        on="example_id", how="left_anti")
+        .repartition(sc.defaultParallelism, "example_id")
+        .localCheckpoint())
     kept = quality_signals.repetition_filter(
         clean, text_col="example_text", id_col="example_id",
         max_dup_line_frac=max_dup_line_frac, max_top2_frac=max_top2_frac)
